@@ -1,0 +1,166 @@
+"""Core MapReduce-parity queries: WordCount, Grep, field selection, K/V
+splitting, deterministic sampling, set operations.
+
+These are the reference's canonical jobs (`EXAMPLES/WordCount.java:34`,
+`EXAMPLES/Grep.java:40`, `lib/fieldsel/`, `lib/input/KeyValueTextInputFormat`,
+`lib/input/SequenceFileInputFilter`) as single declarative plans. The Grep
+example alone is TWO chained MR jobs with a SequenceFile temp directory
+(`Grep.java:60-94`); here it is one query — Catalyst pipelines the stages and
+the intermediate never touches storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_spark.functions.hashing import portable_hash64_sql
+from hadoop_spark.operators.transform import (
+    field_select,
+    kv_split,
+    percent_filter,
+    regex_matches,
+    tokenize,
+)
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+_WORDCOUNT_ORACLE = r"""
+SELECT word, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(text, '\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+@query("wordcount", _WORDCOUNT_ORACLE)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical job: tokenize → groupBy → count.
+
+    Map-side partial aggregation (the reference's combiner,
+    `Job.setCombinerClass` `Job.java:935`) happens automatically in Spark's
+    HashAggregate, so the shuffle carries one row per (partition, word)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenize(docs, "text").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_GREP_ORACLE = r"""
+SELECT match, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(regexp_extract_all(text, '(sort|merge|join|scan)\w*')) AS match
+  FROM documents WHERE text IS NOT NULL
+)
+WHERE match <> ''
+GROUP BY match
+"""
+
+
+@query("grep", _GREP_ORACLE)
+def grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep pipeline: regex extract → count per match (+ the reference's
+    second sort job collapses into an orderBy the caller can add)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        regex_matches(docs.filter(F.col("text").isNotNull()), "text", r"(sort|merge|join|scan)\w*")
+        .groupBy("match")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "inverse_map",
+    "SELECT CAST(value AS VARCHAR) AS key, event_type AS value FROM events",
+)
+def inverse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InverseMapper parity: (k, v) → (v, k)."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(F.col("event_type").alias("key"), F.col("value").cast("string").alias("value"))
+    from hadoop_spark.operators.transform import inverse
+
+    return inverse(kv)
+
+
+@query(
+    "field_select",
+    "SELECT o_orderpriority AS f1, o_orderstatus AS f0, CAST(o_orderkey AS VARCHAR) AS f2 FROM orders",
+)
+def field_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldSelection parity: build a delimited line, cut fields 1,0,2."""
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority", "o_orderkey").alias("line")
+    )
+    return field_select(lines, "line", [1, 0, 2], sep="|")
+
+
+@query(
+    "kv_split",
+    "SELECT lang AS key, text AS value FROM documents",
+)
+def kv_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyValueTextInputFormat parity: split line at first separator."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(F.concat(F.col("lang"), F.lit("\t"), F.col("text")).alias("line"))
+    return kv_split(lines, "line")
+
+
+_SAMPLE_ORACLE = f"""
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE {portable_hash64_sql("l_orderkey")} % 10 = 0
+"""
+
+
+@query("percent_sample", _SAMPLE_ORACLE)
+def percent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PercentFilter parity: deterministic hash-of-key ~10% sample — a pure
+    function of the data, identical on any cluster size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return percent_filter(li, "l_orderkey", 10).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultipleInputs parity: union of heterogeneous sources (then distinct)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).distinct()
+
+
+@query(
+    "intersect_keys",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer
+    """,
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return orders.intersect(cust)
+
+
+@query(
+    "except_keys",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — set difference (anti-join shaped)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.subtract(orders)

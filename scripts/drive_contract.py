@@ -1,0 +1,92 @@
+"""Drive the driver contract end-to-end the way the per-round verify does:
+vanilla SparkSession (no engine conf), import __spark_entry__, run entry() +
+every queries() entry at the given sf against oracle_sql() in DuckDB, compare
+rows order-insensitively. Exit non-zero on any mismatch.
+
+Usage: python scripts/drive_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("drive_contract")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as e  # noqa: E402
+
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
+assert len(rows) >= 0
+
+con = duckdb.connect()
+for name in (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+):
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return "<NULL>" if v is None else str(v)
+
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+queries = e.queries()
+oracles = e.oracle_sql()
+failed = []
+for name in sorted(queries):
+    t0 = time.time()
+    try:
+        sdf = queries[name](spark, sf_dir)
+        got_cols = sdf.columns
+        got = canon(sdf.collect(), got_cols)
+    except Exception as ex:
+        failed.append(name)
+        print(f"FAIL {name}: spark error: {ex}")
+        continue
+    if name not in oracles:
+        print(f"ok   {name}: rows-only check, {len(got)} rows ({time.time()-t0:.1f}s)")
+        continue
+    try:
+        res = con.sql(oracles[name])
+        want_cols = res.columns
+        want = canon(res.fetchall(), want_cols)
+    except Exception as ex:
+        failed.append(name)
+        print(f"FAIL {name}: oracle error: {ex}")
+        continue
+    if sorted(got_cols) != sorted(want_cols):
+        failed.append(name)
+        print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(want_cols)}")
+    elif len(got) != len(want):
+        failed.append(name)
+        print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
+    elif got != want:
+        bad = next(i for i, (g, w) in enumerate(zip(got, want)) if g != w)
+        failed.append(name)
+        print(f"FAIL {name}: first diff row {bad}:\n  spark={got[bad]}\n  oracle={want[bad]}")
+    else:
+        print(f"ok   {name}: {len(got)} rows hash-match ({time.time()-t0:.1f}s)")
+
+print(f"\n{len(queries) - len(failed)}/{len(queries)} queries ok at {sf_dir}")
+sys.exit(1 if failed else 0)
