@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan build → execution → fetch) the way a
+user would run it. A tiny warmup query first so JVM/codegen startup isn't
+billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_spark.plans import QUERIES, load_all
+from hadoop_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan+agg (q1, q6), star joins (q3, q5, q10), agg-then-join
+# (q18), text pipeline (wordcount, grep), total-order sort, dedup at scale.
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
+    "wordcount",
+    "grep",
+    "total_order_sort",
+    "secondary_sort",
+    "dedup_minhash",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    load_all()
+    spark = get_session(app_name="hadoop_spark_bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Warmup: trigger JVM classloading + codegen on a trivial plan.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        # noop sink: executes the full physical plan (incl. sorts that a
+        # count() would let Catalyst elide) without driver-side transfer.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: done in {timings[name]}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Sort operators — the reference's load-bearing primitive.
+
+Hadoop's shuffle ALWAYS sorts (`MapTask.java:889` MapOutputBuffer →
+QuickSort → spill-merge); the library adds total-order sorting via sampled
+range partitioning (`lib/partition/TotalOrderPartitioner.java:48` +
+`InputSampler.java:57`) and secondary sort via composite keys + grouping
+comparators (`EXAMPLES/SecondarySort.java:51`). Spark's `orderBy` runs the
+identical design — reservoir-sample → range boundaries → per-partition sort —
+inside RangePartitioner, so total order is one declarative call; secondary
+sort is a window or a sortWithinPartitions.
+
+Scale notes: `total_order` is the TeraSort shape — it scales because ranks
+are never materialized globally; `ranked` (explicit global row_number) is the
+small-result/correctness variant and is intentionally single-partition, the
+same trade the reference makes with numReduceTasks(1) top-k jobs
+(`Grep.java:88`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def total_order(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Globally sorted output (TeraSort parity): sampled range partitioning +
+    per-partition sort; output file i is entirely ≤ file i+1."""
+    return df.orderBy(*cols)
+
+
+def ranked(df: DataFrame, *cols: Column | str, out: str = "rank") -> DataFrame:
+    """Global rank attached to every row. Encodes the total order in the
+    row values (for order-insensitive correctness checks). Single-partition
+    window — use only on small/pre-aggregated results."""
+    return df.withColumn(out, F.row_number().over(Window.orderBy(*cols)))
+
+
+def secondary_sort(
+    df: DataFrame, group: list[str], order: list[Column | str], out: str = "seq"
+) -> DataFrame:
+    """SecondarySort parity: within each group, values in secondary-key
+    order, position exposed as ``out``. Partition-parallel (one window per
+    group key — the reference's FirstPartitioner + FirstGroupingComparator,
+    `SecondarySort.java:133,145`)."""
+    w = Window.partitionBy(*group).orderBy(*order)
+    return df.withColumn(out, F.row_number().over(w))
+
+
+def top_k_per_group(
+    df: DataFrame, group: list[str], order: list[Column | str], k: int, out: str = "rnk"
+) -> DataFrame:
+    """Deterministic per-group top-k (order spec must break ties)."""
+    w = Window.partitionBy(*group).orderBy(*order)
+    return df.withColumn(out, F.row_number().over(w)).filter(F.col(out) <= k)
+
+
+def sorted_run_check(df: DataFrame, *cols: str) -> tuple[int, int]:
+    """TeraValidate parity (`terasort/TeraValidate.java:52`): verify global
+    order without collecting — per partition keep (first, last, is_sorted),
+    then check boundaries on the tiny per-partition summary.
+
+    Returns (num_partitions_checked, num_violations)."""
+    sdf = df.select(*cols)
+    dtypes = dict(sdf.dtypes)
+    fields = ", ".join(f"{c}_{side} {dtypes[c]}" for side in ("first", "last") for c in cols)
+
+    def summarize(it):
+        import pandas as pd
+
+        first = last = None
+        ok = True
+        prev = None
+        for pdf in it:
+            for t in pdf.itertuples(index=False, name=None):
+                if first is None:
+                    first = t
+                if prev is not None and t < prev:
+                    ok = False
+                prev = t
+            last = prev
+        if first is None:
+            return
+        row = {f"{c}_first": [v] for c, v in zip(cols, first)}
+        row.update({f"{c}_last": [v] for c, v in zip(cols, last)})
+        row["ok"] = [ok]
+        yield pd.DataFrame(row)
+
+    parts = sdf.mapInPandas(summarize, f"{fields}, ok boolean").collect()
+    violations = sum(0 if p.ok else 1 for p in parts)
+    # RangePartitioner guarantees partition i ≤ partition i+1; collect()
+    # returns partitions in order, so adjacent boundaries must not overlap.
+    for i in range(len(parts) - 1):
+        last_i = tuple(parts[i][f"{c}_last"] for c in cols)
+        first_next = tuple(parts[i + 1][f"{c}_first"] for c in cols)
+        if last_i > first_next:
+            violations += 1
+    return len(parts), violations

@@ -1,1 +1,181 @@
-"""Placeholder — populated in later milestones."""
+"""Aggregation-framework queries (SURVEY §2.5).
+
+Parity targets: the ValueAggregator descriptor set
+(`lib/aggregate/ValueAggregatorBaseDescriptor.java:39-53`), ValueHistogram
+(`ValueHistogram.java:38`), the word-statistics examples
+(`EXAMPLES/WordMean.java:41`, `WordMedian.java:44`,
+`WordStandardDeviation.java:42`), and — as Spark-native extensions the
+reference lacks — cube / rollup / grouping sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_spark.operators.aggregate import aggregate, value_histogram
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+_AGG_FRAMEWORK_ORACLE = """
+SELECT l_returnflag,
+       SUM(l_linenumber) AS sum_line,
+       MAX(l_extendedprice) AS max_price,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_linestatus) AS max_status,
+       MIN(l_linestatus) AS min_status,
+       COUNT(DISTINCT l_partkey) AS uniq_parts,
+       COUNT(l_orderkey) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_framework", _AGG_FRAMEWORK_ORACLE)
+def agg_framework(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven descriptor aggregators in one pass (one HashAggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            ("LongValueSum", "l_linenumber", "sum_line"),
+            ("DoubleValueMax", "l_extendedprice", "max_price"),
+            ("DoubleValueMin", "l_extendedprice", "min_price"),
+            ("StringValueMax", "l_linestatus", "max_status"),
+            ("StringValueMin", "l_linestatus", "min_status"),
+            ("UniqValueCount", "l_partkey", "uniq_parts"),
+            ("ValueCount", "l_orderkey", "n_rows"),
+        ],
+    )
+
+
+_HISTOGRAM_ORACLE = """
+WITH freq AS (
+  SELECT l_returnflag, l_partkey, COUNT(*) AS freq
+  FROM lineitem GROUP BY l_returnflag, l_partkey
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_distinct,
+       MIN(freq) AS min_freq,
+       quantile_cont(freq, 0.5) AS median_freq,
+       MAX(freq) AS max_freq,
+       CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_freq,
+       sqrt(CAST(SUM(freq*freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            - pow(CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)) AS stddev_freq
+FROM freq GROUP BY l_returnflag
+"""
+
+
+@query("value_histogram", _HISTOGRAM_ORACLE)
+def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueHistogram parity: per-key distribution of value frequencies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return value_histogram(li, "l_returnflag", "l_partkey")
+
+
+@query("uniq_approx")
+def uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqValueCount's bounded-memory mode (maxNumItems cap,
+    `UniqValueCount.java:43`) → HLL sketch. No oracle: sketch estimates are
+    engine-specific; tests assert <5% relative error vs exact instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("cube_agg", _CUBE_ORACLE)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — a Spark-native extension (no reference analogue; §2.5 'not
+    present'). NULL group cells are the subtotal rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_agg", _ROLLUP_ORACLE)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_price")
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_shipmode_dummy, COUNT(*) AS n
+FROM (SELECT l_returnflag, l_linestatus AS l_shipmode_dummy FROM lineitem)
+GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_dummy))
+"""
+
+
+@query("grouping_sets", _GROUPING_SETS_ORACLE)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select(
+        "l_returnflag", F.col("l_linestatus").alias("l_shipmode_dummy")
+    ).createOrReplaceTempView("_gs_in")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_shipmode_dummy, COUNT(*) AS n
+        FROM _gs_in
+        GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_dummy))
+        """
+    )
+
+
+_WORD_STATS_ORACLE = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+), lens AS (
+  SELECT length(word) AS len FROM words WHERE word <> ''
+)
+SELECT COUNT(*) AS n_words,
+       CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_len,
+       quantile_cont(len, 0.5) AS median_len,
+       sqrt(CAST(SUM(len*len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            - pow(CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)) AS stddev_len
+FROM lens
+"""
+
+
+@query("word_stats", _WORD_STATS_ORACLE)
+def word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordMean + WordMedian + WordStandardDeviation in ONE pass — the
+    reference needs a separate two-job pipeline for the median
+    (`WordMedian.java:44`); exact percentile makes it a single aggregate."""
+    from hadoop_spark.operators.transform import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = tokenize(docs, "text").select(F.length("word").alias("len"))
+    n = F.count(F.lit(1))
+    s = F.sum("len")
+    s2 = F.sum(F.col("len") * F.col("len"))
+    mean = s.cast("double") / n.cast("double")
+    return lens.agg(
+        n.alias("n_words"),
+        mean.alias("mean_len"),
+        F.expr("percentile(len, 0.5)").alias("median_len"),
+        F.sqrt(s2.cast("double") / n.cast("double") - mean * mean).alias("stddev_len"),
+    )

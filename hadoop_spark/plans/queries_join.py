@@ -1,1 +1,179 @@
-"""Placeholder — populated in later milestones."""
+"""Join queries (SURVEY §2.4): N-way composite inner/outer, override
+(rightmost-wins), tagged reduce-side join, broadcast join, semi/anti.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_spark.operators.join import (
+    anti_join,
+    broadcast_join,
+    composite_inner,
+    composite_outer,
+    override,
+    semi_join,
+)
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+# Per-nation aggregates from three different sources — overlapping but not
+# identical key sets, exercising the all-sources (inner) vs any-source
+# (outer, NULL slots) distinction of TestJoinDatamerge.
+_N_WAY_SOURCES = """
+cust AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+supp AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1),
+nat  AS (SELECT n_nationkey AS k, n_name FROM nation WHERE n_nationkey < 20)
+"""
+
+_INNER_ORACLE = f"""
+WITH {_N_WAY_SOURCES}
+SELECT cust.k AS k, n_cust, n_supp, n_name
+FROM cust JOIN supp USING (k) JOIN nat USING (k)
+"""
+
+
+def _nway_sources(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 20)
+        .select(F.col("n_nationkey").alias("k"), "n_name")
+    )
+    return cust, supp, nat
+
+
+@query("composite_join_inner", _INNER_ORACLE)
+def composite_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inner(a,b,c): keys present in ALL THREE sources."""
+    cust, supp, nat = _nway_sources(spark, sf_dir)
+    return composite_inner("k", cust, supp, nat)
+
+
+_OUTER_ORACLE = f"""
+WITH {_N_WAY_SOURCES}
+SELECT COALESCE(cust.k, supp.k, nat.k) AS k, n_cust, n_supp, n_name
+FROM cust FULL OUTER JOIN supp ON cust.k = supp.k
+          FULL OUTER JOIN nat  ON COALESCE(cust.k, supp.k) = nat.k
+"""
+
+
+@query("composite_join_outer", _OUTER_ORACLE)
+def composite_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """outer(a,b,c): keys present in ANY source, absent slots NULL."""
+    cust, supp, nat = _nway_sources(spark, sf_dir)
+    return composite_outer("k", cust, supp, nat)
+
+
+# override(a,b,c): rightmost source holding the key wins. Sources: customer
+# count, supplier count, and nation key (each unique per k).
+_OVERRIDE_ORACLE = """
+WITH a AS (SELECT c_nationkey AS k, COUNT(*) AS v FROM customer GROUP BY 1),
+     b AS (SELECT s_nationkey AS k, COUNT(*) AS v FROM supplier GROUP BY 1),
+     c AS (SELECT n_nationkey AS k, CAST(n_regionkey AS BIGINT) AS v
+           FROM nation WHERE n_nationkey >= 10)
+SELECT COALESCE(a.k, b.k, c.k) AS k,
+       COALESCE(c.v, b.v, a.v) AS v
+FROM a FULL OUTER JOIN b ON a.k = b.k
+       FULL OUTER JOIN c ON COALESCE(a.k, b.k) = c.k
+"""
+
+
+@query("override_join", _OVERRIDE_ORACLE)
+def override_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """override(a,b,c): rightmost-wins coalesce (`OverrideRecordReader:56`)."""
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    b = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    c = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") >= 10)
+        .select(F.col("n_nationkey").alias("k"), F.col("n_regionkey").cast("bigint").alias("v"))
+    )
+    return override("k", "v", a, b, c)
+
+
+_BROADCAST_ORACLE = """
+SELECT n_name, r_name, COUNT(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+@query("broadcast_dim_join", _BROADCAST_ORACLE)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistributedCache parity: both dims shipped to every task; zero
+    shuffle on the fact side until the final small agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = broadcast_join(cust, nation, cust.c_nationkey == nation.n_nationkey)
+    joined = broadcast_join(joined, region, joined.n_regionkey == region.r_regionkey)
+    return joined.groupBy("n_name", "r_name").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+@query("semi_join", _SEMI_ORACLE)
+def semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one big order — left_semi, no duplication."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return semi_join(cust, big, cust.c_custkey == big.o_custkey).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F')
+"""
+
+
+@query("anti_join", _ANTI_ORACLE)
+def anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    fin = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return anti_join(cust, fin, cust.c_custkey == fin.o_custkey).select("c_custkey", "c_name")
+
+
+_MULTIPLICITY_ORACLE = """
+SELECT a.l_orderkey AS k, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b
+FROM (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 100 = 0) a
+JOIN (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 100 = 0) b
+  ON a.l_orderkey = b.l_orderkey
+"""
+
+
+@query("join_multiplicity", _MULTIPLICITY_ORACLE)
+def join_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-product-per-key semantics (`JoinRecordReader.java:124`):
+    |inner(a,b)| per key = |a_k|·|b_k| — verified by self-joining a slice
+    with duplicate keys."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln_b"))
+    return a.join(b, on="k", how="inner")

@@ -1,1 +1,163 @@
-"""Placeholder — populated in later milestones."""
+"""Sort / partition queries (SURVEY §2.6): total-order sort (TeraSort),
+secondary sort, per-group and global top-k, key-field comparator sorting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_spark.operators.sort import ranked, secondary_sort, top_k_per_group, total_order
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+# Oracle checks MULTISET equality (SortValidator.java:54 semantics: output ≡
+# input as a multiset); global ORDER is asserted by the partition-boundary
+# invariant test in tests/test_sort.py (TeraValidate.java:52 semantics) —
+# the driver's hash is order-insensitive so order can't be encoded here.
+_TOTAL_ORDER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+"""
+
+
+@query("total_order_sort", _TOTAL_ORDER_ORACLE)
+def total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraSort shape: sampled range partitioning + per-partition sort.
+    Scales: no global window, no single-reducer stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return total_order(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        F.desc("l_extendedprice"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+_RANK_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+FROM orders
+WHERE o_orderstatus = 'F'
+"""
+
+
+@query("total_order_rank", _RANK_ORACLE)
+def total_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank attached to rows — encodes the total order into the
+    (order-insensitive) correctness hash. Single-partition window by design:
+    the reference's numReduceTasks(1) trade (`Grep.java:88`); use
+    total_order_sort for the scalable path."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    out = ranked(
+        orders.select("o_orderkey", "o_totalprice"),
+        F.desc("o_totalprice"),
+        "o_orderkey",
+        out="rank",
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_SECONDARY_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_shipdate,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_shipdate, l_linenumber) AS BIGINT) AS seq
+FROM lineitem
+"""
+
+
+@query("secondary_sort", _SECONDARY_ORACLE)
+def secondary_sort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SecondarySort parity (`EXAMPLES/SecondarySort.java:51`): group by
+    orderkey, values in (shipdate, linenumber) order. Window partitioned by
+    the group key — parallel across groups, no global bottleneck."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = secondary_sort(
+        li.select("l_orderkey", "l_linenumber", "l_shipdate"),
+        ["l_orderkey"],
+        ["l_shipdate", "l_linenumber"],
+        out="seq",
+    )
+    return out.withColumn("seq", F.col("seq").cast("bigint"))
+
+
+_TOPK_GROUP_ORACLE = """
+SELECT * FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_extendedprice DESC,
+                                          l_orderkey, l_linenumber) AS BIGINT) AS rnk
+  FROM lineitem
+) WHERE rnk <= 5
+"""
+
+
+@query("topk_per_group", _TOPK_GROUP_ORACLE)
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 line items by price per return flag, deterministic tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = top_k_per_group(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_returnflag"],
+        [F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"],
+        5,
+        out="rnk",
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+_GLOBAL_TOPK_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@query("global_topk", _GLOBAL_TOPK_ORACLE)
+def global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy + limit → Spark plans TakeOrderedAndProject: per-partition
+    top-25 heaps merged at the driver, no global sort — the scalable top-k
+    the reference approximates with a single sorted reducer."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    ).limit(25)
+
+
+_KEYFIELD_ORACLE = """
+WITH parsed AS (
+  SELECT line,
+         CAST(string_split(line, ' ')[2] AS DOUBLE) AS f2,
+         string_split(line, ' ')[1] AS f1
+  FROM (SELECT concat(l_linestatus, ' ', CAST(l_quantity AS VARCHAR), ' ',
+               CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR)) AS line
+        FROM lineitem)
+)
+SELECT line, CAST(ROW_NUMBER() OVER (ORDER BY f2 DESC, f1, line) AS BIGINT) AS rank
+FROM parsed
+"""
+
+
+@query("keyfield_sort", _KEYFIELD_ORACLE)
+def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyFieldBasedComparator parity (`lib/partition/KeyFieldBasedComparator
+    .java:53`): Unix sort -k2,2nr -k1,1 over delimited lines — field slice,
+    numeric interpretation, reverse flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.concat_ws(
+            " ",
+            "l_linestatus",
+            F.col("l_quantity").cast("string"),
+            F.concat_ws(":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")),
+        ).alias("line")
+    )
+    parts = F.split(F.col("line"), " ")
+    parsed = lines.select(
+        "line",
+        F.element_at(parts, 2).cast("double").alias("f2"),
+        F.element_at(parts, 1).alias("f1"),
+    )
+    out = ranked(parsed, F.desc("f2"), "f1", "line", out="rank")
+    return out.select("line", F.col("rank").cast("bigint").alias("rank"))

@@ -1,1 +1,103 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis queries over the `documents` table (M9 extension):
+language ID, quality scoring, token counting, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_spark.functions import text as tx
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+_LANG_ID_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang, {tx.lang_id_sql("text")} AS pred_lang
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@query("lang_id", _LANG_ID_ORACLE)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-profile language ID next to the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+_QUALITY_SQL_FEATURES = tx.quality_features_sql("text")
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       {_QUALITY_SQL_FEATURES["n_chars"]} AS n_chars,
+       {_QUALITY_SQL_FEATURES["n_tokens"]} AS n_tokens,
+       {_QUALITY_SQL_FEATURES["mean_token_len"]} AS mean_token_len,
+       {_QUALITY_SQL_FEATURES["punct_ratio"]} AS punct_ratio,
+       {_QUALITY_SQL_FEATURES["stopword_ratio"]} AS stopword_ratio
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@query("quality_score", _QUALITY_ORACLE)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (exact counts + double ratios)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feats = tx.quality_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       {tx.ws_token_count_sql("text")} AS ws_tokens,
+       {tx.bpe_token_count_sql("text")} AS bpe_tokens
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@query("token_count", _TOKEN_COUNT_ORACLE)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        tx.ws_token_count(F.col("text")).alias("ws_tokens"),
+        tx.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id, {tx.fingerprint_sql("text")} AS fp
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@query("doc_fingerprint", _FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-stable 60-bit document fingerprint."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+_SOURCE_PROFILE_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM({tx.ws_token_count_sql("text")}) AS total_tokens,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents WHERE text IS NOT NULL
+GROUP BY source
+"""
+
+
+@query("source_profile", _SOURCE_PROFILE_ORACLE)
+def source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling per source — the groupBy that sizes a data mix."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.ws_token_count(F.col("text"))).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
