@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+
+No reference analogue (apache/hadoop has no dedup library; the closest is
+MD5-based record filtering in
+`hadoop-mapreduce-client-core/.../lib/input/SequenceFileInputFilter.java:203`)
+— these are the LLM-pipeline extensions (SURVEY §7 M9), built Spark-first:
+
+- Everything is JVM-side higher-order functions (`transform`/`filter`/
+  `aggregate` over arrays) — whole-stage codegen, zero Python in the hot
+  path, no UDFs.
+- All hashes go through :func:`~hadoop_spark.functions.hashing.portable_hash64`
+  (md5-derived 60-bit ints) so the same pipeline is expressible in the DuckDB
+  oracle and results are engine-independent.
+- Scale shape: signatures/fingerprints are map-side; the only shuffles are
+  (a) the LSH band-bucket self-join (keyed on band hash — uniform by
+  construction since the key IS a hash) and (b) the candidate-pair groupBy.
+  Nothing collects to the driver; candidate verification joins carry only
+  (id, shingle-set) — at 100 TB, band-bucket joins touch O(n·bands) rows,
+  never O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_spark.functions.hashing import portable_hash64, portable_hash64_sql
+
+# LSH defaults: 12 minhashes in 4 bands × 3 rows → P(candidate | j=0.8) ≈ 0.94,
+# P(candidate | j=0.99) ≈ 1. Verification removes false positives exactly.
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = 3
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit bands; hamming ≤ SIMHASH_BANDS-1 ⇒ ≥1 band equal
+
+
+# ---------------------------------------------------------------- shingling
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped.
+
+    Implemented as trim-then-split (not a higher-order `filter`): after
+    trimming, a `\\s+` split can produce no empty tokens, and the generated
+    code for plain split is tiny. HOF lambdas here measurably explode
+    Janino compile time once this expression gets inlined into shingling."""
+    trimmed = F.trim(F.lower(text))
+    return F.when(trimmed != "", F.split(trimmed, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split_regex(lower({expr}), '\\s+'), w -> w <> '')"
+
+
+def trigram_shingles(toks: Column) -> Column:
+    """Distinct word-trigram shingles via zip_with over shifted slices —
+    NOT `transform(sequence(...), element_at ...)`: that shape inlines the
+    token expression once per element_at and its generated code blows Janino
+    compile time up ~25× (measured). zip_with keeps one reference per shift.
+
+    `zip_with` pads the shorter side with NULLs, so the tail entries (which
+    concat to NULL) are cut by the final slice to n-2 trigrams; n < 3 slices
+    to an empty array."""
+    big = 1 << 30
+    pairs = F.zip_with(toks, F.slice(toks, 2, big), lambda a, b: F.concat(a, F.lit(" "), b))
+    triples = F.zip_with(pairs, F.slice(toks, 3, big), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(
+        F.slice(triples, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+    )
+
+
+def trigram_shingles_sql(toks: str) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - 1, 1)), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature: per salt i, min over shingles of the salted 60-bit
+    hash. One md5 per (shingle, salt) — pure map-side; production note: with
+    no oracle constraint this would be one xxhash64 per shingle + cheap
+    integer mixing, but md5 keeps the DuckDB mirror exact."""
+    # One nested HOF (transform over a literal salt array), NOT num_hashes
+    # separate array_min expressions: codegen size stays O(1) in num_hashes,
+    # which keeps per-stage Janino compile time flat. NB: single-argument
+    # lambdas only — a 2-arg lambda would receive the element index.
+    salts = F.array(*[F.lit(f"#mh{i}") for i in range(num_hashes)])
+    return F.transform(
+        salts,
+        lambda salt: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(s.cast("string"), salt)), 1, 15), 16, 10
+                ).cast("bigint"),
+            )
+        ),
+    )
+
+
+def minhash_signature_sql(shingles: str, num_hashes: int = NUM_HASHES) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({shingles}, s -> {portable_hash64_sql('s', salt=f'#mh{i}')}))"
+        for i in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def lsh_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Candidate pairs from LSH banding: explode each signature into
+    ``bands`` (band_idx, band_hash) keys, self-join per band key, distinct
+    the surviving id pairs (id_a < id_b).
+
+    Scale: the join key is (band, hash-of-rows) — uniformly distributed, so
+    no skew; join fan-out is bucket-local. O(n·bands) join input vs O(n²)
+    brute force."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                portable_hash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col(sig_col), b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = (
+        sigs.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    )
+    left = keyed.alias("a")
+    right = keyed.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard over distinct-element arrays. Small-int division —
+    IEEE-exact and engine-independent."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    return inter.cast("double") / (F.size(sh_a) + F.size(sh_b) - inter).cast("double")
+
+
+def jaccard_sql(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))"
+    return (
+        f"(CAST({inter} AS DOUBLE) / CAST(len({a}) + len({b}) - {inter} AS DOUBLE))"
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+def token_hashes(toks: Column) -> Column:
+    """Per-token 60-bit hashes. Materialize this in its OWN projection
+    before calling :func:`simhash32` — the simhash expression references it
+    32× and Catalyst's CollapseProject keeps non-cheap multiply-referenced
+    expressions in a separate project, so the md5s run once per row."""
+    return F.transform(toks, lambda t: portable_hash64(t))
+
+
+def simhash32(hashes: Column) -> Column:
+    """32-bit SimHash over precomputed token hashes (:func:`token_hashes`):
+    bit b is set iff more than half the token hashes have bit b set.
+
+    Single nested fold (aggregate → zip_with over a 32-entry power-of-two
+    literal array) rather than 32 separate filter+size expressions — same
+    result, ~O(1) generated-code size (32 filters measurably stall Janino).
+    All JVM-side, zero shuffle."""
+    n = F.size(hashes)
+    pows = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS)
+    counts = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc, pows, lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(0)
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts, pows, lambda c, p: F.when(c * 2 > n, p).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash32_sql(toks: str) -> str:
+    hashes = f"list_transform({toks}, t -> {portable_hash64_sql('t')})"
+    n = f"len({toks})"
+    bits = " + ".join(
+        f"(CASE WHEN len(list_filter({hashes}, h -> (h & {1 << b}) <> 0)) * 2 > {n} "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"({bits})"
+
+
+def simhash_pairs(df: DataFrame, id_col: str, sim_col: str, max_hamming: int) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, via byte-band blocking:
+    split the 32-bit hash into 4 bytes; hamming ≤ 3 guarantees at least one
+    equal byte (pigeonhole), so the self-join runs per (band, byte) bucket —
+    O(n·4) keys, never O(n²). Exact hamming verified with bit_count(xor)."""
+    assert max_hamming < SIMHASH_BANDS, "blocking guarantee needs hamming < #bands"
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sim_col), 8 * b).bitwiseAND(F.lit(255)).alias("byte"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col), F.col(sim_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, sim_col, F.col("bk.band").alias("band"), F.col("bk.byte").alias("byte"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

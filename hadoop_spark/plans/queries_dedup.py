@@ -1,1 +1,261 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication queries (SURVEY §7 M9): exact, MinHash+LSH, SimHash,
+n-gram-Jaccard — each oracle-checked against the identical pipeline in
+DuckDB (possible because every hash is the portable md5-derived 60-bit int
+and every similarity is exact integer arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_spark.functions.hashing import portable_hash64
+from hadoop_spark.functions.text import fingerprint, fingerprint_sql
+from hadoop_spark.operators.dedup import (
+    BANDS,
+    ROWS_PER_BAND,
+    jaccard,
+    jaccard_sql,
+    lsh_band_pairs,
+    minhash_signature,
+    minhash_signature_sql,
+    simhash32,
+    simhash32_sql,
+    simhash_pairs,
+    token_hashes,
+    tokens,
+    tokens_sql,
+    trigram_shingles,
+    trigram_shingles_sql,
+)
+from hadoop_spark.operators.similarity import (
+    cos_q,
+    cos_q_sql,
+    int_dot,
+    int_dot_sql,
+    quantize_sql,
+    with_quantized,
+)
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+# Shared CTE prefix: tokens → non-empty distinct trigram shingle sets.
+_SHINGLE_CTE = f"""
+toks AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, {trigram_shingles_sql('toks')} AS sh
+  FROM toks WHERE len(toks) >= 3
+),
+sh2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0)
+"""
+
+_EXACT_ORACLE = f"""
+SELECT {fingerprint_sql('text')} AS fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) - 1 AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_exact", _EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint, keep
+    the smallest doc_id per group. One shuffle on a 60-bit hash key —
+    uniform, skew-free at any scale; survivors never collect to driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dups"),
+        )
+    )
+
+
+_BAND_CONCAT = " || ',' || ".join(
+    f"CAST(sig[band*{ROWS_PER_BAND}+{r + 1}] AS VARCHAR)" for r in range(ROWS_PER_BAND)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (SELECT doc_id, {minhash_signature_sql('sh')} AS sig FROM sh2),
+bands AS (
+  SELECT doc_id, band,
+         CAST('0x' || substr(md5(
+           {_BAND_CONCAT}
+         ), 1, 15) AS BIGINT) AS bh
+  FROM sigs, (SELECT unnest(range(0, {BANDS})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, {jaccard_sql('sa.sh', 'sb.sh')} AS jaccard
+FROM cand
+JOIN sh2 sa ON cand.id_a = sa.doc_id
+JOIN sh2 sb ON cand.id_b = sb.doc_id
+WHERE {jaccard_sql('sa.sh', 'sb.sh')} >= 0.8
+"""
+
+
+@query("dedup_minhash", _MINHASH_ORACLE)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exactly verified: shingle → 12-hash
+    signature (map-side) → 4-band LSH bucket self-join (shuffle keyed on a
+    hash — uniform) → exact Jaccard ≥ 0.8 on the surviving candidates.
+    At 100 TB the band join touches O(n·4) rows, never O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", trigram_shingles(tokens(F.col("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sigs = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    cand = lsh_band_pairs(sigs, "doc_id", "sig")
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+),
+sims AS (
+  SELECT doc_id, {simhash32_sql('toks')} AS simhash
+  FROM toks WHERE len(toks) > 0
+),
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS byte
+  FROM sims, (SELECT unnest(range(0, 4)) AS band)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit majority-vote fingerprint (map-side),
+    byte-band blocking self-join (hamming ≤ 3 ⇒ ≥1 equal byte by
+    pigeonhole), exact hamming via bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sims = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", token_hashes(F.col("toks")).alias("th"))
+        .select("doc_id", simhash32(F.col("th")).alias("simhash"))
+    )
+    return simhash_pairs(sims, "doc_id", "simhash", max_hamming=3)
+
+
+_NGRAM_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+posts AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+pair_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh2)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+FROM pair_inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard dedup via inverted index (posting lists): explode
+    shingles, self-join on shingle, count per pair = intersection size, then
+    jaccard from set sizes. The scalable classic: join input is the posting
+    list, proportional to total shingle occurrences — not O(n²). Trigram
+    shingles keep posting lists short (near-unique); for skewed/common
+    shingles the production guard is a posting-length cap (df-style stopword
+    drop), omitted here to keep the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", trigram_shingles(tokens(F.col("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    posts = sh.select("doc_id", F.explode("sh").alias("s"))
+    pair_inter = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
+    return (
+        pair_inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_EMB_CTE = f"""
+e AS (
+  SELECT vec_id, {quantize_sql('embedding')} AS q FROM embeddings
+),
+en AS (
+  SELECT vec_id, q, {int_dot_sql('q', 'q')} AS n2 FROM e
+)
+"""
+
+_EMB_DEDUP_ORACLE = f"""
+WITH {_EMB_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {cos_q_sql(int_dot_sql('a.q', 'b.q'), 'a.n2', 'b.n2')} AS cos_q
+FROM en a JOIN en b ON a.vec_id < b.vec_id
+WHERE {cos_q_sql(int_dot_sql('a.q', 'b.q'), 'a.n2', 'b.n2')} >= 400000
+"""
+
+
+@query("dedup_embedding", _EMB_DEDUP_ORACLE)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (quantized-integer arithmetic — see
+    operators/similarity.py). Brute-force O(n²) pair join is the exact
+    baseline; the 100 TB path blocks candidates first (IVF cells /
+    sign-LSH buckets, see ann_ivf_topk) and verifies with this same exact
+    cosine. Threshold 0.4 matches this synthetic table's near-dup band."""
+    emb = with_quantized(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("n2").alias("n2_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("n2").alias("n2_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_q",
+            cos_q(int_dot(F.col("q_a"), F.col("q_b")), F.col("n2_a"), F.col("n2_b")),
+        )
+        .filter(F.col("cos_q") >= 400000)
+        .select("id_a", "id_b", "cos_q")
+    )

@@ -1,1 +1,177 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search queries (SURVEY §7 M9): exact cosine top-k baseline
+and IVF cell-probed ANN, both oracle-checked (deterministic by integer
+quantization — operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_spark.operators.similarity import (
+    cos_q,
+    cos_q_sql,
+    int_dot,
+    int_dot_sql,
+    quantize_sql,
+    with_quantized,
+)
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+N_QUERIES = 3  # vec_id < 3 are the query vectors
+TOP_K = 10
+N_CENTROIDS = 8  # vec_id < 8 are the IVF centroids
+N_PROBE = 2
+IVF_TOP_K = 5
+
+_EMB_CTE = f"""
+e AS (SELECT vec_id, {quantize_sql('embedding')} AS q FROM embeddings),
+en AS (SELECT vec_id, q, {int_dot_sql('q', 'q')} AS n2 FROM e)
+"""
+
+_BRUTE_ORACLE = f"""
+WITH {_EMB_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {cos_q_sql(int_dot_sql('q.q', 'v.q'), 'q.n2', 'v.n2')} AS cos_q
+  FROM en q JOIN en v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_q,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_cosine_topk", _BRUTE_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (tiny) query set against every
+    vector — one map-side pass over n, then a per-query top-k (Spark turns
+    the window + filter into a partial top-k under AQE; no full sort of n).
+    Ties break on neighbor_id so ranks are deterministic."""
+    emb = with_quantized(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    scored = (
+        emb.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_q(int_dot(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")).alias("cos_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_q", "rnk")
+    )
+
+
+_IVF_ORACLE = f"""
+WITH {_EMB_CTE},
+cents AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM en WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT v.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos_q_sql(int_dot_sql('v.q', 'c.cq'), 'v.n2', 'c.cn2')} DESC, c.cent_id
+           ) AS rn
+    FROM en v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cent_id AS cell FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {cos_q_sql(int_dot_sql('q.q', 'c.cq'), 'q.n2', 'c.cn2')} DESC, c.cent_id
+           ) AS rn
+    FROM en q CROSS JOIN cents c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_q, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT cand.query_id, cand.neighbor_id,
+         {cos_q_sql(int_dot_sql('q.q', 'v.q'), 'q.n2', 'v.n2')} AS cos_q,
+         ROW_NUMBER() OVER (
+           PARTITION BY cand.query_id
+           ORDER BY {cos_q_sql(int_dot_sql('q.q', 'v.q'), 'q.n2', 'v.n2')} DESC, cand.neighbor_id
+         ) AS rnk
+  FROM cand
+  JOIN en q ON q.vec_id = cand.query_id
+  JOIN en v ON v.vec_id = cand.neighbor_id
+)
+WHERE rnk <= {IVF_TOP_K}
+"""
+
+
+@query("ann_ivf_topk", _IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of {N_CENTROIDS}
+    centroids (broadcast centroids → map-side argmax, ties → smallest
+    cent_id); each query probes its {N_PROBE} nearest cells and ranks only
+    candidates in those cells. The 100 TB shape: the big side is touched
+    once map-side for assignment, candidate search prunes ~(1 - nprobe/
+    ncells) of the data, and cells can be written `partitionBy(cell)` so
+    probes become partition-pruned scans. Exact-rank parity with the oracle
+    because assignment and scoring are integer-exact."""
+    emb = with_quantized(load_table(spark, sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
+    )
+
+    def nearest_cells(vecs: DataFrame, id_out: str, keep: int) -> DataFrame:
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            F.col("vec_id").alias(id_out),
+            "cent_id",
+            cos_q(int_dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")).alias("c"),
+        )
+        w = Window.partitionBy(id_out).orderBy(F.desc("c"), F.asc("cent_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(id_out, F.col("cent_id").alias("cell"))
+        )
+
+    assign = nearest_cells(emb, "vec_id", keep=1)
+    probes = nearest_cells(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", keep=N_PROBE)
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qsides = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    vsides = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("vq"), F.col("n2").alias("vn2")
+    )
+    scored = (
+        cand.join(F.broadcast(qsides), "query_id")
+        .join(vsides, "neighbor_id")
+        .withColumn(
+            "cos_q",
+            cos_q(int_dot(F.col("qq"), F.col("vq")), F.col("qn2"), F.col("vn2")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "cos_q", "rnk")
+    )
