@@ -56,6 +56,7 @@ def load_all() -> None:
         queries_agg,
         queries_core,
         queries_dedup,
+        queries_io,
         queries_join,
         queries_similarity,
         queries_sort,

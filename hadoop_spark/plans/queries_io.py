@@ -1,0 +1,169 @@
+"""IO-surface + UDF-surface queries (SURVEY §2.1/2.2 M5, §2.10 M6, M9
+multimodal): real file round-trips through the text/kv/fixed-width sources,
+MultipleOutputs-style routed writes with pruned read-back, the Hadoop
+Streaming pipe operator, Arrow-batched pandas UDAF, and the multimodal
+feature extractor. Scratch files go under <repo>/.tmp/io/<sf>/ (overwritten
+each run; derived purely from the input tables so results stay
+deterministic).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hadoop_spark.operators.multimodal import as_media, extract_features
+from hadoop_spark.operators.pipe import pipe
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.formats import (
+    read_fixed_width,
+    read_kv_text,
+    write_kv_text,
+    routed_write,
+)
+from hadoop_spark.sources.tables import load_table
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(_REPO, ".tmp", "io", tag, name)
+
+
+_KV_ORACLE = """
+SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS value FROM nation
+"""
+
+
+@query("kv_text_roundtrip", _KV_ORACLE)
+def kv_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextOutputFormat → KeyValueTextInputFormat round trip: write nation
+    as key<TAB>value lines (task-parallel, committer-atomic), read back via
+    first-separator split."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    path = _scratch(sf_dir, "kv_nation")
+    write_kv_text(nation, path)
+    return read_kv_text(spark, path)
+
+
+_FIXED_ORACLE = """
+SELECT CAST(r_regionkey AS VARCHAR) AS r_key, r_name FROM region
+"""
+
+
+@query("fixed_width_parse", _FIXED_ORACLE)
+def fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedLengthInputFormat parity: render region as 4+16-char fixed-width
+    records, read back by offset slicing."""
+    region = load_table(spark, sf_dir, "region")
+    path = _scratch(sf_dir, "fixed_region")
+    region.select(
+        F.concat(
+            F.rpad(F.col("r_regionkey").cast("string"), 4, " "),
+            F.rpad(F.col("r_name"), 16, " "),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    return read_fixed_width(spark, path, [("r_key", 4), ("r_name", 16)])
+
+
+_ROUTED_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@query("routed_write_read", _ROUTED_ORACLE)
+def routed_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultipleOutputs parity + the payoff the reference never had: write
+    orders routed by o_orderstatus (`partitionBy`), then read ONE route
+    back — the filter on the route column is partition-PRUNED, other
+    routes' files are never opened (visible as PartitionFilters in
+    .explain)."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "routed_orders")
+    routed_write(orders, path, "o_orderstatus")
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+    )
+
+
+_PIPE_ORACLE = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT word, COUNT(*) AS n FROM words WHERE word <> '' GROUP BY word
+"""
+
+
+@query("pipe_wordcount", _PIPE_ORACLE)
+def pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop Streaming parity: pipe document text through an external
+    executable (`tr '[:upper:]' '[:lower:]'` — one process per partition,
+    lines over stdin/stdout, `PipeMapper.java:39` semantics), then
+    wordcount the piped output. The deliberate slow path — kept off the
+    100 TB hot path in favor of pandas UDFs, exactly as SURVEY §2.10
+    prescribes."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    piped = pipe(docs.select("text"), "tr '[:upper:]' '[:lower:]'")
+    return (
+        piped.select(F.explode(F.split(F.col("line"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       'text' AS kind,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       FALSE AS decoded
+FROM documents
+"""
+
+
+@query("multimodal_features", _MULTIMODAL_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: text payloads wrapped as opaque binary
+    media with typed metadata, features extracted via Arrow-batched
+    mapInPandas (decoder stubbed — operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media(docs, "doc_id", "text", kind="text")
+    return extract_features(media)
+
+
+_UDAF_ORACLE = """
+SELECT l_returnflag,
+       SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sumsq_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("pandas_udaf_sumsq", _UDAF_ORACLE)
+def pandas_udaf_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate surface
+    (`lib/aggregate/UserDefinedValueAggregatorDescriptor.java:123` parity):
+    a GROUPED_AGG pandas UDF (Arrow-batched, partial-aggregated by Spark).
+    Integer arithmetic so the result is fold-order-independent."""
+
+    @pandas_udf("bigint")
+    def sumsq(v: pd.Series) -> int:
+        q = v.astype("int64")
+        return int((q * q).sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(sumsq(F.col("l_quantity")).alias("sumsq_qty"))

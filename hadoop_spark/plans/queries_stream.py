@@ -1,1 +1,122 @@
-"""Placeholder — populated in later milestones."""
+"""Event-time window queries on `events` (SURVEY §2.9 extension — the
+reference has no streaming model). Batch-mode executions of the SAME
+builders the streaming tests run (streaming/windows.py), oracle-checked:
+window boundaries reduce to integer epoch-microsecond arithmetic, sessions
+to gaps-and-islands SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_spark.functions.numeric import dsum_sql
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+from hadoop_spark.streaming.windows import (
+    SESSION_GAP_US,
+    SLIDE_US,
+    TUMBLE_US,
+    WATERMARK_DELAY_US,
+    keep_first_dedup,
+    late_events,
+    session_aggregate,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_TUMBLING_ORACLE = f"""
+SELECT (epoch_us(ts) // {TUMBLE_US}) * {TUMBLE_US} AS w_start_us,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("tumbling_window", _TUMBLING_ORACLE)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+_SLIDING_ORACLE = f"""
+SELECT (epoch_us(ts) // {SLIDE_US}) * {SLIDE_US} - off AS w_start_us,
+       event_type,
+       COUNT(*) AS n
+FROM events, (SELECT unnest([0, {SLIDE_US}]) AS off)
+GROUP BY 1, 2
+"""
+
+
+@query("sliding_window", _SLIDING_ORACLE)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, value, epoch_us(ts) AS e,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_e
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_e IS NULL OR e - prev_e >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY e, new_s ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(e) AS s_start_us,
+       MAX(e) + {SESSION_GAP_US} AS s_end_us,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+@query("session_window_agg", _SESSION_ORACLE)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_aggregate(load_table(spark, sf_dir, "events"))
+
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@query("stream_dedup", _DEDUP_ORACLE)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keep_first_dedup(load_table(spark, sf_dir, "events"))
+
+
+_LATE_ORACLE = f"""
+WITH wm AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         MAX(epoch_us(ts)) OVER (
+           ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) - {WATERMARK_DELAY_US} AS wm_us
+  FROM events
+)
+SELECT event_id, event_type, ts_us, wm_us - ts_us AS lateness_us
+FROM wm WHERE ts_us < wm_us
+"""
+
+
+@query("late_events", _LATE_ORACLE)
+def late_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which events a 10-min watermark would drop, replayed in batch.
+    NB: the running max over arrival order is a single global window — in
+    batch this is the one intentionally non-scalable demo (watermark
+    tracking is O(1) state per partition in the real stream; see
+    tests/test_streaming.py for the streaming execution)."""
+    return late_events(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,143 @@
+"""Text / key-value / fixed-width / multi-input sources and routed sinks —
+the InputFormat/OutputFormat surface (SURVEY §2.1, §2.2) re-expressed on
+Spark's DataSource framework.
+
+Parity map (all paths relative to /root/reference):
+- TextInputFormat → :func:`read_text`
+  (`hadoop-mapreduce-client-core/.../lib/input/TextInputFormat.java:43`;
+  split-aware line reading `LineRecordReader.java` is internal to Spark's
+  text source, including the skip-partial-first-line dance)
+- KeyValueTextInputFormat → :func:`read_kv_text`
+  (`lib/input/KeyValueTextInputFormat.java:47`)
+- FixedLengthInputFormat → :func:`read_fixed_width`
+  (`lib/input/FixedLengthInputFormat.java:47`)
+- NLineInputFormat → :func:`nline_repartition`
+  (`lib/input/NLineInputFormat.java:63` — fan-out control, not semantics)
+- MultipleInputs → :func:`multi_input_union`
+  (`lib/input/MultipleInputs.java:40` + `DelegatingMapper.java:58`)
+- TextOutputFormat → :func:`write_kv_text`
+  (`lib/output/TextOutputFormat.java:44`, key<TAB>value lines)
+- MultipleOutputs → :func:`routed_write`
+  (`lib/output/MultipleOutputs.java:186` — data-driven output routing =
+  `partitionBy`; readers then get partition PRUNING on the route column,
+  which the reference never had)
+- DBInputFormat / DBOutputFormat → :func:`read_jdbc_partitioned` /
+  :func:`write_jdbc` (`lib/db/DBInputFormat.java`, `DataDrivenDBInputFormat
+  .java` — Spark's column-range JDBC partitioning is the identical design)
+- CombineFileInputFormat (`lib/input/CombineFileInputFormat.java:84`) needs
+  no code: `spark.sql.files.maxPartitionBytes` / `openCostInBytes` pack
+  small files into splits natively.
+
+Scale: all readers are DataSource scans (column pruning + predicate pushdown
++ split computation built in); writers are distributed task-committed writes
+via the same FileOutputCommitter protocol the reference defined
+(`lib/output/FileOutputCommitter.java` — Spark calls this very class).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text(spark: SparkSession, path: str, line_col: str = "line") -> DataFrame:
+    """Lines of text. The reference's byte-offset key is available on demand
+    via `monotonically_increasing_id` (per-partition monotone, like offsets)."""
+    return spark.read.text(path).withColumnRenamed("value", line_col)
+
+
+def read_kv_text(
+    spark: SparkSession, path: str, sep: str = "\t"
+) -> DataFrame:
+    """(key, value) from lines split at the FIRST separator; no separator →
+    whole line is the key, NULL value (KeyValueLineRecordReader semantics)."""
+    parts = F.split(F.col("line"), re.escape(sep), 2)
+    return read_text(spark, path).select(
+        F.element_at(parts, 1).alias("key"), F.element_at(parts, 2).alias("value")
+    )
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    widths: list[tuple[str, int]],
+    trim: bool = True,
+) -> DataFrame:
+    """Fixed-width records from text lines: `widths` = [(col, width), ...]
+    consumed left to right. substring slicing is codegen'd JVM work."""
+    df = read_text(spark, path)
+    cols = []
+    off = 1
+    for name, w in widths:
+        c = F.substring(F.col("line"), off, w)
+        cols.append((F.rtrim(c) if trim else c).alias(name))
+        off += w
+    return df.select(*cols)
+
+
+def nline_repartition(df: DataFrame, records_per_split: int) -> DataFrame:
+    """NLineInputFormat parity: fix the records-per-task fan-out. In Spark
+    this is a parallelism hint, not a semantic op."""
+    n = df.count()
+    parts = max(1, (n + records_per_split - 1) // records_per_split)
+    return df.repartition(parts)
+
+
+def multi_input_union(*dfs: DataFrame) -> DataFrame:
+    """MultipleInputs parity: per-source frames (each already mapped by its
+    own per-source transform — the DelegatingMapper role) unioned by column
+    NAME, missing columns NULL-filled."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def write_kv_text(df: DataFrame, path: str, sep: str = "\t", mode: str = "overwrite") -> None:
+    """TextOutputFormat parity: `key<SEP>value` lines, one file per task,
+    job-committed atomically."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    df.select(F.concat_ws(sep, *cols).alias("value")).write.mode(mode).text(path)
+
+
+def routed_write(
+    df: DataFrame, path: str, route_col: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """MultipleOutputs parity: route every record to an output named by a
+    data value. Downstream reads of `path` filtered on `route_col` are
+    partition-PRUNED — the scan never opens other routes' files."""
+    df.write.partitionBy(route_col).format(fmt).mode(mode).save(path)
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    column: str,
+    lower: int,
+    upper: int,
+    num_partitions: int,
+    **options: str,
+) -> DataFrame:
+    """DataDrivenDBInputFormat parity: parallel JDBC scan split by ranges of
+    a numeric column — Spark's built-in JDBC partitioning is the same
+    min/max range-splitting design as the reference's typed splitters
+    (`lib/db/IntegerSplitter.java`, `DateSplitter.java`, ...). Untestable in
+    this container (no database); thin passthrough by design."""
+    return spark.read.jdbc(
+        url,
+        table,
+        column=column,
+        lowerBound=lower,
+        upperBound=upper,
+        numPartitions=num_partitions,
+        properties=dict(options),
+    )
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:
+    """DBOutputFormat parity (`lib/db/DBOutputFormat.java:249`): batched
+    INSERTs from every task."""
+    df.write.jdbc(url, table, mode=mode, properties=dict(options))

@@ -1,0 +1,172 @@
+"""Event-time window operators over the `events` table.
+
+The reference is batch-only — no watermarks, windows, or stateful operators
+exist anywhere in apache/hadoop (SURVEY §1.3, §2.9) — so this module is the
+Structured-Streaming *extension*. Every builder takes a DataFrame that may be
+batch or streaming: the batch catalog queries (oracle-checked vs DuckDB) and
+the streaming tests (readStream → availableNow) run the SAME plan, which is
+exactly Spark's unified-API promise.
+
+Scale notes:
+- Window aggregation shuffles once on (window, key); AQE coalesces.
+- Timestamps are compared in epoch MICROSECONDS (`unix_micros`) everywhere —
+  integer arithmetic, timezone-proof, identical in the DuckDB oracle
+  (`epoch_us`).
+- Double `value` sums go through the decimal-quantized
+  :func:`~hadoop_spark.functions.numeric.dsum` so results are independent of
+  partitioning/fold order — on a 1000-executor cluster the same query gives
+  the same bits every run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_spark.functions.numeric import dsum
+
+TUMBLE = "10 minutes"
+TUMBLE_US = 600_000_000
+SLIDE = "5 minutes"
+SLIDE_US = 300_000_000
+SESSION_GAP = "30 minutes"
+SESSION_GAP_US = 1_800_000_000
+WATERMARK_DELAY = "10 minutes"
+WATERMARK_DELAY_US = 600_000_000
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Tumbling-window counts + exact value sum per event_type."""
+    return (
+        events.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), scale=4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding-window (10 min window / 5 min slide) counts per event_type;
+    each event lands in exactly window/slide = 2 windows."""
+    return (
+        events.groupBy(F.window("ts", TUMBLE, SLIDE).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_aggregate(events: DataFrame) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap): a session spans
+    [first event, last event + gap). Spark merges adjacent events whose
+    gap is < 30 min; an event at exactly +30 min starts a new session."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), scale=4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("s_start_us"),
+            F.unix_micros(F.col("s.end")).alias("s_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def keep_first_dedup(events: DataFrame) -> DataFrame:
+    """Streaming-dedup semantics in batch: keep the FIRST event per
+    (user_id, event_type) in event-time order, ties broken by event_id —
+    the deterministic mirror of `dropDuplicates` on a stream (which keeps
+    the first arrival). One shuffle on the dedup key."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+def late_events(events: DataFrame, arrival_col: str = "event_id") -> DataFrame:
+    """Watermark semantics replayed in batch: process events in arrival
+    order (event_id here), track the running max event time, and flag
+    events older than (running max − 10 min) — exactly the rows a
+    10-minute watermark would drop. Returns the dropped rows with their
+    lateness."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(arrival_col).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ts_us = F.unix_micros("ts")
+    running_max = F.max(ts_us).over(w)
+    return (
+        events.withColumn("wm_us", running_max - WATERMARK_DELAY_US)
+        .filter(ts_us < F.col("wm_us"))
+        .select(
+            "event_id",
+            "event_type",
+            ts_us.alias("ts_us"),
+            (F.col("wm_us") - ts_us).alias("lateness_us"),
+        )
+    )
+
+
+# ------------------------------------------------------------- streaming IO
+
+def load_events_stream(spark, sf_dir: str) -> DataFrame:
+    """`events.parquet` as a file-source STREAM with the same ns→µs
+    normalization as the batch loader (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource wants a directory: stream the sf dir, glob-filtered
+    # down to the events file.
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    watermark: tuple[str, str] | None = None,
+    timeout_sec: int = 120,
+):
+    """Execute a streaming plan with availableNow (process everything, then
+    stop) into an in-memory sink; returns the sink's rows. `watermark` is
+    applied by the CALLER's builder (needs to precede the aggregation)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")  # noqa: S608

@@ -1,0 +1,57 @@
+"""Pipe operator: external-process round trip + the Hadoop Streaming
+stderr counter protocol (`reporter:counter:group,name,amount` →
+accumulator), mirroring hadoop-streaming's PipeMapRed counter plumbing."""
+
+from __future__ import annotations
+
+from hadoop_spark.operators.pipe import pipe, pipe_with_counters
+from hadoop_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+COUNTER_SCRIPT = (
+    "python3 -c '"
+    "import sys\n"
+    "n = 0\n"
+    "for line in sys.stdin:\n"
+    "    n += 1\n"
+    "    sys.stdout.write(line.upper())\n"
+    'sys.stderr.write(f"reporter:counter:io,lines,{n}\\n")\n'
+    'sys.stderr.write("not a counter line\\n")\n'
+    "'"
+)
+
+
+def test_pipe_roundtrip(spark):
+    nation = load_table(spark, SF_DIR, "nation").select("n_name")
+    out = pipe(nation, "cat")
+    assert sorted(r.line for r in out.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
+
+
+def test_pipe_with_counters(spark):
+    nation = load_table(spark, SF_DIR, "nation").select("n_name")
+    n = nation.count()
+    out, counters = pipe_with_counters(nation, COUNTER_SCRIPT)
+    rows = [r.line for r in out.collect()]
+    assert sorted(rows) == sorted(r.n_name.upper() for r in nation.collect())
+    assert counters.value() == {("io", "lines"): n}
+
+
+def test_observe_metrics(spark):
+    """Counters-from-user-code parity without a subprocess: df.observe is
+    the DataFrame-native accumulator (`MR-CORE/mapreduce/Counters.java:41`
+    analogue)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    obs = Observation("counters")
+    observed = li.observe(
+        obs, F.count(F.lit(1)).alias("rows"), F.sum("l_linenumber").alias("lines")
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = li.selectExpr("count(1)", "sum(l_linenumber)").collect()[0]
+    assert got["rows"] == want[0] and got["lines"] == want[1]
