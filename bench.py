@@ -36,7 +36,11 @@ BENCH_QUERIES = [
     "total_order_sort",
     "secondary_sort",
     "dedup_minhash",
+    "dedup_embedding",
     "ann_cosine_topk",
+    "tumbling_window",
+    "session_window_agg",
+    "multimodal_features",
 ]
 
 

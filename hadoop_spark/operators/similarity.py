@@ -79,6 +79,87 @@ def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("q", q).withColumn("n2", int_dot(F.col("q"), F.col("q")))
 
 
+def block_near_dup_pairs(
+    emb: DataFrame, threshold_micro: int, num_blocks: int = 8
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via BLOCKED matrix multiply — the 100 TB
+    shape for exact near-dup search:
+
+    - vectors are bucketed into `num_blocks` blocks; the (NB+1 choose 2)
+      unordered block pairs are enumerated (a fixed, tiny driver-side list)
+      and each task computes one block-pair with a vectorized numpy GEMM
+      over the Arrow-delivered batch. Replication factor is ~NB/2 per
+      vector — the standard blocked all-pairs tradeoff — and no O(n²) row
+      set ever materializes in the plan.
+    - Determinism: the quantized vectors are BIGINTs with |dot| < 2^53 and
+      every partial sum an exactly-representable integer, so float64 BLAS
+      GEMM is EXACT regardless of summation order; the remaining
+      sqrt/divide/round are single IEEE ops — bit-identical to the JVM and
+      DuckDB expressions. Rounding is explicit HALF-UP (numpy's round is
+      half-even, Spark's is half-up).
+    """
+    import pandas as pd
+
+    spark = emb.sparkSession
+    e = emb.select(
+        "vec_id", "q", "n2", (F.col("vec_id") % num_blocks).alias("blk")
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j],
+        "bi int, bj int",
+    )
+    def side(join_col: str, tag: str) -> DataFrame:
+        return (
+            e.alias(f"e{tag}")
+            .join(
+                F.broadcast(pairs.alias(f"p{tag}")),
+                F.col(f"e{tag}.blk") == F.col(f"p{tag}.{join_col}"),
+            )
+            .select(
+                F.col(f"p{tag}.bi").alias("bi"),
+                F.col(f"p{tag}.bj").alias("bj"),
+                F.col(f"e{tag}.vec_id").alias("vec_id"),
+                F.col(f"e{tag}.q").alias("q"),
+                F.col(f"e{tag}.n2").alias("n2"),
+            )
+        )
+
+    left = side("bi", "l")
+    right = side("bj", "r")
+
+    out_schema = "id_a bigint, id_b bigint, cos_q bigint"
+
+    def gemm(key, lt: pd.DataFrame, rt: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if lt.empty or rt.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_q": []}).astype("int64")
+        a = np.stack([np.asarray(v, dtype="float64") for v in lt["q"]])
+        b = np.stack([np.asarray(v, dtype="float64") for v in rt["q"]])
+        dots = a @ b.T  # exact: every intermediate is an integer < 2^53
+        denom = np.sqrt(lt["n2"].to_numpy(dtype="float64"))[:, None] * np.sqrt(
+            rt["n2"].to_numpy(dtype="float64")
+        )[None, :]
+        cos = dots / denom * COS_SCALE
+        cos_q_m = (np.sign(cos) * np.floor(np.abs(cos) + 0.5)).astype("int64")
+        ida = lt["vec_id"].to_numpy()[:, None]
+        idb = rt["vec_id"].to_numpy()[None, :]
+        mask = (cos_q_m >= threshold_micro) & (ida != idb)
+        ii, jj = np.nonzero(mask)
+        lo = np.minimum(ida[ii, 0], idb[0, jj])
+        hi = np.maximum(ida[ii, 0], idb[0, jj])
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cos_q": cos_q_m[ii, jj]})
+        # same-block pairs appear twice in the matrix (x,y) and (y,x):
+        # keep one; cross-block pairs appear once.
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gemm, out_schema)
+    )
+
+
 QUANTIZED_SQL_CTE = (
     "SELECT vec_id, {q} AS q, {n2} AS n2, label FROM embeddings"
 ).format(q=quantize_sql("embedding"), n2="CAST(list_dot_product({0}, {0}) AS BIGINT)".format(quantize_sql("embedding")))

@@ -37,7 +37,7 @@ from hadoop_spark.operators.similarity import (
     with_quantized,
 )
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table
+from hadoop_spark.sources.tables import fanout_small, load_table, shared
 
 # Shared CTE prefix: tokens → non-empty distinct trigram shingle sets.
 _SHINGLE_CTE = f"""
@@ -107,12 +107,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature (map-side) → 4-band LSH bucket self-join (shuffle keyed on a
     hash — uniform) → exact Jaccard ≥ 0.8 on the surviving candidates.
     At 100 TB the band join touches O(n·4) rows, never O(n²)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
+    docs = fanout_small(load_table(spark, sf_dir, "documents"))
+    sh = shared(
         docs.select("doc_id", trigram_shingles(tokens(F.col("text"))).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    sigs = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    sigs = shared(sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig")))
     cand = lsh_band_pairs(sigs, "doc_id", "sig")
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -150,8 +150,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit majority-vote fingerprint (map-side),
     byte-band blocking self-join (hamming ≤ 3 ⇒ ≥1 equal byte by
     pigeonhole), exact hamming via bit_count(xor)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sims = (
+    docs = fanout_small(load_table(spark, sf_dir, "documents"))
+    sims = shared(
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") > 0)
         .select("doc_id", token_hashes(F.col("toks")).alias("th"))
@@ -187,8 +187,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles keep posting lists short (near-unique); for skewed/common
     shingles the production guard is a posting-length cap (df-style stopword
     drop), omitted here to keep the oracle exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
+    docs = fanout_small(load_table(spark, sf_dir, "documents"))
+    sh = shared(
         docs.select("doc_id", trigram_shingles(tokens(F.col("text"))).alias("sh"))
         .filter(F.size("sh") > 0)
     )
@@ -243,19 +243,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline; the 100 TB path blocks candidates first (IVF cells /
     sign-LSH buckets, see ann_ivf_topk) and verifies with this same exact
     cosine. Threshold 0.4 matches this synthetic table's near-dup band."""
-    emb = with_quantized(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("n2").alias("n2_a")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("n2").alias("n2_b")
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_q",
-            cos_q(int_dot(F.col("q_a"), F.col("q_b")), F.col("n2_a"), F.col("n2_b")),
-        )
-        .filter(F.col("cos_q") >= 400000)
-        .select("id_a", "id_b", "cos_q")
-    )
+    from hadoop_spark.operators.similarity import block_near_dup_pairs
+
+    emb = shared(with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings"))))
+    return block_near_dup_pairs(emb, threshold_micro=400000, num_blocks=8)

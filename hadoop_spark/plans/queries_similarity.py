@@ -17,7 +17,7 @@ from hadoop_spark.operators.similarity import (
     with_quantized,
 )
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table
+from hadoop_spark.sources.tables import fanout_small, load_table, shared
 
 N_QUERIES = 3  # vec_id < 3 are the query vectors
 TOP_K = 10
@@ -56,7 +56,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector — one map-side pass over n, then a per-query top-k (Spark turns
     the window + filter into a partial top-k under AQE; no full sort of n).
     Ties break on neighbor_id so ranks are deterministic."""
-    emb = with_quantized(load_table(spark, sf_dir, "embeddings"))
+    emb = with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
     qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )
@@ -130,7 +130,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncells) of the data, and cells can be written `partitionBy(cell)` so
     probes become partition-pruned scans. Exact-rank parity with the oracle
     because assignment and scoring are integer-exact."""
-    emb = with_quantized(load_table(spark, sf_dir, "embeddings"))
+    emb = shared(with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings"))))
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
     )

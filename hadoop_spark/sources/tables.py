@@ -57,6 +57,37 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def fanout_small(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across the cluster for CPU-heavy map work.
+
+    A table far smaller than `spark.sql.files.maxPartitionBytes` arrives as
+    ONE input split, which serializes expensive per-row compute (hashing,
+    shingling, vector math) onto a single core — the NLineInputFormat
+    problem (`lib/input/NLineInputFormat.java:63`: parallelism control, not
+    semantics). Repartition up to default parallelism only when the scan is
+    under-split; at real scale inputs already carry enough splits and this
+    is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def shared(df: DataFrame) -> DataFrame:
+    """Persist an intermediate that multiple plan branches consume.
+
+    A DataFrame referenced from several branches of one query (e.g. both
+    sides of a self-join, candidate generation + verification) is otherwise
+    RECOMPUTED per branch — Spark shares shuffle exchanges, not arbitrary
+    subplans. For expensive map-side work (signatures, shingles, quantized
+    vectors) persist once and read many: MEMORY_AND_DISK so it spills
+    instead of OOMing at scale. The 100 TB version of the same decision is
+    materializing the signature table to storage before the self-join."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TABLE_NAMES
     return {n: load_table(spark, sf_dir, n) for n in names}
