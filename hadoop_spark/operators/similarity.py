@@ -153,6 +153,15 @@ def block_near_dup_pairs(
         # keep one; cross-block pairs appear once.
         return out.drop_duplicates(["id_a", "id_b"])
 
+    # Pin the cogroup shuffle to the block-pair count: there are only
+    # (NB+1 choose 2) groups, so the session default (200 on a vanilla
+    # session) would fan the grouped-Python stage into hundreds of empty
+    # tasks whose worker round-trips dominate wall-clock at small scale.
+    # Pre-clustering on the group keys satisfies the cogroup's required
+    # distribution, so no second shuffle is inserted.
+    n_pairs = num_blocks * (num_blocks + 1) // 2
+    left = left.repartition(n_pairs, "bi", "bj")
+    right = right.repartition(n_pairs, "bi", "bj")
     return (
         left.groupBy("bi", "bj")
         .cogroup(right.groupBy("bi", "bj"))

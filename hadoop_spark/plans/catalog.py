@@ -63,6 +63,8 @@ def load_all() -> None:
         queries_stream,
         queries_text,
         queries_tpch,
+        queries_tpch2,
+        queries_workloads,
     )
 
     _LOADED = True

@@ -1,0 +1,641 @@
+"""Extended TPC-H-style query set (Q2,4,7,8,9,11-17,19,21,22 adapted).
+
+Adaptations to the fixture schema (FIXTURES.md): there is no ``partsupp``
+table, so supply-cost queries (Q2/Q9/Q11/Q16/Q20) substitute the
+part↔supplier relationship observable from ``lineitem`` and
+``p_retailprice``; ``lineitem`` has no commitdate/receiptdate/shipmode, so
+lateness (Q4/Q12/Q21) is defined as ``l_shipdate > o_orderdate + interval``.
+The reference analogue of each is a chain of MR jobs (aggregate framework
+`lib/aggregate/ValueAggregatorJob.java:85`, reduce-side join
+`hadoop-tools/hadoop-datajoin/.../DataJoinReducerBase.java:47`, secondary
+sort `EXAMPLES/SecondarySort.java:51`); here each is one declarative plan.
+
+Scale notes (100 TB): every dim side (region/nation/supplier/part/customer)
+is explicitly broadcast — the only repartition-shuffles are on the lineitem
+group-by keys, all partial-aggregated map-side. Correlated subqueries are
+expressed as window functions or pre-aggregated broadcast joins rather than
+per-row subplans, so nothing re-scans the fact table more than the minimum
+number of passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_spark.functions.numeric import davg_sql, dsum, dsum_sql
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp")
+
+
+_Q2_ORACLE = """
+WITH shipped AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), euro AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cand AS (
+  SELECT p_partkey, p_type, p_size, p_retailprice,
+         MIN(p_retailprice) OVER (PARTITION BY p_type, p_size) AS min_price
+  FROM part WHERE p_size IN (5, 10, 15) AND p_type = 'STANDARD'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, p_size
+FROM cand
+JOIN shipped ON l_partkey = p_partkey
+JOIN euro ON s_suppkey = l_suppkey
+WHERE p_retailprice = min_price
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2", _Q2_ORACLE)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier (adapted, no partsupp): min-per-group via window on
+    the small part table; supplier linkage from distinct lineitem pairs."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(5, 10, 15) & (F.col("p_type") == "STANDARD"))
+        .withColumn(
+            "min_price",
+            F.min("p_retailprice").over(Window.partitionBy("p_type", "p_size")),
+        )
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+    )
+    shipped = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        shipped.join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+        .join(F.broadcast(euro), shipped.l_suppkey == euro.s_suppkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "p_size")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4", _Q4_ORACLE)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check (adapted lateness): EXISTS → left-semi join.
+
+    The reference's only way to express this is a reduce-side tagged join
+    with a per-key any() fold (`DataJoinReducerBase.java:174`); here the
+    semi join stops probing after the first match and never materializes
+    the multiplicity.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1996-07-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year, {dsum_sql("volume", 8)} AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7", _Q7_ORACLE)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping: bidirectional nation-pair revenue by year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume"), 8).alias("revenue"))
+    )
+
+
+_Q8_ORACLE = f"""
+SELECT o_year,
+       ({dsum_sql("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END", 8)}
+        / {dsum_sql("volume", 8)}) AS mkt_share
+FROM (
+  SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8", _Q8_ORACLE)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share: conditional-aggregate ratio per year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+    )
+    target = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))
+    return joined.groupBy("o_year").agg(
+        (dsum(target, 8) / dsum(F.col("volume"), 8)).alias("mkt_share")
+    )
+
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year, {dsum_sql("amount", 8)} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("tpch_q9", _Q9_ORACLE)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (adapted: revenue in place of partsupp cost)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount"), 8).alias("sum_profit"))
+    )
+
+
+_Q11_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey, {dsum_sql("l_extendedprice * (1 - l_discount)", 8)} AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT {dsum_sql("l_extendedprice * (1 - l_discount)", 8)} * 0.0007
+                    FROM lineitem)
+"""
+
+
+@query("tpch_q11", _Q11_ORACLE)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (adapted): per-part value above a global-share
+    threshold. The global total is a 1-row broadcast cross join, not a
+    per-row correlated subquery — one extra reduction, no re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(val, 8).alias("part_value"))
+    total = li.agg((dsum(val, 8) * F.lit(0.0007)).alias("threshold"))
+    return per_part.join(F.broadcast(total)).filter(
+        F.col("part_value") > F.col("threshold")
+    ).select("l_partkey", "part_value")
+
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+@query("tpch_q12", _Q12_ORACLE)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority (adapted: linestatus × lateness)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13", _Q13_ORACLE)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution: two-level aggregation with a
+    zero-preserving left join (customers with no orders count as 0)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q14_ORACLE = f"""
+SELECT (100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 8)}
+        / {dsum_sql("l_extendedprice * (1 - l_discount)", 8)}) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@query("tpch_q14", _Q14_ORACLE)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: conditional-aggregate percentage over one month."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo, 8) / dsum(rev, 8)).alias("promo_revenue"))
+    )
+
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql("l_extendedprice * (1 - l_discount)", 8)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15", _Q15_ORACLE)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier: agg → max-selection via 1-row broadcast, not a rescan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("total_revenue")
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_rev"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16", _Q16_ORACLE)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-supplier relationship count (adapted: suppliers observed in
+    lineitem). COUNT(DISTINCT) expands to a two-phase exact distinct."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q17_ORACLE = f"""
+WITH avgq AS (
+  SELECT l_partkey AS ap_key, AVG(l_quantity) * 0.5 AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ({dsum_sql("l_extendedprice", 8)} / 7.0) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avgq ON ap_key = l_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < half_avg
+"""
+
+
+@query("tpch_q17", _Q17_ORACLE)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue: correlated AVG subquery decorrelated
+    into a pre-aggregated join (scans lineitem twice, joins once)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avgq = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avgq, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg((dsum(F.col("l_extendedprice"), 8) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT {dsum_sql("l_extendedprice * (1 - l_discount)", 8)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 1 AND l_quantity <= 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity >= 5 AND l_quantity <= 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 35)
+"""
+
+
+@query("tpch_q19", _Q19_ORACLE)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue: disjunctive multi-range predicate across the
+    join — the join key condition stays equi (hashable); the OR-of-ANDs
+    rides along as a post-join filter Catalyst can partially push."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 10) & q.between(1, 15))
+        | ((b == "Brand#2") & s.between(5, 20) & q.between(5, 25))
+        | ((b == "Brand#3") & s.between(10, 30) & q.between(10, 35))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue")
+    )
+
+
+_Q20_ORACLE = f"""
+WITH shipped AS (
+  SELECT l_suppkey, {dsum_sql("l_quantity")} AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 100)
+"""
+
+
+@query("tpch_q20", _Q20_ORACLE)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (adapted): IN-subquery → left-semi join on a
+    pre-aggregated shipped-quantity table."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(shipped, supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+_Q21_ORACLE = """
+WITH order_stats AS (
+  SELECT l_orderkey AS ok,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+  FROM (
+    SELECT l_orderkey, l_suppkey,
+           l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  ) tagged
+  GROUP BY l_orderkey
+), sole_late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole_late
+JOIN order_stats ON ok = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+"""
+
+
+@query("tpch_q21", _Q21_ORACLE)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (adapted): the EXISTS / NOT EXISTS
+    pair of the original is decorrelated into one per-order aggregate
+    (distinct suppliers vs distinct late suppliers) joined back — one
+    shuffle on orderkey instead of two correlated rescans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias(
+            "is_late"
+        ),
+    )
+    stats = tagged.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    sole = tagged.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        sole.join(stats, sole.l_orderkey == stats.ok)
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q22_ORACLE = f"""
+WITH eligible AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+    AND c_acctbal > (SELECT {davg_sql("c_acctbal")} FROM customer
+                     WHERE c_acctbal > 0 AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+)
+SELECT c_nationkey, COUNT(*) AS numcust, {dsum_sql("c_acctbal")} AS totacctbal
+FROM eligible
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+@query("tpch_q22", _Q22_ORACLE)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (adapted: nationkey for phone prefix):
+    scalar-avg broadcast + anti join against orders."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*range(10))
+    )
+    from hadoop_spark.functions.numeric import davg
+
+    threshold = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= _ts("1999-01-01 00:00:00")),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )

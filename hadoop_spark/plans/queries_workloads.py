@@ -1,0 +1,289 @@
+"""Workload-generator & misc MR-application parity (SURVEY §2.11, §2.1).
+
+The reference ships self-contained MR applications that double as
+correctness/throughput workloads; each becomes one declarative query here:
+
+- TeraGen / TeraSort / TeraValidate (`EXAMPLES/terasort/TeraGen.java:67`,
+  `TeraSort.java:49`, `TeraValidate.java:52`) → synthetic range source +
+  global orderBy + order/checksum invariants.
+- QuasiMonteCarlo π (`EXAMPLES/QuasiMonteCarlo.java:78`, estimatePi `:249`)
+  → deterministic low-discrepancy-ish points from integer mixing, a single
+  conditional aggregate.
+- RandomTextWriter (`EXAMPLES/RandomTextWriter.java:77`) → deterministic
+  synthetic text + the WordCount-shaped count over it.
+- StreamXmlRecordReader (`STREAMING/streaming/StreamXmlRecordReader.java`)
+  → XML-wrapped records parsed back to columns with `from_xml`.
+- SkipBadRecords (`MR-CORE/mapred/SkipBadRecords.java:55`) → `try_cast`
+  parse-or-null with skipped rows filtered, the declarative analogue of the
+  reference's skip-range retry loop.
+- MultipleInputs (`lib/input/MultipleInputs.java:40`) → heterogeneous
+  sources aligned and unioned by name.
+
+Determinism note: all synthetic data derives from `id` via exact BIGINT
+mixing (multiply/add/mod — identical semantics in Spark and DuckDB), never
+from Math.random/hash functions whose bit layout could differ between
+engines. At 100 TB the generators scale linearly: `spark.range(n)` splits
+the id space across executors with no input I/O and no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_spark.functions.numeric import dsum, dsum_sql
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+_TERA_N = 60_000
+# 10-digit zero-padded key from a multiplicative-mix of id: the TeraGen
+# 10-byte-key/90-byte-filler record shape (`TeraGen.java:67`).
+_TERA_KEY_SQL = "LPAD(CAST((id * 2654435761) % 9999999999 AS VARCHAR), 10, '0')"
+_TERA_KEY_SPARK = "lpad(cast((id * 2654435761) % 9999999999 AS string), 10, '0')"
+
+
+_TERAGEN_SORT_ORACLE = f"""
+WITH gen AS (
+  SELECT range AS id, {_TERA_KEY_SQL} AS key FROM range({_TERA_N})
+)
+SELECT key, id AS payload_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY key, id) AS BIGINT) AS rank
+FROM gen
+"""
+
+
+@query("teragen_sort", _TERAGEN_SORT_ORACLE)
+def teragen_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraGen + TeraSort: synthesize keyed records from a pure range source
+    and totally order them. The rank column encodes the global order in row
+    values so the order-insensitive oracle hash still verifies the sort.
+
+    Scale: spark.range needs no input files (`RangeInputFormat` parity,
+    `TeraGen.java:75`); orderBy = sampled range partitioning
+    (`TotalOrderPartitioner.java:48` design, zero user code). The explicit
+    global row_number here is the correctness-check variant; the scale path
+    writes sorted partitions without materializing ranks.
+    """
+    gen = spark.range(_TERA_N).select(
+        F.expr(_TERA_KEY_SPARK).alias("key"), F.col("id").alias("payload_id")
+    )
+    from pyspark.sql import Window
+
+    return gen.withColumn(
+        "rank", F.row_number().over(Window.orderBy("key", "payload_id")).cast("bigint")
+    )
+
+
+_TERAVALIDATE_ORACLE = f"""
+WITH gen AS (
+  SELECT {_TERA_KEY_SQL} AS key FROM (SELECT range AS id FROM range({_TERA_N}))
+), sorted AS (
+  SELECT key, LAG(key) OVER (ORDER BY key) AS prev FROM gen
+)
+SELECT COUNT(*) AS n_records,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev > key THEN 1 ELSE 0 END) AS BIGINT)
+         AS misordered,
+       CAST(SUM(CAST(key AS BIGINT)) AS BIGINT) AS checksum
+FROM sorted
+"""
+
+
+@query("teravalidate", _TERAVALIDATE_ORACLE)
+def teravalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraValidate: order + checksum invariants of the sorted stream
+    (`TeraValidate.java:52`: global order, record count, key checksum).
+
+    Spark side checks order per-partition + across range-partition
+    boundaries (no global window): sortWithinPartitions after a range
+    repartition gives each partition a sorted, disjoint key range, so
+    misordered pairs can only be local — counted with a partition-local
+    lag. The checksum is partition-order-independent.
+    """
+    gen = spark.range(_TERA_N).select(F.expr(_TERA_KEY_SPARK).alias("key"))
+    sorted_df = gen.repartitionByRange(8, "key").sortWithinPartitions("key")
+    part = F.spark_partition_id()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part).orderBy("key")
+    lagged = sorted_df.withColumn("prev", F.lag("key").over(w))
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(
+            F.when(F.col("prev").isNotNull() & (F.col("prev") > F.col("key")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("misordered"),
+        F.sum(F.col("key").cast("bigint")).cast("bigint").alias("checksum"),
+    )
+
+
+_PI_N = 100_000
+_PI_ORACLE = f"""
+WITH pts AS (
+  SELECT ((range * 1103515245 + 12345) % 1048576) / 1048576.0 AS x,
+         ((range * 69069 + 1) % 1048576) / 1048576.0 AS y
+  FROM range({_PI_N})
+)
+SELECT 4.0 * SUM(CASE WHEN x * x + y * y <= 1.0 THEN 1 ELSE 0 END) / COUNT(*)
+         AS pi_estimate,
+       COUNT(*) AS n_points
+FROM pts
+"""
+
+
+@query("pi_estimate", _PI_ORACLE)
+def pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuasiMonteCarlo π (`EXAMPLES/QuasiMonteCarlo.java:249`): deterministic
+    pseudo-points from integer mixing; one conditional aggregate, no input,
+    no shuffle beyond the final 1-row reduction."""
+    pts = spark.range(_PI_N).select(
+        (((F.col("id") * 1103515245 + 12345) % 1048576) / 1048576.0).alias("x"),
+        (((F.col("id") * 69069 + 1) % 1048576) / 1048576.0).alias("y"),
+    )
+    inside = F.when(F.col("x") * F.col("x") + F.col("y") * F.col("y") <= 1.0, 1).otherwise(0)
+    return pts.agg(
+        (F.lit(4.0) * F.sum(inside) / F.count(F.lit(1))).alias("pi_estimate"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+_RTW_N = 50_000
+_WORDS_SQL = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+
+_RANDOM_TEXT_ORACLE = f"""
+WITH gen AS (
+  SELECT {_WORDS_SQL}[CAST((range * 2654435761) % 20 AS INTEGER) + 1] AS word
+  FROM range({_RTW_N})
+)
+SELECT word, COUNT(*) AS cnt FROM gen GROUP BY word
+"""
+
+
+@query("random_text_stats", _RANDOM_TEXT_ORACLE)
+def random_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomTextWriter parity (`EXAMPLES/RandomTextWriter.java:77`):
+    deterministic synthetic words from a fixed vocabulary + the WordCount
+    aggregation over them — generator and consumer in one plan."""
+    vocab = F.array(*[F.lit(w) for w in _WORDS])
+    gen = spark.range(_RTW_N).select(
+        F.element_at(vocab, ((F.col("id") * 2654435761) % 20).cast("int") + 1).alias("word")
+    )
+    return gen.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_XML_ORACLE = """
+WITH xml AS (
+  SELECT '<doc><id>' || CAST(doc_id AS VARCHAR) || '</id><lang>' || lang ||
+         '</lang><chars>' || CAST(n_chars AS VARCHAR) || '</chars></doc>' AS rec
+  FROM documents
+)
+SELECT CAST(regexp_extract(rec, '<id>(-?[0-9]+)</id>', 1) AS BIGINT) AS doc_id,
+       regexp_extract(rec, '<lang>([^<]*)</lang>', 1) AS lang,
+       CAST(regexp_extract(rec, '<chars>(-?[0-9]+)</chars>', 1) AS BIGINT) AS n_chars
+FROM xml
+"""
+
+
+@query("xml_records", _XML_ORACLE)
+def xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamXmlRecordReader parity: records framed by XML tags parsed back
+    into typed columns (`STREAMING/streaming/StreamXmlRecordReader.java`).
+
+    The reference scans byte streams for begin/end tag boundaries; here the
+    framing is a columnar roundtrip and the parse is `from_xml` (JVM-side,
+    codegen) — the oracle cross-checks with pure regex extraction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rec = F.concat(
+        F.lit("<doc><id>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</id><lang>"),
+        F.col("lang"),
+        F.lit("</lang><chars>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</chars></doc>"),
+    ).alias("rec")
+    parsed = docs.select(rec).select(
+        F.from_xml(F.col("rec"), "id BIGINT, lang STRING, chars BIGINT").alias("x")
+    )
+    return parsed.select(
+        F.col("x.id").alias("doc_id"),
+        F.col("x.lang").alias("lang"),
+        F.col("x.chars").alias("n_chars"),
+    )
+
+
+_BAD_RECORD_ORACLE = f"""
+WITH raw AS (
+  SELECT CASE WHEN l_orderkey % 97 = 0
+              THEN CAST(l_quantity AS VARCHAR) || 'x'
+              ELSE CAST(l_quantity AS VARCHAR) END AS qty_str
+  FROM lineitem
+),
+parsed AS (SELECT TRY_CAST(qty_str AS DOUBLE) AS qty FROM raw)
+SELECT COUNT(*) AS n_total,
+       COUNT(qty) AS n_parsed,
+       COUNT(*) - COUNT(qty) AS n_skipped,
+       {dsum_sql("qty")} AS sum_qty
+FROM parsed
+"""
+
+
+@query("bad_record_skip", _BAD_RECORD_ORACLE)
+def bad_record_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkipBadRecords parity (`mapred/SkipBadRecords.java:55`): malformed
+    rows (deterministically corrupted here) parse to NULL via try_cast and
+    are excluded from the aggregate while remaining countable — the
+    declarative version of the reference's skip-range retry protocol, with
+    the skip count surfacing as a metric instead of a task-attempt log."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_str = F.when(
+        F.col("l_orderkey") % 97 == 0, F.concat(F.col("l_quantity").cast("string"), F.lit("x"))
+    ).otherwise(F.col("l_quantity").cast("string"))
+    parsed = li.select(qty_str.alias("qty_str")).select(
+        F.expr("try_cast(qty_str AS DOUBLE)").alias("qty")
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("qty").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("qty")).alias("n_skipped"),
+        dsum(F.col("qty")).alias("sum_qty"),
+    )
+
+
+_MULTI_INPUT_ORACLE = f"""
+WITH unioned AS (
+  SELECT o_orderkey AS key, 'orders' AS src, o_totalprice AS amount FROM orders
+  UNION ALL
+  SELECT l_orderkey AS key, 'lineitem' AS src, l_extendedprice AS amount FROM lineitem
+)
+SELECT src, COUNT(*) AS n_rows, {dsum_sql("amount")} AS total_amount
+FROM unioned GROUP BY src
+"""
+
+
+@query("multi_input_union", _MULTI_INPUT_ORACLE)
+def multi_input_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultipleInputs parity (`lib/input/MultipleInputs.java:40` +
+    `DelegatingMapper.java:58`): per-source projection (the per-path Mapper)
+    aligns heterogeneous schemas, then unionByName — each source keeps its
+    own pushed-down scan; the union is a no-shuffle concatenation."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("orders").alias("src"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"),
+        F.lit("lineitem").alias("src"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    return (
+        orders.unionByName(li)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("amount")).alias("total_amount"))
+    )

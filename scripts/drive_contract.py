@@ -3,7 +3,7 @@ vanilla SparkSession (no engine conf), import __spark_entry__, run entry() +
 every queries() entry at the given sf against oracle_sql() in DuckDB, compare
 rows order-insensitively. Exit non-zero on any mismatch.
 
-Usage: python scripts/drive_contract.py [sf_dir]
+Usage: python scripts/drive_contract.py [sf_dir] [query_name_substring ...]
 """
 
 from __future__ import annotations
@@ -53,6 +53,11 @@ def canon(rows, cols):
 
 queries = e.queries()
 oracles = e.oracle_sql()
+name_filters = sys.argv[2:]
+if name_filters:
+    queries = {
+        n: fn for n, fn in queries.items() if any(f in n for f in name_filters)
+    }
 failed = []
 for name in sorted(queries):
     t0 = time.time()
