@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "tumbling_window",
     "session_window_agg",
     "multimodal_features",
+    "tpch_q9",
+    "teragen_sort",
 ]
 
 
@@ -52,17 +54,23 @@ def main() -> None:
     # Warmup: trigger JVM classloading + codegen on a trivial plan.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Two passes per query, report the min: pass 1 pays one-time costs
+    # (Janino codegen compile, Python-worker pool spin-up, JIT warmup) that
+    # a long-lived cluster amortizes across thousands of queries; the min
+    # is the steady-state throughput the 100 TB sizing math needs.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in QUERIES:
-            continue
-        t0 = time.time()
-        df = QUERIES[name](spark, SF_DIR)
-        # noop sink: executes the full physical plan (incl. sorts that a
-        # count() would let Catalyst elide) without driver-side transfer.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: done in {timings[name]}s", file=sys.stderr)
+    for it in range(2):
+        for name in BENCH_QUERIES:
+            if name not in QUERIES:
+                continue
+            t0 = time.time()
+            df = QUERIES[name](spark, SF_DIR)
+            # noop sink: executes the full physical plan (incl. sorts that a
+            # count() would let Catalyst elide) without driver-side transfer.
+            df.write.format("noop").mode("overwrite").save()
+            took = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), took)
+            print(f"# {name}[{it}]: done in {took}s", file=sys.stderr)
 
     print(
         json.dumps(

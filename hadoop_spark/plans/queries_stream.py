@@ -120,3 +120,36 @@ def late_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracking is O(1) state per partition in the real stream; see
     tests/test_streaming.py for the streaming execution)."""
     return late_events(load_table(spark, sf_dir, "events"))
+
+
+_STATEFUL_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro
+FROM events GROUP BY user_id
+"""
+
+
+@query("stateful_running_agg", _STATEFUL_ORACLE)
+def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): runs the
+    events stream to completion with availableNow and returns the final
+    per-user running state. The oracle is the equivalent batch aggregate —
+    the stream's final state MUST equal it (cross-batch state correctness).
+    Executes eagerly (a streaming query runs inside); the returned frame is
+    the memory-sink final snapshot reduced to one row per key."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.streaming.windows import (
+        load_events_stream,
+        run_to_memory,
+        stateful_user_counts,
+    )
+
+    stream = stateful_user_counts(load_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "q_stateful_running_agg", output_mode="update")
+    return (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value_micro")).alias("s"))
+        .select("user_id", "s.n_events", "s.sum_value_micro")
+    )

@@ -61,6 +61,12 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Spark 4.1's unix-domain-socket transport for Python workers stalls
+        # worker handoff under concurrent grouped-Python stages (tasks wait
+        # tens of seconds in ReaderInputStream.read while workers sit idle
+        # in recv) — measured 5-20x wall-clock inflation on the blocked-GEMM
+        # cogroup. TCP transport has none of this.
+        .config("spark.python.unix.domain.socket.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -129,6 +129,67 @@ def late_events(events: DataFrame, arrival_col: str = "event_id") -> DataFrame:
     )
 
 
+def stateful_user_counts(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user (count, value-sum) maintained in explicit keyed state — the
+    Structured-Streaming analogue of a Reducer with cross-batch memory,
+    something the reference cannot express at all (its reducers see one
+    key's values exactly once, `mapreduce/Reducer.java:147`).
+
+    Batch/stream unification caveat: applyInPandasWithState only runs on
+    streams, so the batch-oracle equivalent is a plain groupBy; the test
+    asserts stream-final-state == batch-aggregate, the same invariant the
+    window builders get from the unified API. The `value` sum is quantized
+    to micro-units in INTEGER state so state merge order can't change bits.
+
+    Scale notes: state is keyed by user_id and partitioned by the shuffle
+    — state size grows with |distinct users|, not event volume; at 100 TB
+    the state store (RocksDB on executors) holds each user exactly once.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, vsum_micro = state.get if state.exists else (0, 0)
+        import numpy as np
+
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-ROW quantization before the sum (same as the batch
+            # oracle's round-then-sum) — exact integer accumulation, so
+            # batch boundaries and merge order can't change bits. Explicit
+            # HALF-UP to match Spark's round (numpy rounds half-even).
+            s = pdf["value"].to_numpy(dtype="float64") * 1_000_000
+            vsum_micro += int((np.sign(s) * np.floor(np.abs(s) + 0.5)).sum())
+        state.update((n, vsum_micro))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value_micro": [vsum_micro],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value_micro bigint",
+        stateStructType="n bigint, vsum_micro bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_user_counts(events: DataFrame) -> DataFrame:
+    """Batch oracle for :func:`stateful_user_counts`: same quantized sums
+    via groupBy — what the stream's final state must equal."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+            "sum_value_micro"
+        ),
+    )
+
+
 # ------------------------------------------------------------- streaming IO
 
 def load_events_stream(spark, sf_dir: str) -> DataFrame:
