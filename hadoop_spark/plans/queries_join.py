@@ -177,3 +177,35 @@ def join_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln_a"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln_b"))
     return a.join(b, on="k", how="inner")
+
+
+_SALTED_ORACLE = """
+SELECT l_orderkey, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY l_orderkey
+"""
+
+
+@query("salted_skew_join", _SALTED_ORACLE)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (RehashPartitioner parity taken further,
+    `lib/partition/RehashPartitioner.java:35`): hot keys detected with a
+    cheap pre-count, scattered over salt buckets, joined on (key, salt) —
+    results provably identical to the plain join (the oracle IS the plain
+    join). At 100 TB this is the manual override for skew AQE can't fix
+    (a single hot key within one partition)."""
+    from hadoop_spark.operators.skew import salted_join, top_keys
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    hot = top_keys(li, "l_orderkey", threshold=4)
+    joined = salted_join(li, orders, "l_orderkey", num_salts=4, hot_keys=hot)
+    return joined.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

