@@ -263,3 +263,60 @@ def simhash_pairs(df: DataFrame, id_col: str, sim_col: str, max_hamming: int) ->
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the near-dup
+    pair graph by iterative min-label propagation. Returns (node, comp)
+    where comp = the smallest node id reachable — the canonical document
+    every member of a duplicate cluster dedups to.
+
+    The reference has no iterative operator at all (multi-pass = chained
+    MR jobs with DFS round-trips, `lib/jobcontrol/JobControl.java:57`);
+    here each round is one join + partial-aggregated min, and the loop
+    stops at the fixpoint (sum of labels is strictly decreasing until
+    convergence, so one scalar per round decides termination — the only
+    driver-side value in the loop).
+
+    Scale notes: label propagation converges in O(graph diameter) rounds —
+    near-dup clusters are shallow (diameter ≤ ~6) so this is a handful of
+    shuffles on uniformly-hashed ids. Lineage is truncated with an eager
+    localCheckpoint every few rounds so the plan doesn't grow linearly
+    with iterations (the Spark analogue of the reference writing
+    intermediate results to DFS between chained jobs, minus the I/O)."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = edges.persist()
+    comp = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    prev_sum = None
+    for i in range(max_iter):
+        nbr = (
+            edges.join(comp, edges.a == comp.node)
+            .groupBy("b")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        comp = (
+            comp.join(nbr, comp.node == nbr.b, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        if (i + 1) % 5 == 0:
+            comp = comp.localCheckpoint(eager=True)
+        s = comp.agg(F.sum("comp")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    edges.unpersist()
+    return comp

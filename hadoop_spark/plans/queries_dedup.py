@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from hadoop_spark.functions.hashing import portable_hash64
 from hadoop_spark.functions.text import fingerprint, fingerprint_sql
 from hadoop_spark.operators.dedup import (
+    connected_components,
     BANDS,
     ROWS_PER_BAND,
     jaccard,
@@ -247,3 +248,51 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = shared(with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings"))))
     return block_near_dup_pairs(emb, threshold_micro=400000, num_blocks=8)
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sigs AS (SELECT doc_id, {minhash_signature_sql('sh')} AS sig FROM sh2),
+bands AS (
+  SELECT doc_id, band,
+         CAST('0x' || substr(md5(
+           {_BAND_CONCAT}
+         ), 1, 15) AS BIGINT) AS bh
+  FROM sigs, (SELECT unnest(range(0, {BANDS})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sh2 sa ON cand.id_a = sa.doc_id
+  JOIN sh2 sb ON cand.id_b = sb.doc_id
+  WHERE {jaccard_sql('sa.sh', 'sb.sh')} >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+)
+SELECT n AS doc_id, MIN(m) AS canonical FROM reach GROUP BY n
+"""
+
+
+@query("dedup_components", _COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: minhash-LSH verified pairs → connected components
+    → (doc_id, canonical) mapping (smallest reachable id wins). This is the
+    step after pair detection in a real dedup pipeline: transitive closure
+    so A~B, B~C collapse to ONE canonical doc even when A~C was never a
+    candidate pair. Oracle: recursive-CTE reachability in DuckDB."""
+    pairs = dedup_minhash(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("canonical"))
