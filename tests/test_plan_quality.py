@@ -1,0 +1,74 @@
+"""Physical-plan quality gates — the scale properties the 100 TB sizing
+depends on, locked in so a refactor can't silently regress them:
+
+- dimension tables broadcast (no shuffle of the fact table against dims),
+- filters pushed into the parquet scan (PushedFilters non-empty),
+- scans prune to the projected columns (ReadSchema narrower than table),
+- shuffle counts stay at the theoretical minimum for the plan shape.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hadoop_spark.plans import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+
+
+@pytest.mark.parametrize(
+    ("name", "min_broadcasts", "max_shuffles"),
+    [
+        ("tpch_q3", 1, 1),   # cust broadcast; one shuffle for the groupBy
+        ("tpch_q5", 4, 1),   # all four dims broadcast
+        ("tpch_q9", 4, 1),
+        ("tpch_q10", 2, 1),
+        ("tpch_q18", 1, 2),  # agg-then-join: groupBy + join shuffle
+    ],
+)
+def test_star_joins_broadcast_dims(spark, name, min_broadcasts, max_shuffles):
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastExchange") >= min_broadcasts, plan
+    assert _shuffles(plan) <= max_shuffles, plan
+
+
+@pytest.mark.parametrize("name", ["tpch_q1", "tpch_q6", "grep", "tumbling_window"])
+def test_filters_reach_the_scan(spark, name):
+    plan = _plan(spark, name)
+    # plan toString truncates long filter lists, so just require at least
+    # one scan with a non-empty PushedFilters list.
+    pushed = re.findall(r"PushedFilters: \[(.{0,40})", plan)
+    assert any(p.strip() and not p.startswith("]") for p in pushed), (
+        f"{name}: no pushed filters\n{plan}"
+    )
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "tpch_q6")
+    # q6 needs only 4 lineitem columns; the scan schema must not include
+    # the rest (e.g. l_comment-equivalents like l_returnflag).
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "l_extendedprice" in cols and "l_returnflag" not in cols, cols
+
+
+def test_q1_single_shuffle(spark):
+    plan = _plan(spark, "tpch_q1")
+    assert _shuffles(plan) <= 1, plan
