@@ -25,7 +25,15 @@ def dsum(expr: Column, scale: int = 4) -> Column:
 
 
 def dsum_sql(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL({PRECISION},{scale}))) AS DOUBLE)"
+    # The VARCHAR round-trip matters: DuckDB's INT128-decimal → DOUBLE cast
+    # is not correctly rounded (observed 1-ulp error once the unscaled total
+    # exceeds 2^53, e.g. 2828375807.43413200 → …4341316), while its
+    # string → double parse IS correctly rounded, matching Spark's
+    # BigDecimal.doubleValue.
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL({PRECISION},{scale}))) AS VARCHAR)"
+        " AS DOUBLE)"
+    )
 
 
 def davg(expr: Column, scale: int = 4) -> Column:

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,3 +81,53 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """NOT EXISTS — free extension over the reference."""
     return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    right_time_col: str | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, the LATEST right row with
+    right.time <= left.time within the same key. Not expressible in the
+    reference at all (would need a stateful merge the Reducer contract
+    can't hold); classic in time-series stores.
+
+    Implemented scale-first as the union-window idiom rather than a
+    non-equi range join: tag both streams, union, then one window pass per
+    key ordered by (time, tag) propagating the last-seen right values with
+    `last(ignorenulls)`. ONE shuffle on the key, no range-join explosion,
+    no per-row subquery — at 100 TB this is a single sort-merge pass, the
+    same cost profile as a groupBy.
+    """
+    rt = right_time_col or time_col
+    vcols = value_cols or [c for c in right.columns if c not in (key, rt)]
+    lt = left.withColumn("__tag", F.lit(1)).withColumn("__t", F.col(time_col))
+    rr = (
+        right.select(
+            key, F.col(rt).alias("__t"), *[F.col(c).alias(f"__r_{c}") for c in vcols]
+        )
+        .withColumn("__tag", F.lit(0))
+    )
+    unioned = lt.unionByName(rr, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal time (tag 0 < 1): ties are
+    # inclusive (right.time == left.time matches), like ASOF JOIN >=.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in vcols
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__f_{c}").alias(c) for c in vcols
+    ]
+    return filled.filter(F.col("__tag") == 1).select(*out_cols)

@@ -88,7 +88,7 @@ def uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -108,7 +108,7 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """

@@ -75,7 +75,7 @@ def fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROUTED_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM orders WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
 """

@@ -181,7 +181,7 @@ def join_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SALTED_ORACLE = """
 SELECT l_orderkey, COUNT(*) AS n_lines,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 GROUP BY l_orderkey
 """
@@ -209,3 +209,49 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.event_id, p.user_id, p.ts_us, c.click_value,
+       c.ts_us AS click_ts_us
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+"""
+
+
+@query("asof_join_events", _ASOF_ORACLE)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase matched to the user's LATEST click at or
+    before the purchase time (NULL when none). Free extension beyond the
+    reference (SURVEY §2.4 notes as-of joins are absent there); the oracle
+    is DuckDB's native ASOF LEFT JOIN, our engine's is the union-window
+    idiom in operators/join.py — one shuffle, no range-join explosion."""
+    from hadoop_spark.operators.join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.max("value").alias("click_value"))
+        .withColumn("click_ts_us", F.col("ts_us"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        time_col="ts_us",
+        value_cols=["click_value", "click_ts_us"],
+    ).select("event_id", "user_id", "ts_us", "click_value", "click_ts_us")

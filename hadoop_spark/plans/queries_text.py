@@ -101,3 +101,34 @@ def source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("json_props_agg", _JSON_ORACLE)
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: parse the JSON `props` payload
+    with a typed schema (`from_json`, JVM-side) and aggregate the extracted
+    field. The reference's only analogue is user Java in a Mapper; Spark
+    gives the full json function family (§2.8 'bonus surface')."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    parsed = ev.select(
+        "event_type", F.from_json(F.col("props"), "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.min(F.col("p.k")).alias("min_k"),
+        F.max(F.col("p.k")).alias("max_k"),
+    )

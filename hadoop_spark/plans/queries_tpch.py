@@ -220,7 +220,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q18_ORACLE = """
 SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
 FROM (
-  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  SELECT l_orderkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
 ) big
 JOIN orders   ON o_orderkey = l_orderkey
