@@ -164,3 +164,47 @@ def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return cust.subtract(orders)
+
+
+_CHAIN_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(p_name), ' ')) AS w FROM part
+),
+cleaned AS (
+  SELECT regexp_replace(w, '[^a-z]', '', 'g') AS w FROM toks
+),
+kept AS (SELECT w FROM cleaned WHERE length(w) >= 3)
+SELECT w AS word, COUNT(*) AS cnt FROM kept GROUP BY w
+"""
+
+
+@query("chained_transforms", _CHAIN_ORACLE)
+def chained_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChainMapper/ChainReducer parity (`lib/chain/ChainMapper.java:84`,
+    engine `Chain.java`): M1 (tokenize) → M2 (normalize) → M3 (filter) →
+    R (count), expressed as df.transform composition — Catalyst fuses the
+    chained narrow maps into ONE pipelined stage (the reference runs them
+    in one task too, but via hand-wired in-JVM chaining), then one shuffle
+    for the count."""
+    # lineitem has no l_comment in this fixture; l_shipmode is absent too —
+    # use the part names as the text corpus like the wordcount query does.
+    docs = load_table(spark, sf_dir, "part").select(
+        F.lower(F.col("p_name")).alias("line")
+    )
+
+    def tokenize(df: DataFrame) -> DataFrame:
+        return df.select(F.explode(F.split(F.col("line"), " ")).alias("w"))
+
+    def normalize(df: DataFrame) -> DataFrame:
+        return df.select(F.regexp_replace(F.col("w"), "[^a-z]", "").alias("w"))
+
+    def keep_long(df: DataFrame) -> DataFrame:
+        return df.filter(F.length("w") >= 3)
+
+    return (
+        docs.transform(tokenize)
+        .transform(normalize)
+        .transform(keep_long)
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -255,3 +255,56 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="ts_us",
         value_cols=["click_value", "click_ts_us"],
     ).select("event_id", "user_id", "ts_us", "click_value", "click_ts_us")
+
+
+_RANGE_ORACLE = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT event_id AS e_id, user_id, epoch_us(ts) AS e_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT p_id, e_id, p.user_id, (p_ts - e_ts) AS gap_us
+FROM p JOIN e ON p.user_id = e.user_id
+WHERE e_ts BETWEEN p_ts - 3600000000 AND p_ts
+"""
+
+
+@query("range_join_events", _RANGE_ORACLE)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (absent from the reference, SURVEY §2.4): errors
+    within the hour BEFORE each purchase by the same user.
+
+    Scale shape: the range predicate rides an EQUI join on (user_id,
+    hour-bucket) — each purchase probes its own and the previous hour
+    bucket, so the join stays hash-partitioned and the non-equi filter
+    only sees per-bucket candidates, never a per-user cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.unix_micros("ts").alias("e_ts"),
+    )
+    # probe own + previous hour bucket
+    p_b = p.withColumn(
+        "bkt", F.explode(F.array((F.col("p_ts") / hour_us).cast("bigint"),
+                                 (F.col("p_ts") / hour_us).cast("bigint") - 1))
+    )
+    e_b = e.withColumn("bkt", (F.col("e_ts") / hour_us).cast("bigint"))
+    return (
+        p_b.join(e_b, (p_b.user_id == e_b.e_user) & (p_b.bkt == e_b.bkt))
+        .filter(
+            (F.col("e_ts") >= F.col("p_ts") - hour_us) & (F.col("e_ts") <= F.col("p_ts"))
+        )
+        .select("p_id", "e_id", "user_id", (F.col("p_ts") - F.col("e_ts")).alias("gap_us"))
+    )
+    # no distinct needed: an error row has exactly one bucket and each
+    # purchase probes two DISTINCT buckets, so a pair matches at most once.

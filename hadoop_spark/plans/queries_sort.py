@@ -161,3 +161,41 @@ def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ranked(parsed, F.desc("f2"), "f1", "line", out="rank")
     return out.select("line", F.col("rank").cast("bigint").alias("rank"))
+
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS VARCHAR)
+            AS DOUBLE) AS running_spend,
+       CAST(epoch_us(o_orderdate) - epoch_us(LAG(o_orderdate) OVER w) AS BIGINT)
+         AS us_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("running_totals", _RUNNING_ORACLE)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-analytics family (row_number / running sum / lag) per
+    customer in order-date order — the per-group sequential consumption
+    the reference could only express as a secondary-sort reducer
+    (`EXAMPLES/SecondarySort.java:51`), here one window spec, one shuffle,
+    decimal-quantized running sum so every prefix is bit-exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            - F.unix_micros(F.lag("o_orderdate").over(w).cast("timestamp"))
+        ).alias("us_since_prev"),
+    )
