@@ -62,7 +62,8 @@ def as_media(df: DataFrame, id_col: str, payload_col: str, kind: str) -> DataFra
         F.col(id_col),
         payload.alias("media"),
         F.struct(
-            F.lit(kind).alias("kind"), F.octet_length(payload).alias("n_bytes")
+            F.lit(kind).alias("kind"),
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
         ).alias("meta"),
     )
 
@@ -91,3 +92,81 @@ def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# media kind → transform(bytes, params) -> bytes. Stubbed by default.
+_TRANSFORMS: dict[str, Callable[[bytes, dict[str, Any]], bytes]] = {}
+
+
+def register_transform(kind: str, fn: Callable[[bytes, dict[str, Any]], bytes]) -> None:
+    """Plug a real media transform in (e.g. PIL resize for kind='image')."""
+    _TRANSFORMS[kind] = fn
+
+
+def _stub_transform(payload: bytes, params: dict[str, Any]) -> bytes:
+    """Deterministic fake 'resize': keep a prefix proportional to the
+    requested scale. A real image resize drops in via register_transform
+    without touching the plumbing; the batch shape, binary-in/binary-out
+    schema, and metadata update below are the real contract."""
+    scale = float(params.get("scale", 1.0))
+    keep = max(1, int(len(payload) * min(max(scale, 0.0), 1.0)))
+    return payload[:keep]
+
+
+def transform_media(
+    media_df: DataFrame, params: dict[str, Any], id_col: str = "doc_id"
+) -> DataFrame:
+    """binary → binary media transform (image resize, audio resample, ...):
+    Arrow-batched, media bytes never leave the executor, metadata
+    (n_bytes) recomputed after the transform. Output schema == input
+    schema, so transforms compose like any df.transform chain."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds = pdf["meta"].map(lambda m: m["kind"])
+            out_payloads = [
+                _TRANSFORMS.get(k, _stub_transform)(bytes(p), params)
+                for k, p in zip(kinds, pdf["media"])
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media": out_payloads,
+                    "meta": [
+                        {"kind": k, "n_bytes": len(p)}
+                        for k, p in zip(kinds, out_payloads)
+                    ],
+                }
+            )
+
+    return media_df.mapInPandas(
+        run, schema=f"{id_col} bigint, media binary, meta struct<kind:string,n_bytes:bigint>"
+    )
+
+
+def frame_sample(
+    media_df: DataFrame, every_n: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """1 → N frame sampling (video → frames): each payload explodes into
+    its every-Nth 'frame', keeping (id, frame_idx, frame: binary). The
+    deterministic stub treats the payload as fixed 16-byte frames; a real
+    ffmpeg-backed sampler drops in via register_transform plumbing. This is
+    the flatMap shape of the reference's Mapper (1→N records,
+    `mapreduce/Mapper.java:122`) applied to media bytes."""
+    frame_bytes = 16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf["media"]):
+                b = bytes(p)
+                n = max(1, len(b) // frame_bytes)
+                for fi in range(0, n, every_n):
+                    ids.append(i)
+                    idxs.append(fi)
+                    frames.append(b[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return media_df.mapInPandas(
+        run, schema=f"{id_col} bigint, frame_idx int, frame binary"
+    )
