@@ -1,0 +1,44 @@
+"""Total-order invariants (FIXTURES invariant 1, `TeraValidate.java:52` /
+`SortValidator.java:54`): the distributed validator must pass sorted output,
+FAIL unsorted data, and the sort must preserve the input multiset."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_spark.operators.sort import sorted_run_check, total_order
+from hadoop_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_validator_passes_sorted_output(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    out = total_order(li, "l_orderkey", "l_linenumber")
+    parts, violations = sorted_run_check(out, "l_orderkey", "l_linenumber")
+    assert parts >= 1
+    assert violations == 0
+
+
+def test_validator_detects_unsorted_input(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey").repartition(8)
+    # raw repartitioned data is interleaved: the checker must notice
+    parts, violations = sorted_run_check(li, "l_orderkey")
+    assert violations > 0
+
+
+def test_sort_preserves_multiset(spark):
+    """SortValidator semantics: output multiset == input multiset, via an
+    order-independent checksum (sum + count + xor-of-hashes), computed
+    distributed on both sides."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    out = total_order(li, "l_orderkey")
+
+    def sig(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("s"),
+            F.sum(F.hash("l_orderkey").cast("bigint")).alias("h"),
+        ).collect()[0]
+        return (r.n, r.s, r.h)
+
+    assert sig(li) == sig(out)
