@@ -95,3 +95,33 @@ def sorted_run_check(df: DataFrame, *cols: str) -> tuple[int, int]:
         if last_i > first_next:
             violations += 1
     return len(parts), violations
+
+
+def global_rank(df: DataFrame, *cols: Column | str, out: str = "rank") -> DataFrame:
+    """Scalable exact global rank: range-repartition on the sort key, rank
+    WITHIN each partition, then add per-partition offsets (a tiny
+    #partitions-row cumulative sum, broadcast back). Replaces the
+    single-partition `Window.orderBy` global row_number — same result,
+    but every stage stays partition-parallel at any scale. Requires
+    `cols` to be a unique key (ties would make rank nondeterministic —
+    same contract as the reference's TotalOrderPartitioner + position,
+    `lib/partition/TotalOrderPartitioner.java:48`).
+
+    The offset table is the only driver-adjacent data: O(#partitions)
+    rows, the same cardinality the range sampler already handles."""
+    from pyspark.sql import Window
+
+    n = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    sizes = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.row_number().over(w_in) + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__off")
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_spark.functions.hashing import portable_hash64_sql
 from hadoop_spark.operators.aggregate import aggregate, value_histogram
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table
@@ -178,4 +179,68 @@ def word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_len"),
         F.expr("percentile(len, 0.5)").alias("median_len"),
         F.sqrt(s2.cast("double") / n.cast("double") - mean * mean).alias("stddev_len"),
+    )
+
+
+_KMV_K = 64
+_KMV_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT l_returnflag, {portable_hash64_sql('l_partkey', salt='#kmv')} AS h
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_returnflag, h,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM hashed
+),
+per_key AS (
+  SELECT l_returnflag,
+         MAX(rn) AS n_seen,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+  FROM ranked WHERE rn <= {_KMV_K}
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(CASE WHEN n_seen < {_KMV_K} THEN n_seen
+                 ELSE CAST(FLOOR(({_KMV_K} - 1) * 1152921504606846975.0 / kth) AS BIGINT)
+            END AS BIGINT) AS est_distinct
+FROM per_key
+"""
+
+
+@query("kmv_distinct_sketch", _KMV_ORACLE)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch — a mergeable cardinality
+    sketch whose estimate is DETERMINISTIC given the hash, so unlike HLL
+    (`uniq_approx`) it is exactly oracle-checkable cross-engine: estimate =
+    (K-1) * H / h_(K) with H = 2^60-ish hash space (the 60-bit portable
+    hash), or the exact count when fewer than K distinct values exist.
+    Mergeability (union of K-min sets → K-min of union) is what a 100 TB
+    pipeline needs to maintain distinct counts incrementally per shard.
+    Reference analogue: UniqValueCount's bounded-memory cap
+    (`lib/aggregate/UniqValueCount.java:35`), here with a principled
+    estimator instead of a truncated exact count."""
+    from pyspark.sql import Window
+
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        "l_returnflag", portable_hash64(F.col("l_partkey"), salt="#kmv").alias("h")
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    ranked_h = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    per_key = ranked_h.groupBy("l_returnflag").agg(
+        F.max("rn").alias("n_seen"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+    )
+    hash_space = 1152921504606846975.0  # 16^15 - 1: the 60-bit hash range
+    return per_key.select(
+        "l_returnflag",
+        F.when(F.col("n_seen") < _KMV_K, F.col("n_seen"))
+        .otherwise(F.floor((_KMV_K - 1) * hash_space / F.col("kth")))
+        .cast("bigint")
+        .alias("est_distinct"),
     )

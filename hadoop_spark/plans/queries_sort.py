@@ -45,17 +45,18 @@ WHERE o_orderstatus = 'F'
 @query("total_order_rank", _RANK_ORACLE)
 def total_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global rank attached to rows — encodes the total order into the
-    (order-insensitive) correctness hash. Single-partition window by design:
-    the reference's numReduceTasks(1) trade (`Grep.java:88`); use
-    total_order_sort for the scalable path."""
+    (order-insensitive) correctness hash. Uses the scalable partition-offset
+    rank (operators/sort.py global_rank): range partition, rank within, add
+    broadcast offsets — no single-partition window at any scale."""
+    from hadoop_spark.operators.sort import global_rank
+
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    out = ranked(
+    return global_rank(
         orders.select("o_orderkey", "o_totalprice"),
         F.desc("o_totalprice"),
         "o_orderkey",
         out="rank",
     )
-    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 _SECONDARY_ORACLE = """

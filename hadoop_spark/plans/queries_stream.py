@@ -8,6 +8,7 @@ to gaps-and-islands SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import dsum_sql
 from hadoop_spark.plans.catalog import query
@@ -152,4 +153,53 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         got.groupBy("user_id")
         .agg(F.max(F.struct("n_events", "sum_value_micro")).alias("s"))
         .select("user_id", "s.n_events", "s.sum_value_micro")
+    )
+
+
+_HIER_ORACLE = f"""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("hierarchical_rollup", _HIER_ORACLE)
+def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: hour-level rollup
+    computed FROM minute-level partials, not from raw events — and the
+    oracle computes hours directly from raw, so the hash-match PROVES the
+    partials reaggregate losslessly (the property that lets a 100 TB
+    pipeline maintain minute/hour/day aggregates incrementally, touching
+    raw data once). Exactness comes from count/decimal-sum partials
+    (always reaggregable), never avg/percentile."""
+    minute_us = 60_000_000
+    hour_us = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    minutes = (
+        ev.select(
+            ((F.unix_micros("ts") / minute_us).cast("bigint") * minute_us).alias("minute_us"),
+            "event_type",
+            "value",
+        )
+        .groupBy("minute_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+        )
+    )
+    return (
+        minutes.select(
+            ((F.col("minute_us") / hour_us).cast("bigint") * hour_us).alias("hour_us"),
+            "event_type",
+            "n",
+            "sum_dec",
+        )
+        .groupBy("hour_us", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
     )

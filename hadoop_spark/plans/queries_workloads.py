@@ -59,19 +59,16 @@ def teragen_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     values so the order-insensitive oracle hash still verifies the sort.
 
     Scale: spark.range needs no input files (`RangeInputFormat` parity,
-    `TeraGen.java:75`); orderBy = sampled range partitioning
-    (`TotalOrderPartitioner.java:48` design, zero user code). The explicit
-    global row_number here is the correctness-check variant; the scale path
-    writes sorted partitions without materializing ranks.
+    `TeraGen.java:75`); the rank comes from the partition-offset idiom
+    (operators/sort.py global_rank) — range partition, rank within, add
+    broadcast offsets — so even rank materialization stays parallel.
     """
+    from hadoop_spark.operators.sort import global_rank
+
     gen = spark.range(_TERA_N).select(
         F.expr(_TERA_KEY_SPARK).alias("key"), F.col("id").alias("payload_id")
     )
-    from pyspark.sql import Window
-
-    return gen.withColumn(
-        "rank", F.row_number().over(Window.orderBy("key", "payload_id")).cast("bigint")
-    )
+    return global_rank(gen, "key", "payload_id", out="rank")
 
 
 _TERAVALIDATE_ORACLE = f"""
