@@ -208,3 +208,40 @@ def chained_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w").alias("word"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+from hadoop_spark.plans.queries_tpch import _Q1_ORACLE
+
+
+@query("tpch_q1_sql", _Q1_ORACLE)
+def tpch_q1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry-point parity: the flagship query expressed as ANSI SQL over
+    registered views (`spark.sql`), not the DataFrame builder — a user can
+    drive this engine entirely in SQL, against the same DuckDB oracle as
+    tpch_q1. Spark dialect notes: STRING not VARCHAR; Spark's decimal ->
+    double cast is correctly rounded so no VARCHAR round-trip is needed
+    (that workaround is DuckDB-side only, see functions/numeric.py)."""
+    from hadoop_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+
+    def dsum(expr: str, scale: int = 4) -> str:
+        return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+    def davg(expr: str) -> str:
+        return f"({dsum(expr)} / CAST(COUNT({expr}) AS DOUBLE))"
+
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum("l_quantity")} AS sum_qty,
+               {dsum("l_extendedprice")} AS sum_base_price,
+               {dsum("l_extendedprice * (1 - l_discount)", 8)} AS sum_disc_price,
+               {dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 8)} AS sum_charge,
+               {davg("l_quantity")} AS avg_qty,
+               {davg("l_extendedprice")} AS avg_price,
+               {davg("l_discount")} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
