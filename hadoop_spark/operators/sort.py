@@ -125,3 +125,14 @@ def global_rank(df: DataFrame, *cols: Column | str, out: str = "rank") -> DataFr
         .withColumn(out, (F.row_number().over(w_in) + F.col("__off")).cast("bigint"))
         .drop("__pid", "__off")
     )
+
+
+def partition_by_key_slice(
+    df: DataFrame, col: str, start: int, length: int, num_partitions: int
+) -> DataFrame:
+    """BinaryPartitioner parity (`lib/partition/BinaryPartitioner.java:71`):
+    partition on a byte-range slice of the key, so records sharing a key
+    PREFIX (or any fixed slice) co-locate — the trick the reference used
+    for composite keys whose grouping prefix differs from the full sort
+    key. `substring` is 1-indexed like the SQL function."""
+    return df.repartition(num_partitions, F.substring(F.col(col), start, length))

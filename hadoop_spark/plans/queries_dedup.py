@@ -296,3 +296,50 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash(spark, sf_dir)
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("canonical"))
+
+
+_KEEP_BEST_ORACLE = _COMPONENTS_ORACLE.replace(
+    "SELECT n AS doc_id, MIN(m) AS canonical FROM reach GROUP BY n",
+    """, comp AS (SELECT n AS doc_id, MIN(m) AS canonical FROM reach GROUP BY n)
+SELECT canonical AS cluster_id, doc_id AS keep_id, n_chars AS keep_chars,
+       cluster_size
+FROM (
+  SELECT c.canonical, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.canonical
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.canonical) AS cluster_size
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+) ranked_docs
+WHERE rn = 1""",
+)
+
+
+@query("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each duplicate cluster
+    (connected components over verified near-dup pairs), KEEP the longest
+    document (ties → smallest doc_id) instead of the arbitrary min-id —
+    what a real training-data pipeline does so dedup never discards the
+    richest copy. One window over the tiny (doc_id, cluster) mapping
+    joined to per-doc metadata; the heavy lifting stayed in the LSH
+    pair-generation."""
+    from hadoop_spark.operators.dedup import connected_components
+
+    pairs = dedup_minhash(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("canonical")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = comp.join(docs, "doc_id")
+    w = Window.partitionBy("canonical").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("canonical")))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("canonical").alias("cluster_id"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+            "cluster_size",
+        )
+    )

@@ -42,3 +42,21 @@ def test_sort_preserves_multiset(spark):
         return (r.n, r.s, r.h)
 
     assert sig(li) == sig(out)
+
+
+def test_key_slice_partitioning_colocates_prefixes(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.operators.sort import partition_by_key_slice
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.concat(F.col("l_returnflag"), F.col("l_linestatus"), F.col("l_orderkey").cast("string")).alias("key")
+    )
+    parted = partition_by_key_slice(li, "key", 1, 2, 8)
+    # every distinct 2-char prefix must map to exactly one partition
+    check = (
+        parted.select(F.substring("key", 1, 2).alias("p"), F.spark_partition_id().alias("pid"))
+        .groupBy("p")
+        .agg(F.countDistinct("pid").alias("n_pids"))
+    )
+    assert check.filter(F.col("n_pids") > 1).count() == 0
