@@ -284,3 +284,68 @@ def multi_input_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("amount")).alias("total_amount"))
     )
+
+
+_NQUEENS_N = 8
+_NQUEENS_ORACLE = f"""
+WITH RECURSIVE q(placed, r) AS (
+  SELECT '', 0
+  UNION ALL
+  SELECT placed || CAST(c AS VARCHAR), r + 1
+  FROM q, (SELECT unnest(range({_NQUEENS_N})) AS c)
+  WHERE r < {_NQUEENS_N} AND NOT EXISTS (
+    SELECT 1 FROM (SELECT unnest(range(r)) AS i)
+    WHERE CAST(substr(placed, CAST(i AS INT) + 1, 1) AS INT) = c
+       OR ABS(CAST(substr(placed, CAST(i AS INT) + 1, 1) AS INT) - c)
+          = r - CAST(i AS INT)
+  )
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_solutions,
+       MIN(placed) AS first_solution
+FROM q WHERE r = {_NQUEENS_N}
+"""
+
+
+@query("search_fanout_nqueens", _NQUEENS_ORACLE)
+def search_fanout_nqueens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed constraint-search fan-out — the DistributedPentomino
+    shape (`EXAMPLES/dancing/DistributedPentomino.java:47`: enumerate
+    search prefixes, fan the subtrees across the cluster). Here: N-queens
+    via N rounds of crossJoin + higher-order-function conflict pruning; the
+    frontier is a DataFrame the whole way (each round a narrow flatMap —
+    no shuffle until the final count), so at scale the search tree spreads
+    over however many executors the frontier fills. Oracle: the same
+    search as a DuckDB recursive CTE."""
+    n = _NQUEENS_N
+    cols = spark.range(n).select(F.col("id").cast("int").alias("c"))
+    frontier = spark.createDataFrame([("",)], "placed string")
+    for r in range(n):
+        cand = frontier.crossJoin(F.broadcast(cols))
+        if r > 0:
+            conflict = F.exists(
+                F.sequence(F.lit(0), F.lit(r - 1)),
+                lambda i: (
+                    F.substring(F.col("placed"), i + 1, 1).cast("int") == F.col("c")
+                )
+                | (
+                    F.abs(
+                        F.substring(F.col("placed"), i + 1, 1).cast("int") - F.col("c")
+                    )
+                    == F.lit(r) - i
+                ),
+            )
+            cand = cand.filter(~conflict)
+        frontier = cand.select(
+            F.concat(F.col("placed"), F.col("c").cast("string")).alias("placed")
+        )
+        if r == 2:
+            # fan the surviving prefixes across the cluster: the reference
+            # shipped prefix workloads to mappers; here one repartition
+            # spreads the remaining subtree walk.
+            frontier = frontier.repartition(
+                spark.sparkContext.defaultParallelism
+            )
+    return frontier.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_solutions"),
+        F.min("placed").alias("first_solution"),
+    )
