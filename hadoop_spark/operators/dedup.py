@@ -282,41 +282,55 @@ def connected_components(
 
     Scale notes: label propagation converges in O(graph diameter) rounds —
     near-dup clusters are shallow (diameter ≤ ~6) so this is a handful of
-    shuffles on uniformly-hashed ids. Lineage is truncated with an eager
-    localCheckpoint every few rounds so the plan doesn't grow linearly
-    with iterations (the Spark analogue of the reference writing
-    intermediate results to DFS between chained jobs, minus the I/O)."""
+    shuffles on uniformly-hashed ids. The loop's shuffle width is pinned to
+    ~1 M edges/partition (clamped to the session's configured width), so a
+    60 k-edge graph under a vanilla 200-partition session runs 2-wide
+    rounds instead of 200-wide ones, while a billion-edge graph still gets
+    the full cluster. Lineage is truncated with an eager localCheckpoint
+    every few rounds so the plan doesn't grow linearly with iterations
+    (the Spark analogue of the reference writing intermediate results to
+    DFS between chained jobs, minus the I/O)."""
+    spark = pairs.sparkSession
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     edges = edges.persist()
-    comp = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-    )
-    prev_sum = None
-    for i in range(max_iter):
-        nbr = (
-            edges.join(comp, edges.a == comp.node)
-            .groupBy("b")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
+    n_edges = edges.count()
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = max(2, min(session_width, n_edges // 1_000_000 + 2))
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
         comp = (
-            comp.join(nbr, comp.node == nbr.b, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
+            edges.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
         )
-        if (i + 1) % 5 == 0:
-            comp = comp.localCheckpoint(eager=True)
-        s = comp.agg(F.sum("comp")).collect()[0][0]
-        if s == prev_sum:
-            break
-        prev_sum = s
+        prev_sum = None
+        for i in range(max_iter):
+            nbr = (
+                edges.join(comp, edges.a == comp.node)
+                .groupBy("b")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            comp = (
+                comp.join(nbr, comp.node == nbr.b, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+            )
+            if (i + 1) % 5 == 0:
+                comp = comp.localCheckpoint(eager=True)
+            s = comp.agg(F.sum("comp")).collect()[0][0]
+            if s == prev_sum:
+                break
+            prev_sum = s
+        comp = comp.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
     edges.unpersist()
     return comp
