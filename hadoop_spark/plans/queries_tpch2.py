@@ -569,9 +569,17 @@ GROUP BY s_name
 @query("tpch_q21", _Q21_ORACLE)
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who kept orders waiting (adapted): the EXISTS / NOT EXISTS
-    pair of the original is decorrelated into one per-order aggregate
-    (distinct suppliers vs distinct late suppliers) joined back — one
-    shuffle on orderkey instead of two correlated rescans."""
+    pair of the original is decorrelated into per-order distinct-supplier
+    sets computed in ONE window pass over the lineitem⋈orders output.
+
+    Shuffle budget: the join's hash(l_orderkey) partitioning already
+    satisfies the window's ClusteredDistribution(l_orderkey) AND the
+    (l_orderkey, l_suppkey) distinct's requirement (partition keys are a
+    subset of the clustering keys), so between the join and the final
+    tiny s_name aggregate there are ZERO extra exchanges — vs the naive
+    aggregate-and-join-back shape which re-shuffles three times and scans
+    lineitem twice. collect_set per order holds ≤7 suppliers (TPC-H order
+    fan-out), constant memory at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     tagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -581,16 +589,24 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_late"
         ),
     )
-    stats = tagged.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    w = Window.partitionBy("l_orderkey")
+    flagged = tagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late"),
     )
-    sole = tagged.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        sole.join(stats, sole.l_orderkey == stats.ok)
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        flagged.filter(
+            F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
