@@ -58,6 +58,7 @@ def load_all() -> None:
         queries_dedup,
         queries_io,
         queries_join,
+        queries_mlprep,
         queries_similarity,
         queries_sort,
         queries_stream,

@@ -1,0 +1,369 @@
+"""Training-data preparation queries (extension beyond the reference).
+
+The reference's closest surface is the declarative aggregate framework
+(`hadoop-mapreduce-client-core/.../lib/aggregate/ValueAggregatorJob.java:85`)
+and hash-deterministic sampling (`lib/input/SequenceFileInputFilter.java:154`
+PercentFilter). These queries extend that to the operations a large-scale
+LLM-data pipeline runs daily: reshaping (pivot), skew diagnosis (heavy
+hitters), deterministic dataset splits, time-series regularization
+(gap-fill + forward-fill), feature statistics (correlation profile), and
+group-wise normalization.
+
+Determinism conventions (see plans/catalog.py): every float aggregate goes
+through decimal quantization; derived statistics (corr, stddev, z-score) are
+computed from those exact sums with the SAME arithmetic expression text on
+both engines, so IEEE-754 evaluation is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_spark.functions.hashing import portable_hash64, portable_hash64_sql
+from hadoop_spark.functions.numeric import PRECISION, davg, davg_sql, dsum, dsum_sql
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# decimal(38) variants — for sums of squares/products whose unscaled totals
+# outgrow decimal(18,4) (price² at sf≥0.1 already exceeds 10^14). Precision 38
+# keeps the same order-independence argument as functions/numeric.py with
+# headroom to ~10^34: safe for any realistic scale factor.
+
+
+def _dsum38(expr: F.Column, scale: int = 4) -> F.Column:
+    return F.sum(expr.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def _dsum38_sql(expr: str, scale: int = 4) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot — wide reshaping, the MultipleOutputs-per-category idea
+# (`lib/output/MultipleOutputs.java:186`) turned into columns instead of files.
+
+_PIVOT_ORACLE = f"""
+SELECT l_returnflag,
+       {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+       {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("pivot_flag_status", _PIVOT_ORACLE)
+def pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot lineitem quantity over (returnflag × linestatus).
+
+    The pivot value list is pinned, so the schema is data-independent (a
+    driver-visible contract) and the plan is a single hash aggregate — the
+    conditional sums are map-side partials, one shuffle on the grouping key
+    at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum(F.col("l_quantity")))
+    )
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        piv.join(n, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters — key-skew diagnosis; what you run BEFORE choosing salting
+# (operators/skew.py) or AQE skew-join. The reference's answer to skew was a
+# blind re-hash (`lib/partition/RehashPartitioner.java:35`); measuring first
+# is strictly better.
+
+_HEAVY_ORACLE = """
+WITH c AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nkeys, CAST(SUM(cnt) AS BIGINT) AS total FROM c
+)
+SELECT o_custkey, cnt FROM c, s WHERE cnt * nkeys > 2 * total
+"""
+
+
+@query("heavy_hitters", _HEAVY_ORACLE)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys whose frequency exceeds 2× the mean — pure integer arithmetic
+    (cnt·nkeys > 2·total), so the threshold is engine- and order-exact.
+
+    Scale shape: one shuffle for the per-key count (map-side combined); the
+    stats side collapses to a single row broadcast back — no sort, no
+    global window, no driver collect.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("nkeys"), F.sum("cnt").alias("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("cnt") * F.col("nkeys") > 2 * F.col("total"))
+        .select("o_custkey", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# train/test split — deterministic hash split (the PercentFilter idea,
+# `lib/input/SequenceFileInputFilter.java:154`: membership is a pure function
+# of the key, not of the scheduler), the way every reproducible dataset
+# release assigns examples to train/validation/test.
+
+_SPLIT_BUCKET = f"({portable_hash64_sql('doc_id', 'split')} % 100)"
+_SPLIT_ORACLE = f"""
+SELECT CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+            WHEN {_SPLIT_BUCKET} < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       {davg_sql("n_chars")} AS avg_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("train_test_split", _SPLIT_ORACLE)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split of `documents` by portable hash of doc_id.
+
+    Membership is stable under repartitioning, re-runs, added files, and
+    engine choice — the property that makes a 100 TB split auditable. The
+    plan is a map-side expression + one aggregate; writing the actual split
+    is `df.write.partitionBy('split')` on the same expression.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id"), "split") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            davg(F.col("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap-fill + forward-fill — time-series regularization: expand each user's
+# observed day range to a dense grid and carry the last observation forward.
+# (No reference analogue; the per-key sorted pass is the secondary-sort
+# pattern, `EXAMPLES/SecondarySort.java:51`, expressed as a window.)
+
+_DAY_US = 86_400_000_000
+
+_GAPFILL_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS d,
+         {dsum_sql("value")} AS day_value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span)
+SELECT g.user_id, g.d,
+       LAST_VALUE(dy.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       dy.day_value IS NOT NULL AS observed
+FROM grid g LEFT JOIN daily dy ON g.user_id = dy.user_id AND g.d = dy.d
+"""
+
+
+@query("gap_fill_events", _GAPFILL_ORACLE)
+def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid per user with last-value-forward fill.
+
+    Epochs are integer microsecond arithmetic (TZ-proof, matches the
+    oracle's `epoch_us`). Instead of the textbook grid⋈observations
+    left-join (which scans the input twice and needs a join), each observed
+    day looks ONE row ahead (`lead`) and emits itself plus the gap rows up
+    to the next observation, carrying its value — gap-fill as a pure
+    per-key streaming pass. The leading repartition on user_id makes the
+    (user, day) aggregate and the lead-window both subsets of one
+    hash(user_id) clustering: the whole pipeline is a SINGLE shuffle, one
+    scan, zero joins. Grid size is bounded by Σ per-key spans, never n².
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("bigint").alias("d"),
+            "value",
+        )
+        .repartition("user_id")
+    )
+    daily = ev.groupBy("user_id", "d").agg(dsum(F.col("value")).alias("day_value"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    return (
+        daily.withColumn("next_d", F.lead("d").over(w))
+        .select(
+            "user_id",
+            F.col("day_value"),
+            F.col("d").alias("od"),
+            F.explode(
+                F.sequence(
+                    F.col("d"), F.coalesce(F.col("next_d") - F.lit(1), F.col("d"))
+                )
+            ).alias("d"),
+        )
+        .select(
+            "user_id",
+            "d",
+            F.col("day_value").alias("filled_value"),
+            (F.col("d") == F.col("od")).alias("observed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# numeric profile — feature statistics from exact decimal sums. Streaming
+# co-moment corr/stddev are order-dependent in any engine; deriving them
+# from quantized sums with ONE shared formula text makes the doubles
+# bit-identical across Spark and the oracle (IEEE ops are deterministic
+# given identical inputs and expression shape).
+
+_CORR_F = (
+    "(nd * sxy - sx * sy) / "
+    "(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))"
+)
+_COVAR_F = "(sxy - sx * sy / nd) / (nd - 1)"
+_STDDEV_F = "sqrt((syy - sy * sy / nd) / (nd - 1))"
+
+_PROFILE_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) AS DOUBLE) AS nd,
+         {_dsum38_sql("l_quantity")} AS sx,
+         {_dsum38_sql("l_extendedprice")} AS sy,
+         {_dsum38_sql("l_quantity * l_quantity")} AS sxx,
+         {_dsum38_sql("l_extendedprice * l_extendedprice")} AS syy,
+         {_dsum38_sql("l_quantity * l_extendedprice")} AS sxy
+  FROM lineitem
+)
+SELECT n AS n_rows,
+       {_CORR_F} AS corr_qty_price,
+       {_COVAR_F} AS covar_qty_price,
+       {_STDDEV_F} AS stddev_price
+FROM s
+"""
+
+
+@query("numeric_profile", _PROFILE_ORACLE)
+def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/covar/stddev of lineitem numerics via exact-sum identities.
+
+    One map-side-combined aggregate pass (the products are per-row doubles,
+    IEEE-exact in both engines, quantized before summing); the six sums are
+    a single row, so the derived statistics cost nothing. This is the
+    mergeable-statistics design: partial sums from 190 000 map tasks
+    combine associatively — same contract as the reference's combiner
+    (`Job.setCombinerClass`, `mapreduce/Job.java:935`).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        _dsum38(F.col("x")).alias("sx"),
+        _dsum38(F.col("y")).alias("sy"),
+        _dsum38(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum38(F.col("y") * F.col("y")).alias("syy"),
+        _dsum38(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return sums.select(
+        F.col("n").alias("n_rows"),
+        F.expr(_CORR_F).alias("corr_qty_price"),
+        F.expr(_COVAR_F).alias("covar_qty_price"),
+        F.expr(_STDDEV_F).alias("stddev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# group-wise z-score — feature normalization without a giant window: stats
+# per group from exact sums, broadcast back, normalize row-side. The
+# window-function alternative (AVG() OVER (PARTITION BY flag)) buffers whole
+# partitions; the aggregate+broadcast shape streams.
+
+_Z_MEAN_F = "sx / nd"
+_Z_STD_F = "sqrt((sxx - sx * sx / nd) / (nd - 1))"
+
+_ZSCORE_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) AS DOUBLE) AS nd,
+         {_dsum38_sql("l_quantity")} AS sx,
+         {_dsum38_sql("l_quantity * l_quantity")} AS sxx
+  FROM lineitem GROUP BY l_returnflag
+),
+st AS (
+  SELECT l_returnflag, n, {_Z_MEAN_F} AS mean_x, {_Z_STD_F} AS std_x FROM s
+)
+SELECT li.l_returnflag,
+       MIN(st.n) AS n_rows,
+       MIN((li.l_quantity - st.mean_x) / st.std_x) AS min_z,
+       MAX((li.l_quantity - st.mean_x) / st.std_x) AS max_z,
+       {dsum_sql("(li.l_quantity - st.mean_x) / st.std_x", 6)} AS sum_z
+FROM lineitem li JOIN st ON li.l_returnflag = st.l_returnflag
+GROUP BY li.l_returnflag
+"""
+
+
+@query("zscore_by_group", _ZSCORE_ORACLE)
+def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag standardization check: min/max/sum of z-scores.
+
+    Two aggregate passes over the fact table plus a broadcast of the
+    3-row stats side; the per-row z is identical double arithmetic in both
+    engines because mean/std come from the same exact decimal sums. At
+    100 TB the stats side is still 3 rows — the broadcast join never
+    becomes the bottleneck, unlike a PARTITION BY window over the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").alias("x")
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        _dsum38(F.col("x")).alias("sx"),
+        _dsum38(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    stats = sums.select(
+        "l_returnflag",
+        "n",
+        F.expr(_Z_MEAN_F).alias("mean_x"),
+        F.expr(_Z_STD_F).alias("std_x"),
+    )
+    z = li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        ((F.col("x") - F.col("mean_x")) / F.col("std_x")).alias("z"),
+    )
+    return z.groupBy("l_returnflag").agg(
+        F.min("n").alias("n_rows"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+        dsum(F.col("z"), 6).alias("sum_z"),
+    )
