@@ -82,33 +82,61 @@ def trigram_shingles_sql(toks: str) -> str:
 
 # ----------------------------------------------------------------- minhash
 
-def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature: per salt i, min over shingles of the salted 60-bit
-    hash. One md5 per (shingle, salt) — pure map-side; production note: with
-    no oracle constraint this would be one xxhash64 per shingle + cheap
-    integer mixing, but md5 keeps the DuckDB mirror exact."""
-    # One nested HOF (transform over a literal salt array), NOT num_hashes
+# Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod P over a
+# 31-bit prime field. One md5 per shingle (shingle_hashes), then num_hashes
+# integer mixes — vs one md5 per (shingle, salt), a num_hashes× cut in the
+# dominant map-side cost. 31-bit operands keep a·x + b < 2^62: no BIGINT
+# overflow in either engine (Spark ANSI mode would throw on wraparound).
+MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
+
+
+def _mix_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, identical constants in the oracle."""
+    out = []
+    for i in range(num_hashes):
+        a = (2_654_435_761 * (i + 1)) % MINHASH_P or 1
+        b = (1_779_033_703 * (i + 1) + 7) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """Shingle set → 31-bit base hashes (one md5 per shingle). Materialize
+    this as its own column (projection / persist boundary) so the md5 pass
+    runs once, not once per minhash permutation."""
+    return F.transform(shingles, lambda s: portable_hash64(s) % MINHASH_P)
+
+
+def shingle_hashes_sql(shingles: str) -> str:
+    return f"list_transform({shingles}, s -> {portable_hash64_sql('s')} % {MINHASH_P})"
+
+
+def minhash_signature(hashed: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature over pre-hashed shingles (see shingle_hashes):
+    per permutation i, min over elements of (a_i·h + b_i) mod P — pure
+    integer arithmetic, whole-stage codegen, exactly mirrored in DuckDB."""
+    # One nested HOF (transform over a literal param array), NOT num_hashes
     # separate array_min expressions: codegen size stays O(1) in num_hashes,
     # which keeps per-stage Janino compile time flat. NB: single-argument
     # lambdas only — a 2-arg lambda would receive the element index.
-    salts = F.array(*[F.lit(f"#mh{i}") for i in range(num_hashes)])
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _mix_params(num_hashes)
+        ]
+    )
     return F.transform(
-        salts,
-        lambda salt: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(s.cast("string"), salt)), 1, 15), 16, 10
-                ).cast("bigint"),
-            )
+        params,
+        lambda ab: F.array_min(
+            F.transform(hashed, lambda h: (ab["a"] * h + ab["b"]) % MINHASH_P)
         ),
     )
 
 
-def minhash_signature_sql(shingles: str, num_hashes: int = NUM_HASHES) -> str:
+def minhash_signature_sql(hashed: str, num_hashes: int = NUM_HASHES) -> str:
     mins = ", ".join(
-        f"list_min(list_transform({shingles}, s -> {portable_hash64_sql('s', salt=f'#mh{i}')}))"
-        for i in range(num_hashes)
+        f"list_min(list_transform({hashed}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in _mix_params(num_hashes)
     )
     return f"[{mins}]"
 
@@ -291,17 +319,27 @@ def connected_components(
     (the Spark analogue of the reference writing intermediate results to
     DFS between chained jobs, minus the I/O)."""
     spark = pairs.sparkSession
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    edges = edges.persist()
-    n_edges = edges.count()
+    # Materialize the pair plan ONCE (it can be an expensive LSH pipeline)
+    # and truncate its lineage, so the union/distinct below doesn't re-run
+    # it twice and loop stages never re-enter it.
+    pairs_m = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    n_edges = 2 * pairs_m.count()
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_parts = max(2, min(session_width, n_edges // 1_000_000 + 2))
     old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    # Pin BEFORE building edges: the edge cache and every loop stage inherit
+    # this width. A 60 k-edge graph under a vanilla 200-partition session
+    # would otherwise cache 200 partitions and launch 200-task stages every
+    # round — pure scheduler overhead.
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
+        edges = pairs_m.union(
+            pairs_m.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        edges = edges.persist()
+        edges.count()
         comp = (
             edges.select(F.col("a").alias("node"))
             .distinct()

@@ -20,6 +20,8 @@ from hadoop_spark.operators.dedup import (
     lsh_band_pairs,
     minhash_signature,
     minhash_signature_sql,
+    shingle_hashes,
+    shingle_hashes_sql,
     simhash32,
     simhash32_sql,
     simhash_pairs,
@@ -81,7 +83,10 @@ _BAND_CONCAT = " || ',' || ".join(
 
 _MINHASH_ORACLE = f"""
 WITH {_SHINGLE_CTE},
-sigs AS (SELECT doc_id, {minhash_signature_sql('sh')} AS sig FROM sh2),
+sigs AS (
+  SELECT doc_id, {minhash_signature_sql('hv')} AS sig
+  FROM (SELECT doc_id, {shingle_hashes_sql('sh')} AS hv FROM sh2)
+),
 bands AS (
   SELECT doc_id, band,
          CAST('0x' || substr(md5(
@@ -113,7 +118,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", trigram_shingles(tokens(F.col("text"))).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    sigs = shared(sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig")))
+    hv = shared(sh.select("doc_id", shingle_hashes(F.col("sh")).alias("hv")))
+    sigs = shared(hv.select("doc_id", minhash_signature(F.col("hv")).alias("sig")))
     cand = lsh_band_pairs(sigs, "doc_id", "sig")
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -252,7 +258,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COMPONENTS_ORACLE = f"""
 WITH RECURSIVE {_SHINGLE_CTE},
-sigs AS (SELECT doc_id, {minhash_signature_sql('sh')} AS sig FROM sh2),
+sigs AS (
+  SELECT doc_id, {minhash_signature_sql('hv')} AS sig
+  FROM (SELECT doc_id, {shingle_hashes_sql('sh')} AS hv FROM sh2)
+),
 bands AS (
   SELECT doc_id, band,
          CAST('0x' || substr(md5(
