@@ -114,12 +114,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — uniform) → exact Jaccard ≥ 0.8 on the surviving candidates.
     At 100 TB the band join touches O(n·4) rows, never O(n²)."""
     docs = fanout_small(load_table(spark, sf_dir, "documents"))
+    # One shared materialization carries BOTH the shingle sets (for exact
+    # Jaccard verification) and their base hashes (so the md5 pass runs
+    # once, not once per minhash permutation — see operators/dedup.py).
     sh = shared(
         docs.select("doc_id", trigram_shingles(tokens(F.col("text"))).alias("sh"))
         .filter(F.size("sh") > 0)
+        .withColumn("hv", shingle_hashes(F.col("sh")))
     )
-    hv = shared(sh.select("doc_id", shingle_hashes(F.col("sh")).alias("hv")))
-    sigs = shared(hv.select("doc_id", minhash_signature(F.col("hv")).alias("sig")))
+    sigs = sh.select("doc_id", minhash_signature(F.col("hv")).alias("sig"))
     cand = lsh_band_pairs(sigs, "doc_id", "sig")
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
