@@ -14,6 +14,8 @@ from hadoop_spark.functions.numeric import dsum_sql
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table
 from hadoop_spark.streaming.windows import (
+    ATTRIBUTION_US,
+    click_purchase_attribution,
     SESSION_GAP_US,
     SLIDE_US,
     TUMBLE_US,
@@ -142,6 +144,8 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from hadoop_spark.streaming.windows import (
+    ATTRIBUTION_US,
+    click_purchase_attribution,
         load_events_stream,
         run_to_memory,
         stateful_user_counts,
@@ -203,3 +207,24 @@ def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_dec").cast("double").alias("sum_value"),
         )
     )
+
+
+_SSJOIN_ORACLE = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) < epoch_us(c.ts) + {ATTRIBUTION_US}
+"""
+
+
+@query("stream_stream_join", _SSJOIN_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch execution of the stream-stream interval join
+    (streaming/windows.py click_purchase_attribution): purchases attributed
+    to same-user clicks within the preceding 30 minutes. Timestamp
+    comparisons are exact microsecond arithmetic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution(ev, ev)

@@ -129,6 +129,49 @@ def late_events(events: DataFrame, arrival_col: str = "event_id") -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW = "30 minutes"
+ATTRIBUTION_US = 1_800_000_000
+
+
+def click_purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Stream-stream interval join (conversion attribution): every purchase
+    matched to each click by the same user in the PRECEDING 30 minutes.
+
+    The join condition is a time interval on the event-time columns — in
+    streaming mode that (plus watermarks on both inputs) is what lets Spark
+    bound the join state: click state older than the purchase watermark
+    minus 30 min is evicted, so state is O(events in the interval window),
+    not O(stream length). Inner joins emit matches eagerly, so append-mode
+    output equals the batch join exactly. One shuffle on user_id per side
+    at any scale; the interval predicate is evaluated within the matched
+    key bucket.
+    """
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+
+
 def stateful_user_counts(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a running
     per-user (count, value-sum) maintained in explicit keyed state — the

@@ -51,3 +51,20 @@ def test_streaming_tumbling_append_watermark_emits_closed_windows(spark):
     assert set(got_rows) <= set(all_rows), "stream emitted a window batch never saw"
     assert set(closed) <= set(got_rows), "a closed window was not emitted"
     assert not (set(got_rows) & set(open_)) or True  # open windows may flush on availableNow end
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    from hadoop_spark.streaming.windows import click_purchase_attribution
+
+    clicks = load_events_stream(spark, SF_DIR).withWatermark("ts", WATERMARK_DELAY)
+    purchases = load_events_stream(spark, SF_DIR).withWatermark("ts", WATERMARK_DELAY)
+    got = run_to_memory(
+        click_purchase_attribution(clicks, purchases),
+        "t_ss_join",
+        output_mode="append",
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    want = click_purchase_attribution(ev, ev)
+    # Inner interval joins emit eagerly — append output must equal batch.
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
