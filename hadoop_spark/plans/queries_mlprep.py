@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from hadoop_spark.functions.hashing import portable_hash64, portable_hash64_sql
 from hadoop_spark.functions.numeric import PRECISION, davg, davg_sql, dsum, dsum_sql
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table
+from hadoop_spark.sources.tables import load_table, shared
 
 # ---------------------------------------------------------------------------
 # decimal(38) variants — for sums of squares/products whose unscaled totals
@@ -69,17 +69,19 @@ def pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(dsum(F.col("l_quantity")))
-    )
-    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
-    return (
-        piv.join(n, "l_returnflag")
-        .select(
-            "l_returnflag",
-            F.col("F").alias("qty_f"),
-            F.col("O").alias("qty_o"),
-            "n_rows",
+        .agg(
+            dsum(F.col("l_quantity")).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
         )
+    )
+    zero = F.lit(0).cast("bigint")
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        (F.coalesce(F.col("F_n"), zero) + F.coalesce(F.col("O_n"), zero)).alias(
+            "n_rows"
+        ),
     )
 
 
@@ -110,7 +112,11 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window, no driver collect.
     """
     orders = load_table(spark, sf_dir, "orders")
-    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    # shared(): both consumers (threshold stats + the filter) read the
+    # per-key counts from cache instead of re-running the scan+aggregate.
+    counts = shared(
+        orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     stats = counts.agg(
         F.count(F.lit(1)).alias("nkeys"), F.sum("cnt").alias("total")
     )

@@ -25,11 +25,20 @@ def _plan(spark, name: str) -> str:
 
 
 def _shuffles(plan: str) -> int:
-    return (
+    # Dedupe on plan_id: a cached (InMemoryRelation) subplan is PRINTED once
+    # per reference, but its exchange executes once.
+    ids = re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
+        r".*?\[plan_id=(\d+)\]",
+        plan,
+    )
+    unprinted = (
         plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning")
         + plan.count("Exchange SinglePartition")
+        - len(ids)
     )
+    return len(set(ids)) + unprinted
 
 
 @pytest.mark.parametrize(
@@ -72,3 +81,35 @@ def test_column_pruning_reaches_scan(spark):
 def test_q1_single_shuffle(spark):
     plan = _plan(spark, "tpch_q1")
     assert _shuffles(plan) <= 1, plan
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        # decorrelated EXISTS/NOT-EXISTS: join + final tiny agg share one
+        # hash(l_orderkey) clustering through the window + distinct
+        ("tpch_q21", 2),
+        # repartition(user_id) feeds groupBy, lead-window and explode —
+        # single shuffle, single scan, no join
+        ("gap_fill_events", 1),
+        # per-key aggregate + single-row stats broadcast back
+        # one shuffle inside the cached per-key counts + the
+        # single-row stats aggregate
+        ("heavy_hitters", 2),
+        ("pivot_flag_status", 2),
+        # stats shuffle + final z aggregate; stats side broadcast
+        ("zscore_by_group", 2),
+        # one global aggregate (partial + final over SinglePartition)
+        ("numeric_profile", 1),
+        ("train_test_split", 1),
+    ],
+)
+def test_shuffle_budget(spark, name, max_shuffles):
+    plan = _plan(spark, name)
+    assert _shuffles(plan) <= max_shuffles, plan
+
+
+def test_gap_fill_single_scan_no_join(spark):
+    plan = _plan(spark, "gap_fill_events")
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
