@@ -361,8 +361,15 @@ def connected_components(
                     ).alias("comp"),
                 )
             )
-            if (i + 1) % 5 == 0:
-                comp = comp.localCheckpoint(eager=True)
+            # Convergence check every OTHER round (labels are monotonically
+            # non-increasing, so a stale check only delays detection by one
+            # round). The eager localCheckpoint right before the check makes
+            # each driver job execute exactly the NEW rounds since the last
+            # one — lineage never exceeds two propagation steps, and the
+            # convergence aggregate reads the checkpointed result for free.
+            if i % 2 == 0 and i + 1 < max_iter:
+                continue
+            comp = comp.localCheckpoint(eager=True)
             s = comp.agg(F.sum("comp")).collect()[0][0]
             if s == prev_sum:
                 break

@@ -50,11 +50,16 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects. Read the raw int64 nanos (legacy conf) and
     truncate to microseconds — exactly what DuckDB/Arrow do when narrowing
-    ns → µs, so both engines see identical timestamps."""
+    ns → µs, so both engines see identical timestamps. Derived copies (e.g.
+    the scale probe's replicas, written by Spark) already carry µs
+    timestamps — detected by schema, no conversion."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def fanout_small(df: DataFrame) -> DataFrame:

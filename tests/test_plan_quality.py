@@ -20,6 +20,10 @@ load_all()
 
 
 def _plan(spark, name: str) -> str:
+    # Earlier tests may have left shared() persists populated; a cache hit
+    # swaps subtrees for InMemoryRelation and changes the printed plan.
+    # Gates must grade the cold plan shape.
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, SF_DIR)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -113,3 +117,40 @@ def test_gap_fill_single_scan_no_join(spark):
     plan = _plan(spark, "gap_fill_events")
     assert plan.count("FileScan") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_unbroadcastable_join(spark):
+    """At 100 TB a filtered dim can exceed the broadcast threshold; Spark's
+    runtime bloom filter then semi-join-prunes the fact side before the
+    shuffle (the Catalyst-native form of a bloom-filter pushdown). Locked
+    in here with thresholds scaled down to test data size."""
+    from hadoop_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
