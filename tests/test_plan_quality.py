@@ -154,3 +154,17 @@ def test_runtime_bloom_filter_prunes_unbroadcastable_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# Shuffle ceilings for the full adapted TPC-H catalog, captured at the
+# observed minimum plan shapes (most are a single shuffle; the rest carry
+# one extra for a second aggregate phase or a decorrelated subquery).
+_TPCH_BUDGET = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 1, 2, 1, 3, 2, 2, 1, 1, 2, 2, 2]
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [(f"tpch_q{i}", m) for i, m in enumerate(_TPCH_BUDGET, start=1)],
+)
+def test_tpch_shuffle_budget(spark, name, max_shuffles):
+    assert _shuffles(_plan(spark, name)) <= max_shuffles, name
