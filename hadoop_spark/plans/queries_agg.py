@@ -244,3 +244,111 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_distinct"),
     )
+
+
+_NTILE_ORACLE = """
+SELECT l_returnflag, q,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM (
+  SELECT l_returnflag, l_quantity,
+         CAST(NTILE(4) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_quantity, l_orderkey, l_linenumber)
+              AS INTEGER) AS q
+  FROM lineitem
+)
+GROUP BY l_returnflag, q
+"""
+
+
+@query("ntile_quartiles", _NTILE_ORACLE)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quartile assignment (stratification for sampling/binning):
+    NTILE within each returnflag, summarized per stratum. The window is
+    PARTITIONED — each group sorts independently, no global single-partition
+    bottleneck; tie-break on the unique key makes the assignment exact and
+    engine-independent."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_returnflag", "l_quantity", F.ntile(4).over(w).alias("q"))
+        .groupBy("l_returnflag", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+_MODE_ORACLE = """
+SELECT l_returnflag, o_orderpriority AS mode_priority, cnt
+FROM (
+  SELECT l_returnflag, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_returnflag, o_orderpriority
+)
+WHERE rn = 1
+"""
+
+
+@query("mode_per_group", _MODE_ORACLE)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent value per group (mode), ties broken lexicographically:
+    two-level aggregate — the (group, value) count shuffles once with
+    map-side partials, then the argmax window runs over the tiny per-group
+    count table. The giant-window anti-pattern (row_number over raw rows)
+    never appears; state per group is |distinct values|."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
+
+
+_ORDERED_CONCAT_ORACLE = """
+SELECT o_orderpriority,
+       STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("ordered_concat_per_group", _ORDERED_CONCAT_ORACLE)
+def ordered_concat_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: collect_set is unordered by design (shuffle
+    arrival order), so the engine-independent form is collect_set →
+    array_sort → concat_ws. The collected set is bounded by |distinct
+    statuses| per group — safe state at any scale (never collect unbounded
+    raw values)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
