@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import davg_sql, dsum, dsum_sql
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table
+from hadoop_spark.sources.tables import load_table, shared
 
 
 def _ts(lit: str) -> F.Column:
@@ -404,8 +404,14 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("total_revenue")
+    # shared(): the per-supplier revenue feeds BOTH the max-selection and
+    # the final join — without the cache each branch rescans lineitem.
+    rev = shared(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias(
+                "total_revenue"
+            )
+        )
     )
     best = rev.agg(F.max("total_revenue").alias("best_rev"))
     supp = load_table(spark, sf_dir, "supplier")

@@ -159,7 +159,7 @@ def test_runtime_bloom_filter_prunes_unbroadcastable_join(spark):
 # Shuffle ceilings for the full adapted TPC-H catalog, captured at the
 # observed minimum plan shapes (most are a single shuffle; the rest carry
 # one extra for a second aggregate phase or a decorrelated subquery).
-_TPCH_BUDGET = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 1, 2, 1, 3, 2, 2, 1, 1, 2, 2, 2]
+_TPCH_BUDGET = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 1, 2, 1, 2, 2, 2, 1, 1, 2, 2, 2]
 
 
 @pytest.mark.parametrize(
