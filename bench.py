@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     "multimodal_features",
     "tpch_q9",
     "teragen_sort",
+    # data-prep extensions: time-series regularization, skew diagnosis,
+    # stream-stream attribution, deterministic dataset split
+    "gap_fill_events",
+    "heavy_hitters",
+    "stream_stream_join",
+    "train_test_split",
 ]
 
 
