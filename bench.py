@@ -64,31 +64,41 @@ def main() -> None:
     # (Janino codegen compile, Python-worker pool spin-up, JIT warmup) that
     # a long-lived cluster amortizes across thousands of queries; the min
     # is the steady-state throughput the 100 TB sizing math needs.
+    # Per-query error isolation: a bench harness must degrade, not die —
+    # one broken query still yields timings for every other query, with the
+    # failure recorded in an "errors" map.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for it in range(2):
         for name in BENCH_QUERIES:
-            if name not in QUERIES:
+            if name not in QUERIES or name in errors:
                 continue
             t0 = time.time()
-            df = QUERIES[name](spark, SF_DIR)
-            # noop sink: executes the full physical plan (incl. sorts that a
-            # count() would let Catalyst elide) without driver-side transfer.
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = QUERIES[name](spark, SF_DIR)
+                # noop sink: executes the full physical plan (incl. sorts
+                # that a count() would let Catalyst elide) without
+                # driver-side transfer.
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                print(f"# {name}[{it}]: FAILED: {errors[name]}", file=sys.stderr)
+                continue
             took = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, float("inf")), took)
             print(f"# {name}[{it}]: done in {took}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_set_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

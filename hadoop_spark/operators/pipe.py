@@ -65,8 +65,14 @@ def pipe_with_counters(
 
     Implementation note: RDD.pipe exposes stdout only, so the counter
     variant runs the subprocess via mapPartitions + subprocess and parses
-    stderr per partition."""
+    stderr per partition. I/O is fully streamed — a writer thread feeds
+    stdin row-by-row while stdout is consumed incrementally and stderr is
+    drained on its own thread (the reference's exact architecture:
+    `PipeMapRed.java:293` output/err threads) — so memory per task is
+    O(pipe buffer), not O(partition), and a partition larger than the OS
+    pipe buffer cannot deadlock."""
     import subprocess
+    import threading
 
     spark = df.sparkSession
     acc = CounterAccumulator(spark)
@@ -92,25 +98,163 @@ def pipe_with_counters(
             stderr=subprocess.PIPE,
             text=True,
         )
-        payload = "".join(r[0] + "\n" for r in rows if r[0] is not None)
-        out, err = proc.communicate(payload)
         local: dict[tuple[str, str], int] = {}
-        for eline in err.splitlines():
-            if eline.startswith(COUNTER_PREFIX):
+
+        def feed_stdin():
+            try:
+                for r in rows:
+                    if r[0] is not None:
+                        proc.stdin.write(r[0] + "\n")
+            except BrokenPipeError:
+                pass  # command exited early (e.g. head) — not an error
+            finally:
                 try:
-                    group, name, amount = eline[len(COUNTER_PREFIX):].split(",", 2)
-                    key = (group, name)
-                    local[key] = local.get(key, 0) + int(amount)
-                except ValueError:
+                    proc.stdin.close()
+                except BrokenPipeError:
                     pass
+
+        def drain_stderr():
+            for eline in proc.stderr:
+                eline = eline.rstrip("\n")
+                if eline.startswith(COUNTER_PREFIX):
+                    try:
+                        group, name, amount = eline[len(COUNTER_PREFIX):].split(",", 2)
+                        key = (group, name)
+                        local[key] = local.get(key, 0) + int(amount)
+                    except ValueError:
+                        pass
+
+        writer = threading.Thread(target=feed_stdin, daemon=True)
+        errt = threading.Thread(target=drain_stderr, daemon=True)
+        writer.start()
+        errt.start()
+        for line in proc.stdout:
+            yield (line.rstrip("\n"),)
+        writer.join()
+        errt.join()
+        proc.wait()
         if local:
             counters.add(local)
-        for line in out.splitlines():
-            yield (line,)
 
     schema = StructType([StructField(out_col, StringType(), True)])
     out_df = spark.createDataFrame(lines.rdd.mapPartitions(run_partition), schema)
     return out_df, acc
+
+
+# ----------------------------------------------------------- typed bytes
+#
+# Hadoop Streaming's binary wire format (`-io typedbytes`;
+# `hadoop-streaming/.../typedbytes/TypedBytesInput.java:34`, `Type.java`):
+# one type-code byte, then a type-specific big-endian payload. Implemented
+# here so a user with a typed-bytes mapper/reducer binary has a migration
+# path. Codes are the public spec's: 0 bytes, 2 bool, 3 int, 4 long,
+# 6 double, 7 UTF-8 string.
+
+_TB_BYTES, _TB_BOOL, _TB_INT, _TB_LONG, _TB_DOUBLE, _TB_STRING = 0, 2, 3, 4, 6, 7
+
+
+def tb_encode(value) -> bytes:
+    """Encode one value as a typed-bytes record (`TypedBytesOutput.java`)."""
+    import struct
+
+    if isinstance(value, bool):
+        return struct.pack(">BB", _TB_BOOL, 1 if value else 0)
+    if isinstance(value, int):
+        if -(2**31) <= value < 2**31:
+            return struct.pack(">Bi", _TB_INT, value)
+        return struct.pack(">Bq", _TB_LONG, value)
+    if isinstance(value, float):
+        return struct.pack(">Bd", _TB_DOUBLE, value)
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+        return struct.pack(">BI", _TB_STRING, len(raw)) + raw
+    if isinstance(value, (bytes, bytearray)):
+        return struct.pack(">BI", _TB_BYTES, len(value)) + bytes(value)
+    raise TypeError(f"typed-bytes: unsupported type {type(value).__name__}")
+
+
+def tb_decode_stream(fh):
+    """Yield decoded values from a typed-bytes byte stream until EOF
+    (`TypedBytesInput.java:34` read loop)."""
+    import struct
+
+    while True:
+        code_b = fh.read(1)
+        if not code_b:
+            return
+        code = code_b[0]
+        if code == _TB_BOOL:
+            yield fh.read(1)[0] != 0
+        elif code == _TB_INT:
+            yield struct.unpack(">i", fh.read(4))[0]
+        elif code == _TB_LONG:
+            yield struct.unpack(">q", fh.read(8))[0]
+        elif code == _TB_DOUBLE:
+            yield struct.unpack(">d", fh.read(8))[0]
+        elif code in (_TB_STRING, _TB_BYTES):
+            (n,) = struct.unpack(">I", fh.read(4))
+            raw = fh.read(n)
+            yield raw.decode("utf-8") if code == _TB_STRING else raw
+        else:
+            raise ValueError(f"typed-bytes: unsupported type code {code}")
+
+
+def pipe_typedbytes(df: DataFrame, command: str, out_schema: str) -> DataFrame:
+    """:func:`pipe` speaking the typed-bytes protocol instead of text lines:
+    each input row's columns are written as consecutive typed-bytes records
+    to the command's stdin; stdout is decoded as typed-bytes and regrouped
+    into rows of `out_schema` (DDL string, e.g. ``"word string, n bigint"``
+    — field count sets the regrouping arity). One subprocess per partition,
+    streamed I/O (writer thread + incremental stdout reads), same process
+    lifecycle as :func:`pipe_with_counters`. Nulls are not representable in
+    the reference protocol and are rejected, as the reference would."""
+    import subprocess
+    import threading
+
+    spark = df.sparkSession
+    n_in = len(df.columns)
+    cmd = command
+
+    def run_partition(rows):
+        proc = subprocess.Popen(
+            cmd,
+            shell=True,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=False,
+        )
+
+        def feed_stdin():
+            try:
+                for r in rows:
+                    for i in range(n_in):
+                        proc.stdin.write(tb_encode(r[i]))
+            except BrokenPipeError:
+                pass
+            finally:
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
+
+        writer = threading.Thread(target=feed_stdin, daemon=True)
+        writer.start()
+        buf = []
+        for value in tb_decode_stream(proc.stdout):
+            buf.append(value)
+            if len(buf) == n_out:
+                yield tuple(buf)
+                buf = []
+        if buf:
+            raise ValueError(
+                f"typed-bytes: trailing {len(buf)} values do not fill a row"
+            )
+        writer.join()
+        proc.wait()
+
+    out_struct = StructType.fromDDL(out_schema)
+    n_out = len(out_struct.fields)
+    return spark.createDataFrame(df.rdd.mapPartitions(run_partition), out_struct)
 
 
 class CounterAccumulator:

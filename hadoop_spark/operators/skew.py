@@ -38,15 +38,20 @@ def salted_join(
     `hot_keys`: single-column frame of the skewed key values (broadcast);
     None ⇒ salt every key (uniform replication — simplest, costs ×R on the
     whole small side).
+
+    The big side's salt is a hash of the ROW'S OWN columns, never
+    `monotonically_increasing_id`: a mid-shuffle task retry recomputes the
+    same salt for every row, so shuffle consumers that already fetched
+    blocks see a consistent bucketing (retry-unstable salts are a classic
+    wrong-results-under-speculation hazard). Exact duplicate rows share a
+    bucket — harmless for correctness, negligible for balance.
     """
+    salt_expr = F.abs(F.hash(*[F.col(c) for c in big.columns])) % num_salts
     if hot_keys is not None:
         hot = F.broadcast(hot_keys.select(F.col(key).alias("__hot")))
         big_t = big.join(hot, big[key] == F.col("__hot"), "left").withColumn(
             "__salt",
-            F.when(
-                F.col("__hot").isNotNull(),
-                (F.abs(F.hash(F.monotonically_increasing_id())) % num_salts),
-            ).otherwise(F.lit(0)),
+            F.when(F.col("__hot").isNotNull(), salt_expr).otherwise(F.lit(0)),
         ).drop("__hot")
         small_t = (
             small.join(hot, small[key] == F.col("__hot"), "left")
@@ -62,9 +67,7 @@ def salted_join(
             .drop("__hot")
         )
     else:
-        big_t = big.withColumn(
-            "__salt", F.abs(F.hash(F.monotonically_increasing_id())) % num_salts
-        )
+        big_t = big.withColumn("__salt", salt_expr)
         small_t = small.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
         )

@@ -20,7 +20,7 @@ from hadoop_spark.sources.tables import load_table
 
 _AGG_FRAMEWORK_ORACLE = """
 SELECT l_returnflag,
-       SUM(l_linenumber) AS sum_line,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
        MAX(l_extendedprice) AS max_price,
        MIN(l_extendedprice) AS min_price,
        MAX(l_linestatus) AS max_status,
@@ -75,15 +75,34 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(li, "l_returnflag", "l_partkey")
 
 
-@query("uniq_approx")
+_UNIQ_APPROX_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("uniq_approx", _UNIQ_APPROX_ORACLE)
 def uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqValueCount's bounded-memory mode (maxNumItems cap,
-    `UniqValueCount.java:43`) → HLL sketch. No oracle: sketch estimates are
-    engine-specific; tests assert <5% relative error vs exact instead."""
+    `UniqValueCount.java:43`) → HLL sketch. The sketch estimate itself is
+    engine-specific, so the driver-checkable contract is (a) the exact
+    countDistinct and (b) a boolean asserting the HLL estimate landed
+    within ±5% of exact — which the oracle pins to TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("__approx") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -18,12 +18,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from hadoop_spark.operators.multimodal import as_media, extract_features
-from hadoop_spark.operators.pipe import pipe
+from hadoop_spark.operators.pipe import pipe, pipe_typedbytes
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.formats import (
     read_fixed_width,
     read_kv_text,
+    read_sequence_file,
     write_kv_text,
+    write_sequence_file,
     routed_write,
 )
 from hadoop_spark.sources.tables import load_table
@@ -125,6 +127,46 @@ def pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQFILE_ORACLE = """
+SELECT CAST(s_suppkey AS BIGINT) AS key, s_name AS value FROM supplier
+"""
+
+
+@query("seqfile_roundtrip", _SEQFILE_ORACLE)
+def seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile interop round trip (`COMMON/io/SequenceFile.java:209`):
+    supplier (suppkey, name) written as a real Hadoop SequenceFile
+    (LongWritable/Text via reverse auto-conversion), read back through
+    `sc.sequenceFile` into a DataFrame."""
+    import shutil
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("key"), F.col("s_name").alias("value")
+    )
+    path = _scratch(sf_dir, "seq_supplier")
+    shutil.rmtree(path, ignore_errors=True)
+    write_sequence_file(sup, path)
+    return read_sequence_file(spark, path)
+
+
+_TYPEDBYTES_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+"""
+
+
+@query("pipe_typedbytes", _TYPEDBYTES_ORACLE)
+def pipe_typedbytes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-bytes pipe protocol round trip
+    (`hadoop-streaming/.../typedbytes/TypedBytesInput.java:34` parity):
+    nation rows are encoded as typed-bytes records, streamed through an
+    identity executable (`cat` — exercising the full binary wire format in
+    both directions), and decoded back into rows."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"), "n_name"
+    )
+    return pipe_typedbytes(nation, "cat", "n_nationkey bigint, n_name string")
+
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        'text' AS kind,
@@ -147,7 +189,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UDAF_ORACLE = """
 SELECT l_returnflag,
-       SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sumsq_qty
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq_qty
 FROM lineitem
 GROUP BY l_returnflag
 """

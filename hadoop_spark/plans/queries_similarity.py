@@ -5,6 +5,8 @@ quantization — operators/similarity.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -168,6 +170,102 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_q",
             cos_q(int_dot(F.col("qq"), F.col("vq")), F.col("qn2"), F.col("vn2")),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "cos_q", "rnk")
+    )
+
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Materialize the IVF index: every vector stored under its cell via
+    `partitionBy("cell")`. This is the build-once step of a real ANN
+    service — at 100 TB the index write is the only full pass over the
+    vectors; every probe afterwards opens ONLY the nprobe cell directories
+    (partition pruning), never the other (1 - nprobe/ncells) of the data."""
+    emb = shared(with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings"))))
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "q",
+        "n2",
+        "cent_id",
+        cos_q(int_dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")).alias("c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "n2", F.col("cent_id").alias("cell"))
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+
+
+def probe_cells_for_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (query_id, cell) probe list: each query's N_PROBE nearest
+    centroids. Tiny by construction (queries × nprobe rows)."""
+    emb = with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    scored = qs.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"),
+        "cent_id",
+        cos_q(int_dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2")).alias("c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+
+
+def pruned_candidates(
+    spark: SparkSession, index_path: str, probes: DataFrame
+) -> DataFrame:
+    """Read ONLY the probed cells from the materialized index. The
+    `cell IN (...)` filter hits the partition column, so the scan's
+    PartitionFilters prune every non-probed cell directory — gated by
+    tests/test_plan_quality.py via `inputFiles()`. The probe-cell list is
+    queries×nprobe values; collecting it to build the IN-list is the same
+    affordable driver scalar as an IVF service's query-side routing."""
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    return spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+
+
+@query("ann_ivf_materialized", _IVF_ORACLE)
+def ann_ivf_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the index MATERIALIZED `partitionBy(cell)` (the scale path
+    the `ann_ivf_topk` docstring promises): build once, then candidate
+    search is a partition-pruned scan of only the probed cells. Result is
+    rank-identical to `ann_ivf_topk` / the oracle — integer-exact scoring
+    makes assignment and ranking deterministic."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_path = os.path.join(_REPO, ".tmp", "ivf", tag, "index")
+    build_ivf_index(spark, sf_dir, index_path)
+
+    probes = shared(probe_cells_for_queries(spark, sf_dir))
+    cand_src = pruned_candidates(spark, index_path, probes)
+    cand = (
+        probes.join(cand_src, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "q", "n2")
+    )
+    emb = with_quantized(load_table(spark, sf_dir, "embeddings"))
+    qsides = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    scored = cand.join(F.broadcast(qsides), "query_id").withColumn(
+        "cos_q", cos_q(int_dot(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
     return (

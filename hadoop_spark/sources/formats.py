@@ -143,6 +143,30 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     df.write.jdbc(url, table, mode=mode, properties=dict(options))
 
 
+def read_sequence_file(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """SequenceFile ingestion (`COMMON/io/SequenceFile.java:209`): the
+    migration path for a reference user's existing SequenceFile datasets.
+    Rides `sc.sequenceFile`, which resolves the header's key/value Writable
+    classes and converts to Python types (Text→str, Int/LongWritable→int,
+    BytesWritable→bytes); the result lands in a DataFrame so everything
+    downstream is Catalyst-planned. New data should be parquet (columnar,
+    prunable) — this reader exists for interop, not as the native format."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return rdd.toDF([key_col, value_col])
+
+
+def write_sequence_file(df: DataFrame, path: str) -> None:
+    """SequenceFile writer for interop round-trips (`SequenceFile.java:835`
+    Writer): first two columns become the (key, value) Writable pair via
+    Spark's reverse auto-conversion. Task-parallel, job-committed."""
+    df.rdd.map(lambda r: (r[0], r[1])).saveAsSequenceFile(path)
+
+
 def distcp(spark: SparkSession, src: str, dst: str, mode: str = "overwrite") -> int:
     """DistCp parity (`hadoop-tools/hadoop-distcp/.../DistCp.java:60`):
     parallel file copy through the engine — every file is a task, bytes

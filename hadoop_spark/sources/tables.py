@@ -47,18 +47,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read the raw int64 nanos (legacy conf) and
-    truncate to microseconds — exactly what DuckDB/Arrow do when narrowing
-    ns → µs, so both engines see identical timestamps. Derived copies (e.g.
-    the scale probe's replicas, written by Spark) already carry µs
-    timestamps — detected by schema, no conversion."""
+    """Normalize `events.ts` to session-TZ TIMESTAMP whatever the fixture's
+    physical type. The current fixtures store parquet `timestamp[us]` with
+    `isAdjustedToUTC=false`, which Spark 4 reads as TIMESTAMP_NTZ — a type
+    `F.unix_micros` and window functions reject. With the session timezone
+    pinned to UTC (see `_prep`) the NTZ→TIMESTAMP cast is value-preserving
+    and matches the oracle's naive-UTC timestamps bit-for-bit. A legacy
+    TIMESTAMP(NANOS) fixture (read as int64 via the nanosAsLong conf) is
+    truncated ns→µs exactly as DuckDB/Arrow narrow it."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -236,19 +236,28 @@ def batch_user_counts(events: DataFrame) -> DataFrame:
 # ------------------------------------------------------------- streaming IO
 
 def load_events_stream(spark, sf_dir: str) -> DataFrame:
-    """`events.parquet` as a file-source STREAM with the same ns→µs
-    normalization as the batch loader (sources/tables.py)."""
+    """`events.parquet` as a file-source STREAM with the same `ts`
+    normalization as the batch loader (sources/tables.py:_load_events):
+    TIMESTAMP_NTZ (current µs fixtures) casts to session-UTC TIMESTAMP,
+    legacy int64 nanos truncate ns→µs."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource wants a directory: stream the sf dir, glob-filtered
     # down to the events file.
-    return (
+    stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_to_memory(

@@ -91,3 +91,34 @@ def test_secondary_sort_orders_within_groups(spark, rows):
         vals = [v for _, v in items]
         assert vals == sorted(vals), f"group {g} not value-ordered: {vals}"
         assert [s for s, _ in items] == list(range(1, len(items) + 1))
+
+
+def test_salted_join_retry_stable_and_exact(spark):
+    """The salt must be a pure function of row content (never
+    monotonically_increasing_id): a speculative/retried task then recomputes
+    identical salt buckets, so shuffle consumers can't see rows move between
+    buckets. Gate: (a) results exactly match an unsalted join, (b) two
+    independent executions are identical, (c) hot keys genuinely scatter
+    across more than one salt bucket."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.operators.skew import salted_join, top_keys
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(400) for k in ([0] * 3 + [i % 7])], "k int, payload int"
+    )
+    small = spark.createDataFrame([(k, f"d{k}") for k in range(7)], "k int, name string")
+    hot = top_keys(big, "k", threshold=200)
+
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    got1 = sorted(map(tuple, salted_join(big, small, "k", hot_keys=hot).collect()))
+    got2 = sorted(map(tuple, salted_join(big, small, "k", hot_keys=hot).collect()))
+    assert got1 == want
+    assert got2 == got1
+
+    # the hot key's rows must actually be spread over >1 salt bucket
+    salt_expr = F.abs(F.hash(*[F.col(c) for c in big.columns])) % 8
+    n_buckets = (
+        big.filter(F.col("k") == 0).select(salt_expr.alias("s")).distinct().count()
+    )
+    assert n_buckets > 1

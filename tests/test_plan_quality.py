@@ -168,3 +168,32 @@ _TPCH_BUDGET = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 1, 2, 1, 2, 2, 2, 1, 1, 2, 2, 2
 )
 def test_tpch_shuffle_budget(spark, name, max_shuffles):
     assert _shuffles(_plan(spark, name)) <= max_shuffles, name
+
+
+def test_ivf_materialized_probe_is_partition_pruned(spark, tmp_path):
+    """The materialized IVF index promise: candidate reads open ONLY the
+    probed cell directories. The probe scan's plan must carry a
+    PartitionFilters entry on `cell`, and the probed-cell set must be a
+    strict subset of the index's cells (otherwise "pruning" is vacuous)."""
+    from hadoop_spark.plans.queries_similarity import (
+        N_CENTROIDS,
+        build_ivf_index,
+        probe_cells_for_queries,
+        pruned_candidates,
+    )
+
+    index = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, SF_DIR, index)
+    probes = probe_cells_for_queries(spark, SF_DIR)
+    cand = pruned_candidates(spark, index, probes)
+
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+
+    probed = {r.cell for r in probes.select("cell").distinct().collect()}
+    all_cells = {r.cell for r in spark.read.parquet(index).select("cell").distinct().collect()}
+    assert probed < all_cells, (probed, all_cells)
+    got_cells = {r.cell for r in cand.select("cell").distinct().collect()}
+    assert got_cells == probed & all_cells
