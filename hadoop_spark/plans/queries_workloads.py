@@ -349,3 +349,79 @@ def search_fanout_nqueens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_solutions"),
         F.min("placed").alias("first_solution"),
     )
+
+
+_JOBCONTROL_ORACLE = r"""
+WITH clean AS (
+  SELECT * FROM documents WHERE text IS NOT NULL AND n_chars > 0
+),
+words AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM clean
+)
+SELECT 'clean_docs' AS job, 'SUCCESS' AS state,
+       (SELECT COUNT(*) FROM clean) AS n_rows,
+       CAST(NULL AS VARCHAR) AS depends
+UNION ALL
+SELECT 'wordcount', 'SUCCESS',
+       (SELECT COUNT(DISTINCT word) FROM words WHERE word <> ''),
+       'clean_docs'
+UNION ALL
+SELECT 'lang_summary', 'SUCCESS',
+       (SELECT COUNT(DISTINCT lang) FROM clean), 'clean_docs'
+UNION ALL
+SELECT 'bad_job', 'FAILED', CAST(NULL AS BIGINT), 'clean_docs'
+UNION ALL
+SELECT 'downstream_of_bad', 'DEPENDENT_FAILED', CAST(NULL AS BIGINT), 'bad_job'
+"""
+
+
+@query("job_pipeline", _JOBCONTROL_ORACLE)
+def job_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JobControl parity (`lib/jobcontrol/JobControl.java:57`): a 5-job DAG
+    with a materialized parquet hand-off between stages, a deliberately
+    failing job, and the reference's DEPENDENT_FAILED propagation — the
+    counters report (job, state, n_rows, depends) is the query result, so
+    the state machine itself is oracle-checked."""
+    import os
+
+    from hadoop_spark.plans.jobcontrol import JobControl
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    stage = os.path.join(repo, ".tmp", "jobcontrol", tag, "clean_docs")
+
+    def clean_docs() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.col("n_chars") > 0)
+        )
+        docs.write.mode("overwrite").parquet(stage)
+        return spark.read.parquet(stage)
+
+    def wordcount() -> DataFrame:
+        return (
+            spark.read.parquet(stage)
+            .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+            .filter(F.col("word") != "")
+            .select("word")
+            .distinct()
+        )
+
+    def lang_summary() -> DataFrame:
+        return spark.read.parquet(stage).select("lang").distinct()
+
+    def bad_job() -> DataFrame:
+        return spark.read.parquet(stage).select("no_such_column")
+
+    def downstream_of_bad() -> DataFrame:  # pragma: no cover — never runs
+        return spark.read.parquet(stage)
+
+    jc = (
+        JobControl(spark)
+        .add("clean_docs", clean_docs)
+        .add("wordcount", wordcount, depends=("clean_docs",))
+        .add("lang_summary", lang_summary, depends=("clean_docs",))
+        .add("bad_job", bad_job, depends=("clean_docs",))
+        .add("downstream_of_bad", downstream_of_bad, depends=("bad_job",))
+    )
+    jc.run()
+    return jc.report()
