@@ -67,12 +67,22 @@ def main() -> None:
     # Per-query error isolation: a bench harness must degrade, not die —
     # one broken query still yields timings for every other query, with the
     # failure recorded in an "errors" map.
+    # Passes run BACK-TO-BACK per query (not two interleaved sweeps): the
+    # JVM's generated-code cache is a bounded LRU, and 20+ other queries
+    # between two runs of the same query evict its compiled stages — the
+    # second pass would re-pay Janino compile and the "min" would measure
+    # compilation, not execution.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for it in range(2):
-        for name in BENCH_QUERIES:
-            if name not in QUERIES or name in errors:
-                continue
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        for it in range(2):
+            # Cold, self-contained runs: earlier queries' (and the previous
+            # pass's) shared() persists otherwise pile up and their
+            # memory/GC pressure bleeds into later timings (caching WITHIN
+            # a query still counts — it happens after this point).
+            spark.catalog.clearCache()
             t0 = time.time()
             try:
                 df = QUERIES[name](spark, SF_DIR)
@@ -84,7 +94,7 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 timings.pop(name, None)
                 print(f"# {name}[{it}]: FAILED: {errors[name]}", file=sys.stderr)
-                continue
+                break
             took = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, float("inf")), took)
             print(f"# {name}[{it}]: done in {took}s", file=sys.stderr)

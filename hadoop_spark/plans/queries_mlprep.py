@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.functions.hashing import portable_hash64, portable_hash64_sql
 from hadoop_spark.functions.numeric import PRECISION, davg, davg_sql, dsum, dsum_sql
+from hadoop_spark.functions.text import ws_token_count, ws_token_count_sql
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table, shared
 
@@ -372,4 +373,137 @@ def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("z").alias("min_z"),
         F.max("z").alias("max_z"),
         dsum(F.col("z"), 6).alias("sum_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — concatenate documents into fixed-token-budget training
+# sequences. The standard pretraining packer: docs are ordered inside a
+# shard, the running token total assigns each doc to bin floor(tokens-
+# before / budget) (documents straddle bin boundaries, exactly like causal-
+# LM concat-and-chunk packing). Sharding first (hash of doc_id) is the 100
+# TB shape: packing is embarrassingly parallel per shard — the window sort
+# runs per-shard, never a global single-partition sort.
+
+_PACK_SHARDS = 8
+_PACK_BUDGET = 4096
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         ({portable_hash64_sql('doc_id', 'pack')} % {_PACK_SHARDS}) AS shard,
+         {ws_token_count_sql('text')} AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(floor(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / {_PACK_BUDGET}) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT shard, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed
+GROUP BY shard, bin
+"""
+
+
+@query("sequence_packing", _PACK_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into {_PACK_BUDGET}-token training sequences, 8-way
+    sharded. Per (shard, bin): doc count, token total, first doc — the
+    manifest a sequence-builder job would consume."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        (portable_hash64(F.col("doc_id"), "pack") % _PACK_SHARDS).alias("shard"),
+        ws_token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET
+        ).cast("bigint"),
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — flag training docs sharing any word-8-gram
+# with an eval/benchmark set (here: every 97th doc stands in as "eval").
+# The scalable shape is the inverted-index join on shingle HASH (posting
+# lists, like dedup_ngram_jaccard): cost is proportional to total shingle
+# occurrences on the eval side — tiny — never |train| × |eval|.
+
+_DECON_N = 8  # 8-gram overlap, the common contamination criterion
+
+
+def _ngram_sql(col: str, n: int) -> str:
+    # word n-grams in DuckDB: slide over the token list
+    return (
+        f"list_transform(range(1, len({col}) - {n} + 2), "
+        f"i -> array_to_string({col}[i:i+{n - 1}], ' '))"
+    )
+
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, unnest({_ngram_sql('w', _DECON_N)}) AS g
+  FROM toks WHERE len(w) >= {_DECON_N}
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+train_grams AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT t.doc_id AS train_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM train_grams t JOIN eval_grams e ON t.g = e.g
+GROUP BY t.doc_id
+"""
+
+
+@query("decontaminate", _DECON_ORACLE)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set contamination scan: training docs sharing ≥1 distinct
+    word-{_DECON_N}-gram with the eval set, with the shared-gram count.
+    Eval grams are deduped and (being small) broadcast; the train side
+    streams map-side against them — no shuffle of the training corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w"),
+    ).filter(F.size("w") >= _DECON_N)
+    grams = shared(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _DECON_N),
+                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, _DECON_N)),
+                )
+            ).alias("g"),
+        )
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    train_grams = grams.filter(F.col("doc_id") % 97 != 0).select("doc_id", "g").distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy(F.col("doc_id").alias("train_doc"))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
