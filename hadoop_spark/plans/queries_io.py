@@ -209,3 +209,109 @@ def pandas_udaf_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(sumsq(F.col("l_quantity")).alias("sumsq_qty"))
+
+
+# ---------------------------------------------------------------------------
+# Columnar/text source-sink matrix beyond the reference's formats. The
+# reference's IO story is InputFormat/OutputFormat pairs over text and
+# SequenceFile (`lib/input/TextInputFormat.java:43`, `SequenceFile.java:209`);
+# a complete Spark-native engine also speaks CSV, JSON lines, and ORC with
+# the same committer-atomic distributed writes, schema-on-read, and (for
+# ORC) columnar pruning/pushdown parity with parquet.
+
+_CSV_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 1000
+"""
+
+
+@query("csv_roundtrip", _CSV_ORACLE)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → schema'd read round trip (header on, explicit schema on
+    read so types survive; the filter applies post-read)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    path = _scratch(sf_dir, "csv_customer")
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema("c_custkey bigint, c_name string, c_acctbal double")
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.filter(F.col("c_acctbal") > 1000)
+
+
+_JSON_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@query("json_roundtrip", _JSON_ORACLE)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write → schema'd read round trip (one JSON object per
+    line — the splittable layout; schema pinned on read so column types
+    don't depend on inference order)."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _scratch(sf_dir, "json_nation")
+    nation.write.mode("overwrite").json(path)
+    return spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint").json(
+        path
+    )
+
+
+_ORC_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_price_str
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@query("orc_roundtrip", _ORC_ORACLE)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read → aggregate: the second columnar format, with the
+    same predicate-pushdown/column-pruning behavior as parquet (both ride
+    the DataSource v1 FileFormat path). The aggregate proves values survive
+    the round trip bit-exactly (decimal-quantized sum rendered as string)."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "orc_orders")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("o_orderstatus") == "O")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("string")
+        .alias("sum_price_str"),
+    )
+
+
+_GZIP_ORACLE = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT word, COUNT(*) AS n FROM words WHERE word <> '' GROUP BY word
+"""
+
+
+@query("gzip_text_read", _GZIP_ORACLE)
+def gzip_text_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text ingestion (`COMMON/io/compress/GzipCodec.java`
+    parity): documents written as gzip text, read back transparently by
+    codec-extension detection, wordcounted. Gzip is unsplittable — one task
+    per file, exactly the reference's constraint — so the write fans out to
+    many files first (each ≤ one split's worth), which is the production
+    layout that keeps compressed ingestion parallel at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    path = _scratch(sf_dir, "gzip_docs")
+    docs.select("text").write.mode("overwrite").option("compression", "gzip").text(path)
+    lines = spark.read.text(path)
+    return (
+        lines.select(F.explode(F.split(F.lower("value"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -308,3 +308,49 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no distinct needed: an error row has exactly one bucket and each
     # purchase probes two DISTINCT buckets, so a pair matches at most once.
+
+
+_CDC_ORACLE_TMPL = """
+WITH merged AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 20 <> 0
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, {sum_price} AS sum_price
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+def _cdc_oracle() -> str:
+    from hadoop_spark.functions.numeric import dsum_sql
+
+    return _CDC_ORACLE_TMPL.format(sum_price=dsum_sql("price"))
+
+
+@query("cdc_merge", _cdc_oracle())
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (keep-latest-by-key with tombstones;
+    `hadoop-datajoin/.../DataJoinReducerBase.java:90` resolve-per-key
+    parity): a delta of updates (every 10th order, repriced) and deletes
+    (every 20th order) merges onto the orders snapshot in one shuffle;
+    result verified via a post-merge aggregate."""
+    from hadoop_spark.functions.numeric import dsum
+    from hadoop_spark.operators.cdc import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
+    )
+    snapshot = orders.withColumn("v", F.lit(1))
+    changed = orders.filter(F.col("o_orderkey") % 10 == 0)
+    delta = changed.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("price") + 1000).alias("price"),
+        F.lit(2).alias("v"),
+        (F.col("o_orderkey") % 20 == 0).alias("deleted"),
+    )
+    merged = merge_upsert(snapshot, delta, "o_orderkey", "v", delete_col="deleted")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("price")).alias("sum_price")
+    )

@@ -200,3 +200,47 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.lag("o_orderdate").over(w).cast("timestamp"))
         ).alias("us_since_prev"),
     )
+
+
+def _zorder_oracle() -> str:
+    from hadoop_spark.functions.numeric import dsum_sql
+    from hadoop_spark.operators.layout import zvalue2_sql
+
+    z = zvalue2_sql("o_custkey", "o_orderkey // 16")
+    return f"""
+SELECT ({z} % 64) AS zb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+@query("zorder_layout", _zorder_oracle())
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered layout — the multi-dimensional upgrade of
+    TotalOrderPartitioner's single-key ranges (`lib/partition/
+    TotalOrderPartitioner.java:54`): orders are written clustered by the
+    bit-interleave of (o_custkey, o_orderkey/16), so parquet min/max stats
+    prune selective scans on EITHER column (gated in tests/test_layout.py).
+    The query re-reads the clustered copy and aggregates by z-bucket,
+    oracle-checking the Morton arithmetic and the write→read round trip."""
+    import os
+
+    from hadoop_spark.functions.numeric import dsum
+    from hadoop_spark.operators.layout import write_zordered, zvalue2
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo, ".tmp", "zorder", tag, "orders")
+
+    orders = load_table(spark, sf_dir, "orders")
+    write_zordered(
+        orders, path, F.col("o_custkey"), F.col("o_orderkey") / 16, num_files=16
+    )
+    back = spark.read.parquet(path)
+    z = zvalue2(F.col("o_custkey"), F.floor(F.col("o_orderkey") / 16))
+    return (
+        back.withColumn("zb", z % 64)
+        .groupBy("zb")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("sum_price"))
+    )
