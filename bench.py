@@ -49,6 +49,13 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "stream_stream_join",
     "train_test_split",
+    # round-2 extensions: token packing, eval-overlap scan, CDC upsert,
+    # multi-dim clustered layout, real media decode
+    "sequence_packing",
+    "decontaminate",
+    "cdc_merge",
+    "zorder_layout",
+    "multimodal_decode",
 ]
 
 

@@ -315,3 +315,75 @@ def gzip_text_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_DECODE_ORACLE = """
+WITH img AS (
+  SELECT d.doc_id,
+         CAST(SUM((d.doc_id * 7919 + r.i) % 256) AS BIGINT) AS sum_pixel
+  FROM documents d CROSS JOIN (SELECT unnest(range(288)) AS i) r
+  WHERE d.doc_id % 2 = 0
+  GROUP BY d.doc_id
+),
+aud AS (
+  SELECT d.doc_id,
+         CAST(64 + d.doc_id % 64 AS BIGINT) AS n_samples,
+         CAST(SUM(ABS((d.doc_id * 31 + r.i * 17) % 65536 - 32768)) AS BIGINT) AS sum_abs
+  FROM documents d CROSS JOIN (SELECT unnest(range(128)) AS i) r
+  WHERE d.doc_id % 2 = 1 AND r.i < 64 + d.doc_id % 64
+  GROUP BY d.doc_id
+)
+SELECT doc_id, 'image' AS kind,
+       CAST(12 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height, sum_pixel,
+       CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS BIGINT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS sum_abs, TRUE AS decoded
+FROM img
+UNION ALL
+SELECT doc_id, 'audio',
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       n_samples, CAST(8000 AS BIGINT), sum_abs, TRUE
+FROM aud
+"""
+
+
+@query("multimodal_decode", _DECODE_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: every even doc becomes a deterministic
+    PPM P6 image and every odd doc a PCM WAV clip (both synthesized from
+    doc_id — pure functions, so the decoded features are SQL-computable);
+    the decoders parse real headers/PCM frames in Arrow-batched
+    mapInPandas (operators/multimodal.py decode_ppm / decode_wav). The
+    oracle recomputes pixel sums and |sample| sums from the generator
+    formulas — a decode bug (endianness, header offset, frame width)
+    cannot hash-match."""
+    from pyspark.sql.types import BinaryType
+
+    from hadoop_spark.operators.multimodal import (
+        decode_features,
+        make_ppm,
+        make_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf(BinaryType())
+    def ppm_bytes(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda s: make_ppm(int(s)))
+
+    @pandas_udf(BinaryType())
+    def wav_bytes(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda s: make_wav(int(s)))
+
+    images = as_media(
+        docs.filter(F.col("doc_id") % 2 == 0).withColumn("payload", ppm_bytes("doc_id")),
+        "doc_id",
+        "payload",
+        kind="image",
+    )
+    audio = as_media(
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn("payload", wav_bytes("doc_id")),
+        "doc_id",
+        "payload",
+        kind="audio",
+    )
+    return decode_features(images.unionByName(audio))

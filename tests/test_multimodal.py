@@ -63,3 +63,41 @@ def test_features_on_transformed_media(spark):
     out = extract_features(transform_media(_media(spark), {"scale": 0.25}))
     rows = out.collect()
     assert rows and all(r.content_md5 and not r.decoded for r in rows)
+
+
+def test_ppm_codec_roundtrip():
+    from hadoop_spark.operators.multimodal import PPM_H, PPM_W, decode_ppm, make_ppm
+
+    f = decode_ppm(make_ppm(42))
+    assert (f["width"], f["height"]) == (PPM_W, PPM_H)
+    assert f["n_pixels"] == PPM_W * PPM_H * 3
+    assert f["sum_pixel"] == sum((42 * 7919 + i) % 256 for i in range(PPM_W * PPM_H * 3))
+    assert f["decoded"]
+    # comment lines in the header are tolerated (real-world PPMs have them)
+    with_comment = b"P6\n# made by hand\n2 1\n255\n" + bytes(6)
+    g = decode_ppm(with_comment)
+    assert (g["width"], g["height"], g["sum_pixel"]) == (2, 1, 0)
+
+
+def test_wav_codec_roundtrip():
+    from hadoop_spark.operators.multimodal import WAV_RATE, decode_wav, make_wav
+
+    f = decode_wav(make_wav(7))
+    n = 64 + 7 % 64
+    assert f["n_samples"] == n
+    assert f["sample_rate"] == WAV_RATE
+    assert f["sum_abs"] == sum(abs((7 * 31 + i * 17) % 65536 - 32768) for i in range(n))
+
+
+def test_decode_features_skips_malformed_media(spark):
+    """Bad-record stance: a corrupt payload yields decoded=false, never a
+    task failure."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.operators.multimodal import as_media, decode_features, make_ppm
+
+    rows = [(1, make_ppm(1)), (2, b"garbage not a ppm")]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = decode_features(as_media(df, "doc_id", "payload", kind="image"))
+    got = {r.doc_id: r.decoded for r in out.collect()}
+    assert got == {1: True, 2: False}
