@@ -141,6 +141,74 @@ def pipe_with_counters(
     return out_df, acc
 
 
+def pipe_shipped_script(
+    df: DataFrame,
+    script_path: str,
+    interpreter: str = "python3",
+    line_col: str | None = None,
+    out_col: str = "line",
+) -> DataFrame:
+    """Hadoop Streaming's ``-file`` flag: ship a local script to every
+    executor and pipe through it. The reference stages the file in the
+    DistributedCache (`MR-CORE/mapreduce/filecache/DistributedCache.java:107`,
+    streaming's StreamJob `-file` handling); Spark's `sc.addFile` +
+    `SparkFiles.get` is the same push-once-per-node mechanism — at 1000
+    executors the script uploads once to the cluster, not once per task."""
+    import os
+
+    spark = df.sparkSession
+    spark.sparkContext.addFile(script_path)
+    name = os.path.basename(script_path)
+
+    # Resolve the cached copy lazily ON THE EXECUTOR (SparkFiles.get gives
+    # the task-local path), not on the driver.
+    if line_col is not None:
+        lines = df.select(F.col(line_col).cast("string"))
+    elif len(df.columns) == 1:
+        lines = df.select(F.col(df.columns[0]).cast("string"))
+    else:
+        lines = df.select(
+            F.concat_ws("\t", *[F.col(c).cast("string") for c in df.columns])
+        )
+
+    def run_partition(rows):
+        import subprocess
+
+        from pyspark import SparkFiles
+
+        local = SparkFiles.get(name)
+        proc = subprocess.Popen(
+            [interpreter, local],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        import threading
+
+        def feed():
+            try:
+                for r in rows:
+                    if r[0] is not None:
+                        proc.stdin.write(r[0] + "\n")
+            except BrokenPipeError:
+                pass
+            finally:
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        for line in proc.stdout:
+            yield (line.rstrip("\n"),)
+        t.join()
+        proc.wait()
+
+    schema = StructType([StructField(out_col, StringType(), True)])
+    return spark.createDataFrame(lines.rdd.mapPartitions(run_partition), schema)
+
+
 # ----------------------------------------------------------- typed bytes
 #
 # Hadoop Streaming's binary wire format (`-io typedbytes`;

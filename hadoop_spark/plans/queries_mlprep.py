@@ -507,3 +507,50 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("train_doc"))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling — per-stratum deterministic hash sampling (sampleBy
+# with reproducibility): each stratum gets its own rate, membership is a
+# pure function of (doc_id, salt) exactly like train_test_split, so the
+# sample is stable under retries/repartitioning and auditable at 100 TB.
+
+_STRATA_RATES = {"en": 50, "de": 20, "fr": 20, "es": 20}  # percent per lang
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items()
+    )
+    return f"(CASE lang {whens} ELSE 10 END)"
+
+
+_STRAT_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE ({portable_hash64_sql('doc_id', 'strat')} % 100) < {_strata_case_sql()}
+GROUP BY lang
+"""
+
+
+@query("stratified_sample", _STRAT_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (50% en, 20% de/fr/es, 10%
+    otherwise): the `df.sampleBy` use-case with hash membership instead of
+    RNG, so the sample is identical across engines, retries, and runs.
+    Map-side filter + one aggregate — no shuffle of unsampled rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id"), "strat") % 100
+    rate = F.lit(10)
+    for k, v in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -55,3 +55,19 @@ def test_observe_metrics(spark):
     got = obs.get
     want = li.selectExpr("count(1)", "sum(l_linenumber)").collect()[0]
     assert got["rows"] == want[0] and got["lines"] == want[1]
+
+
+def test_pipe_shipped_script(spark, tmp_path):
+    """DistributedCache/-file parity: the mapper script is shipped via
+    sc.addFile and resolved executor-side with SparkFiles.get."""
+    from hadoop_spark.operators.pipe import pipe_shipped_script
+
+    script = tmp_path / "upper_mapper.py"
+    script.write_text(
+        "import sys\nfor line in sys.stdin:\n    sys.stdout.write(line.upper())\n"
+    )
+    nation = load_table(spark, SF_DIR, "nation").select("n_name")
+    out = pipe_shipped_script(nation, str(script))
+    assert sorted(r.line for r in out.collect()) == sorted(
+        r.n_name.upper() for r in nation.collect()
+    )

@@ -197,3 +197,25 @@ def test_ivf_materialized_probe_is_partition_pruned(spark, tmp_path):
     assert probed < all_cells, (probed, all_cells)
     got_cells = {r.cell for r in cand.select("cell").distinct().collect()}
     assert got_cells == probed & all_cells
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        ("sequence_packing", 1),   # the per-shard window, nothing else
+        ("decontaminate", 3),      # gram persist + two distincts; join is broadcast
+        ("cdc_merge", 2),          # keep-latest window + the verify aggregate
+        ("stratified_sample", 1),  # map-side filter + one aggregate
+        ("job_pipeline", 0),       # report is driver-built scalars
+    ],
+)
+def test_round2_shuffle_budget(spark, name, max_shuffles):
+    assert _shuffles(_plan(spark, name)) <= max_shuffles, name
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-gram inverted index must broadcast: a shuffled join here
+    would move the full training-gram table at 100 TB."""
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -77,3 +77,25 @@ def test_pipe_streams_partition_larger_than_pipe_buffer(spark):
     out, counters = pipe_with_counters(df, "cat")
     assert out.count() == n
     assert counters.value() == {}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+tb_value = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+    st.binary(max_size=40),
+)
+
+
+@given(vals=st.lists(tb_value, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_tb_codec_property_roundtrip(vals):
+    """Any sequence of protocol-representable values survives encode →
+    concatenate → decode byte-exactly (the wire-format contract a real
+    typed-bytes mapper binary depends on)."""
+    blob = b"".join(tb_encode(v) for v in vals)
+    assert list(tb_decode_stream(io.BytesIO(blob))) == vals
