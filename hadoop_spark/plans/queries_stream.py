@@ -228,3 +228,49 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons are exact microsecond arithmetic in both engines."""
     ev = load_table(spark, sf_dir, "events")
     return click_purchase_attribution(ev, ev)
+
+
+_INC_MERGE_ORACLE = """
+SELECT user_id,
+       MAX(event_id) AS v,
+       arg_max(value, event_id) AS last_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("incremental_merge", _INC_MERGE_ORACLE)
+def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert into a versioned snapshot (streaming/incremental.py):
+    events split into 4 files stream through foreachBatch
+    (maxFilesPerTrigger=1 → multiple micro-batches), each batch merging
+    keep-latest-by-event_id per user onto the previous snapshot version.
+    The final snapshot must equal the batch argmax — which is exactly the
+    oracle. Batch retries are idempotent (version dir keyed by batch id)."""
+    import os
+    import shutil
+
+    from hadoop_spark.streaming.incremental import (
+        current_snapshot,
+        stream_merge_to_snapshot,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(repo, ".tmp", "incmerge", tag)
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    snap = os.path.join(base, "snapshot")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("v"), F.col("value").alias("last_value")
+    )
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_merge_to_snapshot(stream, snap, key="user_id", version_col="v")
+    return current_snapshot(spark, snap).select("user_id", "v", "last_value")
