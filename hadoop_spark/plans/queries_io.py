@@ -93,7 +93,13 @@ def routed_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     path = _scratch(sf_dir, "routed_orders")
     routed_write(orders, path, "o_orderstatus")
-    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    # explicit schema: a routed write of ZERO rows leaves no data files to
+    # infer from (empty-day pipelines) — the read must still resolve
+    back = (
+        spark.read.schema(orders.schema)
+        .parquet(path)
+        .filter(F.col("o_orderstatus") == "F")
+    )
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),

@@ -229,17 +229,23 @@ def probe_cells_for_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INDEX_SCHEMA = "vec_id bigint, q array<bigint>, n2 bigint, cell bigint"
+
+
 def pruned_candidates(
     spark: SparkSession, index_path: str, probes: DataFrame
 ) -> DataFrame:
     """Read ONLY the probed cells from the materialized index. The
     `cell IN (...)` filter hits the partition column, so the scan's
     PartitionFilters prune every non-probed cell directory — gated by
-    tests/test_plan_quality.py via `inputFiles()`. The probe-cell list is
-    queries×nprobe values; collecting it to build the IN-list is the same
-    affordable driver scalar as an IVF service's query-side routing."""
+    tests/test_plan_quality.py. The probe-cell list is queries×nprobe
+    values; collecting it to build the IN-list is the same affordable
+    driver scalar as an IVF service's query-side routing. Schema is pinned
+    (an index built from ZERO vectors has no data files to infer from)."""
     cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
-    return spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return (
+        spark.read.schema(INDEX_SCHEMA).parquet(index_path).filter(F.col("cell").isin(cells))
+    )
 
 
 @query("ann_ivf_materialized", _IVF_ORACLE)
