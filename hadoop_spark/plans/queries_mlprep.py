@@ -554,3 +554,82 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit — declarative expectations over a table, one report
+# row per check. The validation pass every ingest runs before a 100 TB job
+# wastes a cluster-day on bad data. Checks are plain aggregates (one pass
+# per table + one anti-join for the FK) — no row-level data leaves the
+# executors, only violation COUNTS.
+
+_DQ_ORACLE = """
+SELECT 'orders' AS tbl, 'unique o_orderkey' AS chk,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_custkey not null',
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_totalprice > 0',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'l_quantity in [1,50]',
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'fk l_orderkey -> orders',
+       CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+"""
+
+
+@query("data_quality_audit", _DQ_ORACLE)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations report: uniqueness, null, range, and referential checks
+    as (tbl, chk, n_violations, n_rows) rows. Each check is a single
+    aggregate pass; the FK check is a left-anti join count."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(tbl: str, chk: str, viol: F.Column, n: F.Column, src: DataFrame) -> DataFrame:
+        return src.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(chk).alias("chk"),
+            viol.cast("bigint").alias("n_violations"),
+            n.cast("bigint").alias("n_rows"),
+        )
+
+    cnt = F.count(F.lit(1))
+    checks = [
+        row("orders", "unique o_orderkey",
+            cnt - F.countDistinct("o_orderkey"), cnt, orders),
+        row("orders", "o_custkey not null",
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)), cnt, orders),
+        row("orders", "o_totalprice > 0",
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)), cnt, orders),
+        row("lineitem", "l_quantity in [1,50]",
+            F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)),
+            cnt, li),
+    ]
+    orphans = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("viol"))
+    li_n = li.agg(F.count(F.lit(1)).alias("n"))
+    fk = orphans.crossJoin(li_n).select(
+        F.lit("lineitem").alias("tbl"),
+        F.lit("fk l_orderkey -> orders").alias("chk"),
+        F.col("viol").cast("bigint").alias("n_violations"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.unionByName(fk)

@@ -132,3 +132,52 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("p.k")).alias("min_k"),
         F.max(F.col("p.k")).alias("max_k"),
     )
+
+
+_VOCAB_N = 1000
+
+_VOCAB_ORACLE = rf"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+freq AS (
+  SELECT word, COUNT(*) AS c FROM words WHERE word <> '' GROUP BY word
+),
+vocab AS (
+  SELECT word, c FROM (
+    SELECT word, c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rn FROM freq
+  ) WHERE rn <= {_VOCAB_N}
+)
+SELECT CAST((SELECT COUNT(*) FROM vocab) AS BIGINT) AS vocab_size,
+       CAST((SELECT SUM(c) FROM freq) AS BIGINT) AS total_tokens,
+       CAST((SELECT SUM(c) FROM vocab) AS BIGINT) AS covered_tokens
+"""
+
+
+@query("vocab_coverage", _VOCAB_ORACLE)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing: how much of the token stream the top-N
+    words cover (the first question before training/choosing a tokenizer).
+    One wordcount shuffle; the top-N cut is `orderBy().limit(N)` — Spark
+    plans TakeOrderedAndProject, a per-partition partial top-N merged at
+    the driver, NOT a single-partition global sort — with ties broken on
+    the word so the cut is deterministic. At 100 TB the frequency table is
+    ~vocabulary-sized (millions of rows), never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    freq = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from hadoop_spark.sources.tables import shared
+
+    freq = shared(freq)
+    vocab = freq.orderBy(F.desc("c"), F.asc("word")).limit(_VOCAB_N)
+    totals = freq.agg(F.sum("c").alias("total_tokens"))
+    vstats = vocab.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("covered_tokens"),
+    )
+    return vstats.crossJoin(totals).select("vocab_size", "total_tokens", "covered_tokens")
