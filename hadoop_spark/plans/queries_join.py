@@ -354,3 +354,56 @@ def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum(F.col("price")).alias("sum_price")
     )
+
+
+def _bucketed_oracle() -> str:
+    from hadoop_spark.functions.numeric import dsum_sql
+
+    return f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+@query("bucketed_join_agg", _bucketed_oracle())
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompositeInputFormat map-side merge join, driver-verified
+    (`lib/join/CompositeInputFormat.java:56`): orders and lineitem are
+    written as identically bucketed+sorted tables (the one agreed-
+    partitioner shuffle, paid at layout time), then the equi-join compiles
+    shuffle-free on both sides (zero-Exchange plan gated in
+    tests/test_bucketed_join.py) and feeds the revenue aggregate. Tables
+    live in an explicit database under <repo>/.tmp so the warehouse never
+    lands in an arbitrary cwd."""
+    import os
+
+    from hadoop_spark.functions.numeric import dsum
+    from hadoop_spark.sources.bucketed import colocated_join, write_bucketed
+
+    import shutil
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    wh = os.path.join(repo, ".tmp", "warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '{wh}'")
+    # a FRESH session's in-memory catalog doesn't know about a previous
+    # run's managed-table directories — drop and clear so saveAsTable
+    # never hits LOCATION_ALREADY_EXISTS
+    for t in ("bq_orders", "bq_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS graft_wh.{t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), "l_extendedprice"
+    )
+    write_bucketed(orders, "graft_wh.bq_orders", ["key"], 8)
+    write_bucketed(li, "graft_wh.bq_lineitem", ["key"], 8)
+    joined = colocated_join(spark, "graft_wh.bq_orders", "graft_wh.bq_lineitem", on=["key"])
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_extendedprice")).alias("sum_price")
+    )
