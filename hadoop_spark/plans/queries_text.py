@@ -181,3 +181,68 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("covered_tokens"),
     )
     return vstats.crossJoin(totals).select("vocab_size", "total_tokens", "covered_tokens")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — redact emails/URLs before text enters a training corpus.
+# The synthetic fixture has no natural PII, so the query INJECTS a
+# deterministic email+URL per doc (pure function of doc_id) and then
+# scrubs; the oracle replays injection + redaction, so a broken pattern,
+# wrong replacement order, or partial (non-global) replace cannot
+# hash-match. Map-side expressions only — no shuffle until the final
+# result, no UDFs.
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^ ]+"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or http://site' || CAST(doc_id % 100 AS VARCHAR) ||
+         '.example/path' ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@test.org' ELSE '' END
+         AS t
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_URL_RE}', '<URL>', 'g')) AS scrubbed_md5
+FROM aug
+"""
+
+
+@query("pii_scrub", _PII_ORACLE)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL redaction with per-doc counts and an md5 of the scrubbed
+    text (the bit-exact contract: both engines must produce the identical
+    redacted string). Emails are scrubbed before URLs so the two patterns
+    cannot interact."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or http://site"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(".example/path"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" cc admin"), F.col("doc_id").cast("string"), F.lit("@test.org")),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_URL_RE), F.lit(0))).cast("bigint").alias("n_urls"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
