@@ -393,3 +393,46 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind="audio",
     )
     return decode_features(images.unionByName(audio))
+
+
+_EVOLUTION_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(o_code) AS BIGINT) AS n_with_code
+FROM (
+  SELECT o_orderpriority, CAST(NULL AS VARCHAR) AS o_code
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderpriority, substr(o_orderpriority, 1, 1) AS o_code
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderpriority
+"""
+
+
+@query("schema_evolution_read", _EVOLUTION_ORACLE)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the data-lake reality a
+    100 TB table accumulates: generation v1 lacks a column that generation
+    v2 added. Both generations land under one path; `mergeSchema` unions
+    the schemas at read time and v1 rows surface NULL for the new column.
+    The aggregate counts rows with/without the evolved column per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "evolving_orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.substring("o_orderpriority", 1, 1).alias("o_code"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_code").alias("n_with_code"),
+    )
