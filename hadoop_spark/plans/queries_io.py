@@ -311,7 +311,11 @@ def gzip_text_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     per file, exactly the reference's constraint — so the write fans out to
     many files first (each ≤ one split's worth), which is the production
     layout that keeps compressed ingestion parallel at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from hadoop_spark.sources.tables import fanout_small
+
+    docs = fanout_small(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     path = _scratch(sf_dir, "gzip_docs")
     docs.select("text").write.mode("overwrite").option("compression", "gzip").text(path)
     lines = spark.read.text(path)
@@ -435,4 +439,62 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.count("o_code").alias("n_with_code"),
+    )
+
+
+_DISTCP_ORACLE = r"""
+SELECT CAST(SUM(octet_length(CAST(CAST(n_nationkey AS VARCHAR) || '	' || n_name AS BLOB)) + 1) AS BIGINT)
+         AS total_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM nation
+"""
+
+
+@query("distcp_roundtrip", _DISTCP_ORACLE)
+def distcp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistCp parity, driver-verified (`hadoop-tools/hadoop-distcp/.../
+    DistCp.java:60`): nation is rendered as key<TAB>value text, distcp'd
+    (binaryFile scan → committed write, bytes never touch the driver), and
+    the copy's byte-exactness is checked as total bytes + line count —
+    invariant to how tasks grouped rows into files."""
+    from hadoop_spark.sources.formats import distcp
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    src = _scratch(sf_dir, "distcp_src")
+    dst = _scratch(sf_dir, "distcp_dst")
+    write_kv_text(nation, src)
+    distcp(spark, src, dst)
+    copied = spark.read.parquet(dst).filter(~F.col("path").endswith("_SUCCESS"))
+    lines = copied.select(
+        F.explode(F.split(F.decode("content", "UTF-8"), "\n")).alias("line")
+    ).filter(F.col("line") != "")
+    return copied.agg(
+        F.sum(F.octet_length("content")).cast("bigint").alias("total_bytes")
+    ).crossJoin(lines.agg(F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+_COMPACT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+
+@query("compact_small_files", _COMPACT_ORACLE)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HadoopArchives parity, driver-verified (`hadoop-tools/
+    hadoop-archives/.../HadoopArchives.java:84`): documents scattered as
+    32 small files are compacted to 4 right-sized ones (coalesce — no
+    shuffle), and the compacted copy must carry identical data."""
+    from hadoop_spark.sources.formats import compact
+
+    docs = load_table(spark, sf_dir, "documents")
+    scattered = _scratch(sf_dir, "scattered_docs")
+    compacted = _scratch(sf_dir, "compacted_docs")
+    docs.repartition(32).write.mode("overwrite").parquet(scattered)
+    compact(spark.read.parquet(scattered), compacted, target_files=4)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
     )
