@@ -371,3 +371,32 @@ def ordered_concat_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("percentile_profile", _PERCENTILE_ORACLE)
+def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the WordMedian idea,
+    `EXAMPLES/WordMedian.java:44`, generalized): p25/p50/p75 of an INTEGER
+    column, where linear interpolation is (a+b)·q exact in double — so
+    Spark's percentile and DuckDB's quantile_cont agree bit-for-bit. One
+    hash-shuffle; per-group state is the sorted value multiset (bounded
+    here by the 1..50 quantity domain — a production profile over an
+    unbounded domain switches to approx_percentile)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.50).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
