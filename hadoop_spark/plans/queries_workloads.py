@@ -425,3 +425,84 @@ def job_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jc.run()
     return jc.report()
+
+
+_BIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+  FROM toks WHERE len(w) >= 2
+)
+SELECT g AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams GROUP BY g HAVING COUNT(*) >= 5
+"""
+
+
+@query("bigram_counts", _BIGRAM_ORACLE)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram language-model count — the canonical MapReduce-era corpus
+    workload (WordCount generalized to adjacent pairs,
+    `EXAMPLES/WordCount.java:34` lineage) with the standard count cutoff
+    (≥5) that keeps the LM table bounded. Map-side explode of adjacent
+    pairs, one combined shuffle; at 100 TB the cutoff is what makes the
+    result table storable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w")
+    ).filter(F.size("w") >= 2)
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+_INVINDEX_ORACLE = r"""
+WITH posts AS (
+  SELECT DISTINCT
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS word,
+         doc_id
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT word,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM posts GROUP BY word
+"""
+
+
+@query("inverted_index", _INVINDEX_ORACLE)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted index — the original MapReduce showcase workload:
+    word → document frequency + doc_id-ordered posting list. Postings are
+    sorted inside the aggregate (array_sort, deterministic), so the
+    rendered list is engine-exact. At 100 TB a posting-length cap bounds
+    stopword rows; omitted here to keep the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    posts = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word"), "doc_id"
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    return posts.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("doc_id"))), ","
+        ).alias("postings"),
+    )
