@@ -219,3 +219,45 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = _plan(spark, "decontaminate")
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Layer 1 of the skew answer (operators/skew.py docstring): AQE must
+    detect and split a pathologically hot join key at runtime. Thresholds
+    are lowered to make the tiny fixture register as skewed; the final
+    adaptive plan must carry a skew=true sort-merge join and results must
+    match the unskewed logical answer."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "20KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        # one key owns ~90% of a 200k-row fact side
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("p" * 40), F.col("id").cast("string")).alias("pay"),
+        )
+        small = spark.range(0, 20_001).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("name")
+        )
+        # project to one tiny column BEFORE executing: collect() runs THIS
+        # DataFrame's own query execution (count() would spawn a separate
+        # one and leave this plan un-finalized)
+        joined = big.join(small, "k").select(F.lit(1).alias("one"))
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        # hot key 0: 180,000 fact rows × 1 dim row; cold keys: ids ending
+        # in 9 up to 20,000 → 2,000 matches
+        assert n == 180_000 + 2_000, n
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
