@@ -407,3 +407,32 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum(F.col("l_extendedprice")).alias("sum_price")
     )
+
+
+_MAP_LOOKUP_ORACLE = """
+SELECT n_nationkey, n_name, r_name AS region_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@query("map_lookup_enrich", _MAP_LOOKUP_ORACLE)
+def map_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistributedCache side-DATA pattern (`filecache/DistributedCache.
+    java:87`: ship a small lookup file to every task, enrich map-side
+    without a join): the region dim collapses to a literal MAP expression
+    embedded in the plan — zero join, zero shuffle, pure projection. The
+    collect of the dim is the side-file read (5 rows; the pattern holds to
+    ~10^5 entries, after which broadcast_join is the right tool, as the
+    reference's own cache-file limits implied)."""
+    region = load_table(spark, sf_dir, "region")
+    lookup = {r.r_regionkey: r.r_name for r in region.collect()}
+    entries = []
+    for k, v in sorted(lookup.items()):
+        entries.extend([F.lit(k), F.lit(v)])
+    region_map = F.create_map(*entries)
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        "n_name",
+        F.element_at(region_map, F.col("n_regionkey")).alias("region_name"),
+    )
