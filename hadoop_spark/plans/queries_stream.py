@@ -274,3 +274,67 @@ def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_merge_to_snapshot(stream, snap, key="user_id", version_col="v")
     return current_snapshot(spark, snap).select("user_id", "v", "last_value")
+
+
+_SESSIONIZE_GAP_US = 1_800_000_000  # 30 min
+
+_SESSIONIZE_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id
+  FROM events
+),
+marked AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > {_SESSIONIZE_GAP_US}
+              OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sess AS (
+  SELECT user_id, t,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@query("batch_sessionize", _SESSIONIZE_ORACLE)
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the lag+cumsum classic: a session break is a
+    >30-min gap since the user's previous event; the running sum of breaks
+    numbers the sessions; then per-session stats. Batch complement of the
+    streaming `session_window_agg` (same gap semantics, reaggregatable
+    history). One hash shuffle on user_id; both windows and the final
+    groupBy reuse that partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    # tie-break on event_id: equal timestamps must order identically in
+    # both engines or session numbering diverges
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | ((F.col("t") - F.lag("t").over(w)) > _SESSIONIZE_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    )
