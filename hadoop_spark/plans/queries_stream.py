@@ -338,3 +338,101 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("t") - F.min("t")).alias("duration_us"),
     )
+
+
+_TWA_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, value
+  FROM events
+),
+stepped AS (
+  SELECT user_id, t, value,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t_next
+  FROM ev
+),
+areas AS (
+  SELECT user_id,
+         (t_next - t) AS dt,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v_milli
+  FROM stepped WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(dt) AS BIGINT) AS span_us,
+       CAST(SUM(dt * v_milli) AS BIGINT) AS area_milli_us
+FROM areas GROUP BY user_id
+"""
+
+
+@query("time_weighted_avg", _TWA_ORACLE)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted aggregation over IRREGULAR samples (the hypertable
+    time_weight idea; no reference analogue): each observation holds its
+    value until the next one, so the integral is Σ dt·v over consecutive
+    pairs — one per-user window for LEAD, one aggregate. Exact integer
+    areas (µs × milli-quantized value) so the result is engine- and
+    order-exact; TWA itself = area/span, left to the caller to keep the
+    contract integral."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    stepped = ev.withColumn("t_next", F.lead("t").over(w)).filter(
+        F.col("t_next").isNotNull()
+    )
+    # milli (not micro) quantization: dt can reach ~10^12 us between a
+    # user's events, so dt*v must stay under 2^63 — milli bounds the area
+    # at ~10^18 while keeping the contract exact
+    areas = stepped.select(
+        "user_id",
+        (F.col("t_next") - F.col("t")).alias("dt"),
+        F.round(F.col("value") * 1_000).cast("bigint").alias("v_milli"),
+    )
+    return areas.groupBy("user_id").agg(
+        F.sum("dt").cast("bigint").alias("span_us"),
+        F.sum(F.col("dt") * F.col("v_milli")).cast("bigint").alias("area_milli_us"),
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+_OHLC_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id,
+         (epoch_us(ts) // {_HOUR_US}) AS bar,
+         epoch_us(ts) * 4096 + event_id % 4096 AS k,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT user_id, bar,
+       arg_min(v_micro, k) AS open_micro,
+       CAST(MAX(v_micro) AS BIGINT) AS high_micro,
+       CAST(MIN(v_micro) AS BIGINT) AS low_micro,
+       arg_max(v_micro, k) AS close_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM ev GROUP BY user_id, bar
+"""
+
+
+@query("ohlc_bars", _OHLC_ORACLE)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling — first/max/min/last per hourly bar
+    (the financial rollup; the reference would need a secondary-sorted
+    reduce, `EXAMPLES/SecondarySort.java:51`). One hash aggregate:
+    open/close are min_by/max_by on a composite (time, event_id) key so
+    timestamp ties are deterministic; values micro-quantized for exact
+    cross-engine equality."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / _HOUR_US).cast("bigint").alias("bar"),
+        (F.unix_micros("ts") * 4096 + F.col("event_id") % 4096).alias("k"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+    )
+    return ev.groupBy("user_id", "bar").agg(
+        F.min_by("v_micro", "k").alias("open_micro"),
+        F.max("v_micro").alias("high_micro"),
+        F.min("v_micro").alias("low_micro"),
+        F.max_by("v_micro", "k").alias("close_micro"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
