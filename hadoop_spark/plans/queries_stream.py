@@ -436,3 +436,90 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("v_micro", "k").alias("close_micro"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+_COHORT_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week
+  FROM events
+),
+first_week AS (
+  SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, week FROM ev)
+SELECT f.cohort,
+       CAST(a.week - f.cohort AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM activity a JOIN first_week f ON a.user_id = f.user_id
+GROUP BY f.cohort, week_offset
+"""
+
+
+@query("cohort_retention", _COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — users grouped by first-activity week, counted
+    distinct per week offset since their cohort. Two aggregates over the
+    same user_id partitioning (first-week, then the offset rollup); the
+    cohort table is user-cardinality and broadcastable at any realistic
+    user count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_micros("ts") / _WEEK_US).cast("bigint").alias("week")
+    )
+    first_week = ev.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_week, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+FROM firsts
+"""
+
+
+@query("funnel_counts", _FUNNEL_ORACLE)
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase on FIRST occurrences):
+    one conditional-min aggregate per user collapses the event log to a
+    step-timestamp row, then a single scalar rollup counts each ordered
+    prefix. Two aggregates total, no self-joins — the funnel shape that
+    survives a 100 TB event log."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+
+    def first_of(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("t")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("int")).cast("bigint").alias("step_view"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("step_click"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("step_purchase"),
+    )
