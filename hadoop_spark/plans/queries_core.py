@@ -245,3 +245,39 @@ def tpch_q1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """)
+
+
+@query(
+    "intersect_all_keys",
+    """
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber <= 2
+    INTERSECT ALL
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 25
+    """,
+)
+def intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL — duplicates preserved up to
+    the minimum multiplicity on each side): the bag semantics the
+    reference's reduce-side set ops actually had, since nothing deduped
+    unless you asked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_quantity") >= 25).select(F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(b)
+
+
+@query(
+    "except_all_keys",
+    """
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber <= 2
+    EXCEPT ALL
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 25
+    """,
+)
+def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL — each right occurrence cancels one
+    left occurrence)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_quantity") >= 25).select(F.col("l_suppkey").alias("suppkey"))
+    return a.exceptAll(b)

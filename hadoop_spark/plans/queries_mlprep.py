@@ -633,3 +633,87 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.unionByName(fk)
+
+
+# ---------------------------------------------------------------------------
+# gap-fill with LINEAR interpolation — the second classic fill policy
+# (forward-fill above). Interpolated values are emitted as exact integer
+# rationals (numerator over day-span denominator) so the contract is
+# engine-exact with no float division; callers divide at the edge.
+
+_INTERP_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS d,
+         CAST(ROUND({dsum_sql("value")} * 1000000) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+),
+stepped AS (
+  SELECT user_id, d, v_micro,
+         LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d,
+         LEAD(v_micro) OVER (PARTITION BY user_id ORDER BY d) AS next_v
+  FROM daily
+),
+expanded AS (
+  SELECT user_id, d AS d0, v_micro, next_d, next_v,
+         unnest(generate_series(d, COALESCE(next_d - 1, d))) AS day
+  FROM stepped
+)
+SELECT user_id, CAST(day AS BIGINT) AS d,
+       CAST(CASE WHEN day = d0 THEN v_micro
+                 ELSE v_micro * (next_d - d0) + (next_v - v_micro) * (day - d0)
+            END AS BIGINT) AS interp_num,
+       CAST(CASE WHEN day = d0 THEN 1 ELSE next_d - d0 END AS BIGINT) AS interp_den,
+       day = d0 AS observed
+FROM expanded
+"""
+
+
+@query("gap_fill_interp", _INTERP_ORACLE)
+def gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid with linear interpolation across gaps: the same
+    single-shuffle lead+explode shape as `gap_fill_events`, but gap days
+    carry v0 + (v1-v0)·(day-d0)/(d1-d0) as an exact (numerator,
+    denominator) pair — micro-quantized integers, no float division, so
+    Spark and the oracle agree bit-for-bit."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("bigint").alias("d"),
+            "value",
+        )
+        .repartition("user_id")
+    )
+    daily = ev.groupBy("user_id", "d").agg(
+        F.round(dsum(F.col("value")) * 1_000_000).cast("bigint").alias("v_micro")
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    stepped = daily.withColumn("next_d", F.lead("d").over(w)).withColumn(
+        "next_v", F.lead("v_micro").over(w)
+    )
+    expanded = stepped.select(
+        "user_id",
+        F.col("d").alias("d0"),
+        "v_micro",
+        "next_d",
+        "next_v",
+        F.explode(
+            F.sequence(F.col("d"), F.coalesce(F.col("next_d") - 1, F.col("d")))
+        ).alias("day"),
+    )
+    on_obs = F.col("day") == F.col("d0")
+    return expanded.select(
+        "user_id",
+        F.col("day").alias("d"),
+        F.when(on_obs, F.col("v_micro"))
+        .otherwise(
+            F.col("v_micro") * (F.col("next_d") - F.col("d0"))
+            + (F.col("next_v") - F.col("v_micro")) * (F.col("day") - F.col("d0"))
+        )
+        .cast("bigint")
+        .alias("interp_num"),
+        F.when(on_obs, F.lit(1)).otherwise(F.col("next_d") - F.col("d0"))
+        .cast("bigint")
+        .alias("interp_den"),
+        on_obs.alias("observed"),
+    )
