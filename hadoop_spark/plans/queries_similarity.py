@@ -279,3 +279,37 @@ def ann_ivf_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", "cos_q", "rnk")
     )
+
+
+_RECALL_ORACLE = f"""
+WITH brute AS ({_BRUTE_ORACLE}),
+ivf AS ({_IVF_ORACLE})
+SELECT i.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST({IVF_TOP_K} AS BIGINT) AS k
+FROM ivf i
+JOIN brute b ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+WHERE b.rnk <= {IVF_TOP_K}
+GROUP BY i.query_id
+"""
+
+
+@query("ann_recall", _RECALL_ORACLE)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@{IVF_TOP_K} of the IVF candidate
+    path against the exact brute-force ranking — the measurement that
+    justifies (or rejects) an index's nprobe/ncells setting before it
+    ships. Composes the two existing ANN plans and joins their top-k sets;
+    output is (query_id, n_matched, k), exact integers."""
+    brute = ann_cosine_topk(spark, sf_dir).filter(F.col("rnk") <= IVF_TOP_K)
+    ivf = ann_ivf_topk(spark, sf_dir)
+    return (
+        ivf.join(
+            brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.lit(IVF_TOP_K).cast("bigint").alias("k"),
+        )
+    )
