@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.functions import text as tx
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table
+from hadoop_spark.sources.tables import load_table, shared
 
 _LANG_ID_ORACLE = f"""
 SELECT doc_id, lang AS labeled_lang, {tx.lang_id_sql("text")} AS pred_lang
@@ -245,4 +245,50 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0))).cast("bigint").alias("n_emails"),
         F.size(F.regexp_extract_all(F.col("t"), F.lit(_URL_RE), F.lit(0))).cast("bigint").alias("n_urls"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+_COOC_MIN = 10
+
+_COOC_ORACLE = rf"""
+WITH posts AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.word AS word_a, b.word AS word_b,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM posts a JOIN posts b ON a.doc_id = b.doc_id AND a.word < b.word
+GROUP BY a.word, b.word
+HAVING COUNT(*) >= {_COOC_MIN}
+"""
+
+
+@query("word_cooccurrence", _COOC_ORACLE)
+def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level word co-occurrence counts (the PMI / word-embedding
+    preprocessing workload): distinct (doc, word) posts self-joined on the
+    doc — the inverted-posting shape again, with the support cutoff
+    (≥{_COOC_MIN} docs) bounding the output. Per-doc fan-out is
+    (distinct words choose 2); a vocabulary cap per doc is the production
+    guard at 100 TB, omitted here to keep the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    posts = shared(
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    a = posts.alias("a")
+    b = posts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _COOC_MIN)
     )
