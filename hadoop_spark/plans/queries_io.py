@@ -498,3 +498,28 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+_SHIPPED_ORACLE = """
+SELECT upper(n_name) AS line FROM nation
+"""
+
+
+@query("pipe_shipped_script", _SHIPPED_ORACLE)
+def pipe_shipped_script_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming `-file` flag end-to-end (`filecache/DistributedCache.
+    java:107`): a mapper script written locally, shipped to executors via
+    sc.addFile, resolved task-side with SparkFiles.get, and piped through
+    — the exact migration path for a `-file mapper.py -mapper mapper.py`
+    job."""
+    from hadoop_spark.operators.pipe import pipe_shipped_script
+
+    script_dir = _scratch(sf_dir, "shipped")
+    os.makedirs(script_dir, exist_ok=True)
+    script = os.path.join(script_dir, "upper_mapper.py")
+    with open(script, "w") as f:
+        f.write(
+            "import sys\nfor line in sys.stdin:\n    sys.stdout.write(line.upper())\n"
+        )
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return pipe_shipped_script(nation, script)
