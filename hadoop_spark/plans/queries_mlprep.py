@@ -717,3 +717,36 @@ def gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("interp_den"),
         on_obs.alias("observed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-width numeric histogram — the profiling sibling of value_histogram
+# (which bins by VALUE FREQUENCY): fixed-width buckets over a numeric
+# range, one map-side bucket expression + one aggregate. The same IEEE
+# divide+floor on both engines keeps bucket assignment bit-identical.
+
+_HIST_WIDTH = 50_000.0
+
+_NUMHIST_ORACLE = f"""
+SELECT CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("numeric_histogram", _NUMHIST_ORACLE)
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: bucket = floor(x / width),
+    per-bucket count and observed min/max. Single hash aggregate — the
+    1-pass distribution profile run before choosing salting thresholds,
+    partition widths, or split points at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("bigint")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
