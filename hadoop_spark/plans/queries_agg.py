@@ -400,3 +400,60 @@ def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.75).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — the frequency-estimation sibling of the KMV distinct
+# sketch above: depth×width counter grid, cell = portable_hash(key, salt_d)
+# mod width. Deterministic because the hashes are the repo's portable md5
+# mix (identical in DuckDB), so the SKETCH ITSELF hash-matches — and being
+# a sum-grid it merges across partitions/days by cell-wise addition, the
+# property that makes it a 100 TB streaming-friendly summary.
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_cell_sql(d: int) -> str:
+    return f"({portable_hash64_sql('l_partkey', salt=f'#cms{{d}}'.format(d=d))} % {_CMS_WIDTH})"
+
+
+_CMS_ORACLE = f"""
+WITH cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {d} AS depth, {_cms_cell_sql(d)} AS cell FROM lineitem"
+      for d in range(_CMS_DEPTH)
+  )}
+)
+SELECT depth, CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n
+FROM cells GROUP BY depth, cell
+"""
+
+
+@query("countmin_sketch", _CMS_ORACLE)
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of l_partkey frequencies: {_CMS_DEPTH}×{_CMS_WIDTH}
+    counter grid built in ONE pass (explode the depth dimension map-side,
+    one aggregate). Point estimate for any key = min over depths of its
+    cell counts; overestimates only, ε≈2/width. The full grid is the
+    query result, so the driver verifies the sketch bit-for-bit."""
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    rows = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        (portable_hash64(F.col("l_partkey"), f"#cms{d}") % _CMS_WIDTH)
+                        .alias("cell"),
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("dc")
+    )
+    return rows.groupBy(
+        F.col("dc.depth").alias("depth"), F.col("dc.cell").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
