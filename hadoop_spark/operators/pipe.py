@@ -28,18 +28,55 @@ from pyspark.sql.types import StringType, StructField, StructType
 COUNTER_PREFIX = "reporter:counter:"
 
 
+def _spawn_captured(target):
+    """Start a daemon thread that records any exception instead of dying
+    silently. Returns (thread, error_slot); after join(), the caller MUST
+    re-raise error_slot[0] if present — a writer thread that dies (e.g.
+    tb_encode rejecting a NULL, or an OSError on a closed pipe) otherwise
+    closes stdin in its finally and the partition yields truncated output
+    with no task failure."""
+    import threading
+
+    err: list[BaseException] = []
+
+    def run():
+        try:
+            target()
+        except BaseException as e:  # noqa: BLE001 — re-raised on the task thread
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t, err
+
+
+def _check_exit(proc, command: str, check_exit: bool) -> None:
+    """Fail the task on nonzero subprocess exit, like the reference
+    (`PipeMapRed.java` `stream.non.zero.exit.is.failure`, default true):
+    a mapper that crashed or was OOM-killed must not silently contribute
+    a partial partition. `check_exit=False` opts out for commands whose
+    nonzero exit is benign (e.g. `grep` with no matches exits 1)."""
+    rc = proc.wait()
+    if check_exit and rc != 0:
+        raise RuntimeError(f"piped command {command!r} exited with code {rc}")
+
+
 def pipe(
     df: DataFrame,
     command: str,
     line_col: str | None = None,
     out_col: str = "line",
+    check_exit: bool = True,
 ) -> DataFrame:
     """Pipe one text line per row through `command` (spawned once per
     partition); the command's stdout lines become the output rows.
 
     `line_col`: which column carries the line (default: the single column,
     or a tab-joined rendering of all columns — TextOutputFormat's wire
-    format, which is what a Hadoop Streaming mapper would have seen)."""
+    format, which is what a Hadoop Streaming mapper would have seen).
+
+    `check_exit` mirrors the reference's `stream.non.zero.exit.is.failure`
+    (default true): the task fails if the command exits nonzero."""
     spark = df.sparkSession
     if line_col is not None:
         lines = df.select(F.col(line_col).cast("string"))
@@ -49,13 +86,17 @@ def pipe(
         lines = df.select(
             F.concat_ws("\t", *[F.col(c).cast("string") for c in df.columns])
         )
-    piped = lines.rdd.map(lambda r: r[0]).pipe(command)
+    piped = lines.rdd.map(lambda r: r[0]).pipe(command, checkCode=check_exit)
     schema = StructType([StructField(out_col, StringType(), True)])
     return spark.createDataFrame(piped.map(lambda line: (line,)), schema)
 
 
 def pipe_with_counters(
-    df: DataFrame, command: str, line_col: str | None = None, out_col: str = "line"
+    df: DataFrame,
+    command: str,
+    line_col: str | None = None,
+    out_col: str = "line",
+    check_exit: bool = True,
 ) -> tuple[DataFrame, "CounterAccumulator"]:
     """:func:`pipe` + the streaming counter protocol: the external command's
     stderr lines of the form ``reporter:counter:group,name,amount`` are
@@ -70,9 +111,11 @@ def pipe_with_counters(
     drained on its own thread (the reference's exact architecture:
     `PipeMapRed.java:293` output/err threads) — so memory per task is
     O(pipe buffer), not O(partition), and a partition larger than the OS
-    pipe buffer cannot deadlock."""
+    pipe buffer cannot deadlock. Writer/stderr-thread exceptions are
+    captured and re-raised on the task thread (a silent thread death would
+    truncate the partition); nonzero subprocess exit fails the task unless
+    `check_exit=False`."""
     import subprocess
-    import threading
 
     spark = df.sparkSession
     acc = CounterAccumulator(spark)
@@ -124,15 +167,17 @@ def pipe_with_counters(
                     except ValueError:
                         pass
 
-        writer = threading.Thread(target=feed_stdin, daemon=True)
-        errt = threading.Thread(target=drain_stderr, daemon=True)
-        writer.start()
-        errt.start()
+        writer, werr = _spawn_captured(feed_stdin)
+        errt, eerr = _spawn_captured(drain_stderr)
         for line in proc.stdout:
             yield (line.rstrip("\n"),)
         writer.join()
         errt.join()
-        proc.wait()
+        if werr:
+            raise werr[0]
+        if eerr:
+            raise eerr[0]
+        _check_exit(proc, cmd, check_exit)
         if local:
             counters.add(local)
 
@@ -147,6 +192,7 @@ def pipe_shipped_script(
     interpreter: str = "python3",
     line_col: str | None = None,
     out_col: str = "line",
+    check_exit: bool = True,
 ) -> DataFrame:
     """Hadoop Streaming's ``-file`` flag: ship a local script to every
     executor and pipe through it. The reference stages the file in the
@@ -183,7 +229,6 @@ def pipe_shipped_script(
             stdout=subprocess.PIPE,
             text=True,
         )
-        import threading
 
         def feed():
             try:
@@ -198,12 +243,13 @@ def pipe_shipped_script(
                 except BrokenPipeError:
                     pass
 
-        t = threading.Thread(target=feed, daemon=True)
-        t.start()
+        t, terr = _spawn_captured(feed)
         for line in proc.stdout:
             yield (line.rstrip("\n"),)
         t.join()
-        proc.wait()
+        if terr:
+            raise terr[0]
+        _check_exit(proc, f"{interpreter} {name}", check_exit)
 
     schema = StructType([StructField(out_col, StringType(), True)])
     return spark.createDataFrame(lines.rdd.mapPartitions(run_partition), schema)
@@ -267,7 +313,9 @@ def tb_decode_stream(fh):
             raise ValueError(f"typed-bytes: unsupported type code {code}")
 
 
-def pipe_typedbytes(df: DataFrame, command: str, out_schema: str) -> DataFrame:
+def pipe_typedbytes(
+    df: DataFrame, command: str, out_schema: str, check_exit: bool = True
+) -> DataFrame:
     """:func:`pipe` speaking the typed-bytes protocol instead of text lines:
     each input row's columns are written as consecutive typed-bytes records
     to the command's stdin; stdout is decoded as typed-bytes and regrouped
@@ -275,9 +323,10 @@ def pipe_typedbytes(df: DataFrame, command: str, out_schema: str) -> DataFrame:
     — field count sets the regrouping arity). One subprocess per partition,
     streamed I/O (writer thread + incremental stdout reads), same process
     lifecycle as :func:`pipe_with_counters`. Nulls are not representable in
-    the reference protocol and are rejected, as the reference would."""
+    the reference protocol and are rejected, as the reference would — the
+    rejection raises INSIDE the writer thread, so it is captured and
+    re-raised on the task thread (not a silent truncation)."""
     import subprocess
-    import threading
 
     spark = df.sparkSession
     n_in = len(df.columns)
@@ -305,20 +354,21 @@ def pipe_typedbytes(df: DataFrame, command: str, out_schema: str) -> DataFrame:
                 except BrokenPipeError:
                     pass
 
-        writer = threading.Thread(target=feed_stdin, daemon=True)
-        writer.start()
+        writer, werr = _spawn_captured(feed_stdin)
         buf = []
         for value in tb_decode_stream(proc.stdout):
             buf.append(value)
             if len(buf) == n_out:
                 yield tuple(buf)
                 buf = []
+        writer.join()
+        if werr:
+            raise werr[0]
         if buf:
             raise ValueError(
                 f"typed-bytes: trailing {len(buf)} values do not fill a row"
             )
-        writer.join()
-        proc.wait()
+        _check_exit(proc, cmd, check_exit)
 
     out_struct = StructType.fromDDL(out_schema)
     n_out = len(out_struct.fields)

@@ -45,8 +45,14 @@ def salted_join(
     blocks see a consistent bucketing (retry-unstable salts are a classic
     wrong-results-under-speculation hazard). Exact duplicate rows share a
     bucket — harmless for correctness, negligible for balance.
+
+    `pmod`, not `abs(hash) % n`: `hash` can return Int.MinValue, whose
+    Java `abs` overflows back to Int.MinValue, and `%` keeps the
+    dividend's sign — a negative salt with no small-side replica would
+    silently drop that row from an inner join (~1 in 2^32 rows, i.e.
+    real at 100 TB). `pmod` is non-negative by definition.
     """
-    salt_expr = F.abs(F.hash(*[F.col(c) for c in big.columns])) % num_salts
+    salt_expr = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(num_salts))
     if hot_keys is not None:
         hot = F.broadcast(hot_keys.select(F.col(key).alias("__hot")))
         big_t = big.join(hot, big[key] == F.col("__hot"), "left").withColumn(

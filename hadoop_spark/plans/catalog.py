@@ -52,20 +52,26 @@ def load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Import order IS registration order, and the driver's correctness run
+    # checks the FIRST 50 registry entries per round. Rounds 1-2 verified the
+    # agg/core/dedup/io/tpch block (see CORRECTNESS_r01/r02 + COVERAGE.md), so
+    # round 3 rotates the never-driver-checked modules to the front:
+    # tpch2(16) + sort(8) + join(13) + similarity(4) + text(9) = exactly 50.
+    # stream/mlprep/workloads (37 queries) rotate into the window next round.
     from hadoop_spark.plans import (  # noqa: F401
+        queries_tpch2,
+        queries_sort,
+        queries_join,
+        queries_similarity,
+        queries_text,
+        queries_stream,
+        queries_mlprep,
+        queries_workloads,
         queries_agg,
         queries_core,
         queries_dedup,
         queries_io,
-        queries_join,
-        queries_mlprep,
-        queries_similarity,
-        queries_sort,
-        queries_stream,
-        queries_text,
         queries_tpch,
-        queries_tpch2,
-        queries_workloads,
     )
 
     _LOADED = True

@@ -78,7 +78,7 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIQ_APPROX_ORACLE = """
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS exact_parts,
-       TRUE AS approx_within_5pct
+       TRUE AS approx_within_15pct
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -90,7 +90,12 @@ def uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     `UniqValueCount.java:43`) → HLL sketch. The sketch estimate itself is
     engine-specific, so the driver-checkable contract is (a) the exact
     countDistinct and (b) a boolean asserting the HLL estimate landed
-    within ±5% of exact — which the oracle pins to TRUE."""
+    within a tolerance of exact — which the oracle pins to TRUE. The
+    tolerance is 15%, deliberately ~7× the configured rsd=0.02: HLL error
+    is probabilistic, so a bound near the rsd could legitimately flip at
+    another scale factor or after an engine-side sketch change and read
+    as a confusing hash mismatch; the tight ±5% bound lives in
+    tests/test_catalog_queries as a pytest assertion instead."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
@@ -101,8 +106,8 @@ def uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_parts",
         (
             F.abs(F.col("__approx") - F.col("exact_parts"))
-            <= F.col("exact_parts") * F.lit(0.05)
-        ).alias("approx_within_5pct"),
+            <= F.col("exact_parts") * F.lit(0.15)
+        ).alias("approx_within_15pct"),
     )
 
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_spark.operators.sort import ranked, secondary_sort, top_k_per_group, total_order
+from hadoop_spark.operators.sort import global_rank, secondary_sort, top_k_per_group, total_order
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table
 
@@ -144,7 +144,11 @@ FROM parsed
 def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KeyFieldBasedComparator parity (`lib/partition/KeyFieldBasedComparator
     .java:53`): Unix sort -k2,2nr -k1,1 over delimited lines — field slice,
-    numeric interpretation, reverse flag."""
+    numeric interpretation, reverse flag. Ranks via the scalable
+    partition-offset `global_rank` (range repartition + per-partition
+    row_number + broadcast offsets) — no single-partition window, so the
+    plan holds on full-size line sets, not just pre-aggregated ones
+    (plan shape gated in tests/test_plan_quality.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     lines = li.select(
         F.concat_ws(
@@ -160,7 +164,7 @@ def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parts, 2).cast("double").alias("f2"),
         F.element_at(parts, 1).alias("f1"),
     )
-    out = ranked(parsed, F.desc("f2"), "f1", "line", out="rank")
+    out = global_rank(parsed, F.desc("f2"), "f1", "line", out="rank")
     return out.select("line", F.col("rank").cast("bigint").alias("rank"))
 
 

@@ -249,12 +249,29 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COOC_MIN = 10
+# Per-doc vocabulary cap: the pair fan-out before aggregation is
+# Σ_doc (min(v_d, CAP) choose 2) ≤ docs · CAP²/2 — a hard bound no
+# pathological document can break (an uncapped 10⁵-distinct-word doc
+# would emit 5·10⁹ pairs from one task). Words are kept by in-doc
+# frequency with a deterministic word-order tie-break, mirrored
+# exactly in the oracle so the cut itself is correctness-checked.
+_COOC_CAP = 200
 
 _COOC_ORACLE = rf"""
-WITH posts AS (
-  SELECT DISTINCT doc_id,
+WITH tokens AS (
+  SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS word
   FROM documents WHERE text IS NOT NULL
+),
+freq AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM tokens GROUP BY doc_id, word
+),
+posts AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, word,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, word) AS rn
+    FROM freq
+  ) WHERE rn <= {_COOC_CAP}
 )
 SELECT a.word AS word_a, b.word AS word_b,
        CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -267,18 +284,29 @@ HAVING COUNT(*) >= {_COOC_MIN}
 @query("word_cooccurrence", _COOC_ORACLE)
 def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level word co-occurrence counts (the PMI / word-embedding
-    preprocessing workload): distinct (doc, word) posts self-joined on the
-    doc — the inverted-posting shape again, with the support cutoff
-    (≥{_COOC_MIN} docs) bounding the output. Per-doc fan-out is
-    (distinct words choose 2); a vocabulary cap per doc is the production
-    guard at 100 TB, omitted here to keep the oracle exact."""
+    preprocessing workload): per-doc postings self-joined on the doc with
+    a support cutoff (≥{_COOC_MIN} docs). Scale guards: each doc keeps only
+    its top-{_COOC_CAP} words by in-doc frequency (deterministic word
+    tie-break, identical cut in the oracle), bounding the pre-aggregation
+    fan-out at docs·CAP²/2 pairs regardless of document pathology; the
+    per-doc top-N window partitions on doc_id so it is parallel across
+    documents."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    posts = shared(
+    freq = (
         docs.select(
             "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
         )
         .filter(F.col("word") != "")
-        .distinct()
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("word"))
+    posts = shared(
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _COOC_CAP)
+        .select("doc_id", "word")
     )
     a = posts.alias("a")
     b = posts.alias("b")

@@ -86,6 +86,15 @@ def stream_merge_to_snapshot(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        # awaitTermination(timeout) returns False when the stream is still
+        # running at the deadline; the finally would then kill it mid-drain
+        # and callers would read a stale/partial snapshot as if it were
+        # complete — surface that as an error instead.
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"incremental merge stream {query_name!r} did not drain "
+                f"within {timeout_sec}s; snapshot at {snapshot_path} is partial"
+            )
     finally:
         q.stop()

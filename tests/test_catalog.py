@@ -31,3 +31,26 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_uniq_approx_hll_within_5pct(spark):
+    """The oracle column only pins a loose 15% bound (HLL is probabilistic;
+    a bound near rsd could flip at another SF and read as a hash mismatch).
+    The tight engineering bound — estimate within ±5% of exact at rsd=0.02
+    on this fixture — is asserted here instead."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.05 * r.exact, r

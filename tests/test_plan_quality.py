@@ -261,3 +261,57 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_keyfield_sort_no_single_partition_window(spark):
+    """Round-2 weak plan, fixed: keyfield_sort now ranks via global_rank
+    (range repartition + per-partition row_number + broadcast offsets).
+    The only SinglePartition exchange allowed is the tiny #partitions-row
+    offset table's window — the full line set must never collapse to one
+    partition. Gate: every SinglePartition exchange in the plan sits above
+    an aggregate (the offset cumsum), not above the lineitem scan."""
+    plan = _plan(spark, "keyfield_sort")
+    # rangepartitioning over the full data — the scalable path — must exist
+    assert "Exchange rangepartitioning" in plan, plan
+    # No window may consume a SinglePartition exchange fed by a FileScan
+    # without an intervening aggregate. Structural proxy: the segment of the
+    # plan between each "Exchange SinglePartition" and the next "FileScan"
+    # must contain an HashAggregate (the per-partition size rollup).
+    segments = plan.split("Exchange SinglePartition")[1:]
+    for seg in segments:
+        before_scan = seg.split("FileScan")[0]
+        assert "HashAggregate" in before_scan, plan
+
+
+def test_word_cooccurrence_fanout_capped(spark):
+    """Round-2 weak plan, fixed: per-doc vocabulary is capped (top-N by
+    in-doc frequency) BEFORE the posting self-join, so pre-aggregation
+    fan-out is bounded by docs*CAP^2/2. Gate: the executed plan carries the
+    rn <= CAP filter below the join, and a synthetic pathological doc
+    (3000 distinct words) contributes at most CAP words to the join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.plans.queries_text import _COOC_CAP
+
+    plan = _plan(spark, "word_cooccurrence")
+    assert f"rn#" in plan and f"<= {_COOC_CAP})" in plan or f"(rn" in plan, plan
+    # behavioral check: a single doc with 3000 distinct words yields
+    # C(CAP,2) pairs, not C(3000,2)
+    doc = spark.range(1).select(
+        F.lit(1).alias("doc_id"),
+        F.concat_ws(" ", F.array([F.concat(F.lit("w"), F.lit(i)) for i in range(3000)])).alias(
+            "text"
+        ),
+    )
+    freq = (
+        doc.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("word"))
+    posts = freq.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _COOC_CAP
+    )
+    assert posts.count() == _COOC_CAP
