@@ -104,6 +104,15 @@ def pipe_with_counters(
     `PipeMapRed.java`). Other stderr output is passed through to the task
     log, like the reference does.
 
+    COUNTER SEMANTICS CAVEAT: the accumulator is updated from inside a
+    transformation, so counts are AT-LEAST-ONCE — a retried/speculated
+    task, or a second action over the un-cached lineage, adds again
+    (Spark only guarantees exactly-once accumulator updates in actions).
+    The reference counts only committed task attempts. When counter
+    values feed downstream logic (not just progress reporting), use
+    :func:`pipe_with_counter_rows`, which emits counters as data and is
+    exactly-once per action (tested in tests/test_pipe_counters.py).
+
     Implementation note: RDD.pipe exposes stdout only, so the counter
     variant runs the subprocess via mapPartitions + subprocess and parses
     stderr per partition. I/O is fully streamed — a writer thread feeds
@@ -184,6 +193,120 @@ def pipe_with_counters(
     schema = StructType([StructField(out_col, StringType(), True)])
     out_df = spark.createDataFrame(lines.rdd.mapPartitions(run_partition), schema)
     return out_df, acc
+
+
+def pipe_with_counter_rows(
+    df: DataFrame,
+    command: str,
+    line_col: str | None = None,
+    out_col: str = "line",
+    check_exit: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Retry-exact variant of :func:`pipe_with_counters`: counters are
+    emitted AS DATA (one row per (group, name) per partition, appended to
+    the partition's output) and aggregated with a normal groupBy, instead
+    of added to an accumulator from inside a transformation.
+
+    Why: Spark guarantees exactly-once accumulator updates only in
+    ACTIONS; a transformation re-executed by a task retry, speculation, or
+    simply a second action on the un-cached lineage adds again, so
+    :func:`pipe_with_counters` counts are at-least-once. The reference
+    counts only committed task attempts (`MR-CORE/mapreduce/Counters.java`
+    via the umbilical protocol). Emitting counter rows into the dataflow
+    restores that: whatever attempt's output is committed is the one whose
+    counter rows are aggregated — retries and speculative duplicates are
+    discarded with the rest of the failed attempt's output.
+
+    Returns ``(out_df, counters_df)`` — both derived from ONE persisted
+    pass over the subprocess (the partition runs once; the two frames are
+    filters of the same cached combined output), so consuming both does
+    not re-run the external command."""
+    import subprocess
+
+    from pyspark.sql.types import LongType
+
+    spark = df.sparkSession
+    if line_col is not None:
+        lines = df.select(F.col(line_col).cast("string"))
+    elif len(df.columns) == 1:
+        lines = df.select(F.col(df.columns[0]).cast("string"))
+    else:
+        lines = df.select(
+            F.concat_ws("\t", *[F.col(c).cast("string") for c in df.columns])
+        )
+    cmd = command
+
+    def run_partition(rows):
+        proc = subprocess.Popen(
+            cmd,
+            shell=True,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        local: dict[tuple[str, str], int] = {}
+
+        def feed_stdin():
+            try:
+                for r in rows:
+                    if r[0] is not None:
+                        proc.stdin.write(r[0] + "\n")
+            except BrokenPipeError:
+                pass
+            finally:
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
+
+        def drain_stderr():
+            for eline in proc.stderr:
+                eline = eline.rstrip("\n")
+                if eline.startswith(COUNTER_PREFIX):
+                    try:
+                        group, name, amount = eline[len(COUNTER_PREFIX):].split(",", 2)
+                        key = (group, name)
+                        local[key] = local.get(key, 0) + int(amount)
+                    except ValueError:
+                        pass
+
+        writer, werr = _spawn_captured(feed_stdin)
+        errt, eerr = _spawn_captured(drain_stderr)
+        for line in proc.stdout:
+            yield (line.rstrip("\n"), None, None, None)
+        writer.join()
+        errt.join()
+        if werr:
+            raise werr[0]
+        if eerr:
+            raise eerr[0]
+        _check_exit(proc, cmd, check_exit)
+        for (group, name), amount in sorted(local.items()):
+            yield (None, group, name, amount)
+
+    schema = StructType(
+        [
+            StructField(out_col, StringType(), True),
+            StructField("__cgroup", StringType(), True),
+            StructField("__cname", StringType(), True),
+            StructField("__camount", LongType(), True),
+        ]
+    )
+    from hadoop_spark.sources.tables import shared
+
+    combined = shared(
+        spark.createDataFrame(lines.rdd.mapPartitions(run_partition), schema)
+    )
+    out_df = combined.filter(F.col("__cgroup").isNull()).select(out_col)
+    counters_df = (
+        combined.filter(F.col("__cgroup").isNotNull())
+        .groupBy(
+            F.col("__cgroup").alias("group"), F.col("__cname").alias("name")
+        )
+        .agg(F.sum("__camount").alias("amount"))
+    )
+    return out_df, counters_df
 
 
 def pipe_shipped_script(

@@ -133,6 +133,42 @@ def pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COUNTER_ROWS_ORACLE = """
+SELECT 'io' AS counter_group, 'lines' AS counter_name,
+       CAST(COUNT(*) AS BIGINT) AS amount
+FROM nation
+"""
+
+
+@query("pipe_counter_rows", _COUNTER_ROWS_ORACLE)
+def pipe_counter_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-exact streaming counters (`MR-CORE/mapreduce/Counters.java`
+    committed-attempt semantics): the external command reports
+    `reporter:counter:io,lines,<n>` per partition on stderr; counters ride
+    the dataflow as rows and are summed with a normal aggregate, so task
+    retries/speculation cannot double-count (unlike accumulator-based
+    counters — see operators/pipe.py pipe_with_counter_rows)."""
+    from hadoop_spark.operators.pipe import pipe_with_counter_rows
+
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    script = (
+        "python3 -c '"
+        "import sys\n"
+        "n = 0\n"
+        "for line in sys.stdin:\n"
+        "    n += 1\n"
+        "    sys.stdout.write(line)\n"
+        'sys.stderr.write(f"reporter:counter:io,lines,{n}\\n")\n'
+        "'"
+    )
+    _out, counters = pipe_with_counter_rows(nation, script)
+    return counters.select(
+        F.col("group").alias("counter_group"),
+        F.col("name").alias("counter_name"),
+        "amount",
+    )
+
+
 _SEQFILE_ORACLE = """
 SELECT CAST(s_suppkey AS BIGINT) AS key, s_name AS value FROM supplier
 """
@@ -523,3 +559,154 @@ def pipe_shipped_script_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     nation = load_table(spark, sf_dir, "nation").select("n_name")
     return pipe_shipped_script(nation, script)
+
+
+_NAMED_OUTPUTS_ORACLE = """
+SELECT 'high_value' AS out_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         AS checksum
+FROM orders WHERE o_totalprice > 150000
+UNION ALL
+SELECT 'by_status' AS out_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey % 997) AS DOUBLE) AS checksum
+FROM orders
+"""
+
+
+@query("multi_named_outputs", _NAMED_OUTPUTS_ORACLE)
+def multi_named_outputs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass heterogeneous MultipleOutputs (`lib/output/MultipleOutputs
+    .java:473`): orders routed in a SINGLE job to two named outputs with
+    DIFFERENT schemas — `high_value` (orderkey, totalprice; filtered) and
+    `by_status` (orderkey, status, priority; all rows) — then each output
+    read back through its own schema and checksummed. The oracle recomputes
+    both outputs straight from the table, so a row routed to the wrong
+    output, dropped, or written with the wrong projection cannot match."""
+    from hadoop_spark.sources.formats import read_named_output, write_named_outputs
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "named_outputs")
+    schemas, read_schema = write_named_outputs(
+        orders,
+        path,
+        {
+            "high_value": (
+                F.col("o_totalprice") > 150000,
+                {
+                    "o_orderkey": F.col("o_orderkey"),
+                    "o_totalprice": F.col("o_totalprice"),
+                },
+            ),
+            "by_status": (
+                F.lit(True),
+                {
+                    "o_orderkey": F.col("o_orderkey"),
+                    "o_orderstatus": F.col("o_orderstatus"),
+                    "o_orderpriority": F.col("o_orderpriority"),
+                },
+            ),
+        },
+    )
+    hi = read_named_output(spark, path, "high_value", schemas["high_value"], read_schema)
+    st = read_named_output(spark, path, "by_status", schemas["by_status"], read_schema)
+    hi_agg = hi.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("checksum"),
+    ).select(F.lit("high_value").alias("out_name"), "n", "checksum")
+    st_agg = st.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderkey") % 997).cast("double").alias("checksum"),
+    ).select(F.lit("by_status").alias("out_name"), "n", "checksum")
+    return hi_agg.unionByName(st_agg)
+
+
+_COMBINE_READ_ORACLE = """
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         AS sum_bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+@query("combine_small_read", _COMBINE_READ_ORACLE)
+def combine_small_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side small-file combining (`lib/input/CombineFileInputFormat
+    .java:84`): supplier deliberately shattered into ~100 tiny parquet
+    files, then read back and aggregated. Spark's scan packs many small
+    files per input split (`spark.sql.files.maxPartitionBytes` +
+    `openCostInBytes`) — the split count stays proportional to BYTES, not
+    file count; asserted explicitly in tests/test_plan_quality.py
+    (test_small_file_read_combines_splits)."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = _scratch(sf_dir, "tiny_supplier")
+    sup.repartition(100).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)")).cast("double").alias("sum_bal"),
+    )
+
+
+_AUTO_INPUT_ORACLE = """
+SELECT 'sequence' AS src, CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(COUNT(key) AS BIGINT) AS n_keys
+FROM (SELECT CAST(n_nationkey AS VARCHAR) AS key FROM nation)
+UNION ALL
+SELECT 'text' AS src, CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(0 AS BIGINT) AS n_keys
+FROM region
+"""
+
+
+@query("auto_input_mixed", _AUTO_INPUT_ORACLE)
+def auto_input_mixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutoInputFormat parity (`STREAMING/streaming/AutoInputFormat.java:40`):
+    one directory holding BOTH a real Hadoop SequenceFile (nation, via
+    sc.sequenceFile reverse conversion) and plain text files (region names)
+    is read through per-file magic sniffing into one (key, value) frame;
+    text rows carry a NULL key, sequence rows their Writable key. The
+    oracle pins per-source record and key counts."""
+    import glob
+    import shutil
+
+    from hadoop_spark.sources.formats import read_auto, write_sequence_file
+
+    mixdir = _scratch(sf_dir, "auto_mixed")
+    shutil.rmtree(mixdir, ignore_errors=True)
+    os.makedirs(mixdir, exist_ok=True)
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("key"), F.col("n_name").alias("value")
+    )
+    seq_tmp = _scratch(sf_dir, "auto_mixed_seq")
+    shutil.rmtree(seq_tmp, ignore_errors=True)
+    write_sequence_file(nation.coalesce(1), seq_tmp)
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    text_tmp = _scratch(sf_dir, "auto_mixed_text")
+    shutil.rmtree(text_tmp, ignore_errors=True)
+    region.coalesce(1).write.mode("overwrite").text(text_tmp)
+
+    # flatten both job outputs' data files into ONE mixed directory
+    for i, p in enumerate(sorted(glob.glob(os.path.join(seq_tmp, "part-*")))):
+        shutil.copy(p, os.path.join(mixdir, f"seqdata-{i:03d}"))
+    for i, p in enumerate(sorted(glob.glob(os.path.join(text_tmp, "part-*")))):
+        shutil.copy(p, os.path.join(mixdir, f"textdata-{i:03d}.log"))
+
+    mixed = read_auto(spark, mixdir)
+    return (
+        mixed.withColumn(
+            "src", F.when(F.col("key").isNotNull(), "sequence").otherwise("text")
+        )
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count("key").alias("n_keys"),
+        )
+    )

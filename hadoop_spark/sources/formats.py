@@ -111,6 +111,146 @@ def routed_write(
     df.write.partitionBy(route_col).format(fmt).mode(mode).save(path)
 
 
+def write_named_outputs(
+    df: DataFrame,
+    path: str,
+    outputs: dict[str, tuple],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict[str, list[str]]:
+    """One-pass HETEROGENEOUS MultipleOutputs (`lib/output/MultipleOutputs
+    .java:186`, `write(key, value, baseOutputPath):473`): route each input
+    row to any number of named outputs, each with its OWN schema, in a
+    single job — the reference's one-job multi-schema fan-out that
+    :func:`routed_write` (single-schema `partitionBy`) cannot express.
+
+    `outputs`: ``{name: (row_filter Column, {col_name: expr Column})}``.
+    A row lands in every output whose filter matches (so outputs may
+    overlap, like repeated `mos.write` calls for one record).
+
+    Plan shape: per-output projections are analyzed (not executed) to
+    build the union schema; each row becomes an array of per-output
+    structs over the NULL-padded union schema, `array_compact` drops the
+    non-matching ones, one `explode` + one `partitionBy(__tag)` write.
+    ONE scan of the input, one shuffle-free map stage, one commit — at
+    100 TB this halves (or better) the N-separate-writes cost the
+    single-schema router forces. Readers use :func:`read_named_output`,
+    which partition-prunes to one tag and restores that output's schema.
+
+    Returns ``({name: [column, ...]}, read_schema)`` — each output's own
+    column list plus the on-disk union schema (including `__tag`), which
+    :func:`read_named_output` needs both to strip the union padding and to
+    resolve a ZERO-ROW write (empty routes leave no parquet footers to
+    infer from — the empty-day regime)."""
+    spark = df.sparkSession
+    # analyze each projection to learn its column types (no job runs)
+    out_schemas: dict[str, list[tuple[str, str]]] = {}
+    for name, (_filt, proj) in outputs.items():
+        probe = df.select(*[c.alias(n) for n, c in proj.items()])
+        out_schemas[name] = [(f.name, f.dataType.simpleString()) for f in probe.schema.fields]
+    union_fields: dict[str, str] = {}
+    for name, fields in out_schemas.items():
+        for col, dtype in fields:
+            if col in union_fields and union_fields[col] != dtype:
+                raise ValueError(
+                    f"named output {name!r} column {col!r}: type {dtype} "
+                    f"conflicts with {union_fields[col]} from another output"
+                )
+            union_fields.setdefault(col, dtype)
+
+    structs = []
+    for name, (filt, proj) in outputs.items():
+        fields = [F.lit(name).alias("__tag")]
+        for col, dtype in union_fields.items():
+            fields.append(
+                proj[col].cast(dtype).alias(col)
+                if col in proj
+                else F.lit(None).cast(dtype).alias(col)
+            )
+        structs.append(F.when(filt, F.struct(*fields)))
+    routed = df.select(
+        F.explode(F.array_compact(F.array(*structs))).alias("__r")
+    ).select("__r.*")
+    routed.write.partitionBy("__tag").format(fmt).mode(mode).save(path)
+    return (
+        {name: [c for c, _ in fields] for name, fields in out_schemas.items()},
+        routed.schema,
+    )
+
+
+def read_named_output(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    columns: list[str],
+    schema=None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read back ONE named output written by :func:`write_named_outputs`,
+    restoring its own schema. The `__tag` filter is a partition filter —
+    the scan never opens other outputs' files. Pass the `schema` returned
+    by the writer to stay readable when the write had zero rows."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.format(fmt).load(path).filter(F.col("__tag") == name)
+    return df.select(*columns)
+
+
+SEQFILE_MAGIC = b"SEQ"
+
+
+def sniff_format(path: str) -> str:
+    """AutoInputFormat's per-file detection (`STREAMING/streaming/
+    AutoInputFormat.java:40`): SequenceFile if the file starts with the
+    'SEQ' magic, text otherwise."""
+    with open(path, "rb") as fh:
+        return "sequence" if fh.read(3) == SEQFILE_MAGIC else "text"
+
+
+def read_auto(spark: SparkSession, directory: str) -> DataFrame:
+    """AutoInputFormat parity: a directory holding a MIX of SequenceFiles
+    and text files (the migration mess the reference's streaming tool
+    handled) read as one (key, value) frame — each file sniffed by magic,
+    SequenceFiles through :func:`read_sequence_file`, text as
+    (NULL, line). Sniffing reads 3 bytes per file on the driver — the
+    same O(#files) the reference's getRecordReader spent; the data scan
+    itself stays fully distributed."""
+    import os
+
+    seq_paths, text_paths = [], []
+    for entry in sorted(os.listdir(directory)):
+        p = os.path.join(directory, entry)
+        if not os.path.isfile(p) or entry.startswith(("_", ".")):
+            continue
+        (seq_paths if sniff_format(p) == "sequence" else text_paths).append(p)
+    frames = []
+    if seq_paths:
+        frames.append(
+            read_sequence_file(spark, ",".join(seq_paths)).select(
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("string").alias("value"),
+            )
+        )
+    if text_paths:
+        frames.append(
+            spark.read.text(text_paths).select(
+                F.lit(None).cast("string").alias("key"),
+                F.col("value").alias("value"),
+            )
+        )
+    if not frames:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        return spark.createDataFrame(
+            [], StructType([StructField("key", StringType()), StructField("value", StringType())])
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,

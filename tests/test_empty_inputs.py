@@ -22,7 +22,8 @@ load_all()
 # - seqfile_roundtrip: sc.sequenceFile cannot infer Writable types from an
 #   empty directory (no header to read) — matches the reference, where an
 #   empty SequenceFile still has a typed header but an empty DIR does not.
-_NEEDS_DATA = {"seqfile_roundtrip"}
+#   (auto_input_mixed builds its SequenceFile fixture the same way)
+_NEEDS_DATA = {"seqfile_roundtrip", "auto_input_mixed"}
 
 
 @pytest.fixture(scope="module")

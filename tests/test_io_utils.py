@@ -89,3 +89,76 @@ def test_salted_join_uniform_matches_plain_join(spark):
     got = salted_join(li, small, "l_orderkey", num_salts=4)
     want = li.join(small, on="l_orderkey")
     assert got.count() == want.count()
+
+
+def test_named_outputs_heterogeneous_one_pass(spark, tmp_path):
+    """MultipleOutputs.java:473 semantics: different schemas per named
+    output, overlapping routing, single write job; per-output read-back
+    restores each schema and partition-prunes to one tag."""
+    from hadoop_spark.sources.formats import read_named_output, write_named_outputs
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("m"),
+        F.concat(F.lit("row"), F.col("id").cast("string")).alias("s"),
+    )
+    path = str(tmp_path / "named")
+    cols, schema = write_named_outputs(
+        df,
+        path,
+        {
+            "evens": (F.col("id") % 2 == 0, {"id": F.col("id"), "twice": F.col("id") * 2}),
+            "all_str": (F.lit(True), {"id": F.col("id"), "s": F.col("s"), "m": F.col("m")}),
+        },
+    )
+    assert cols["evens"] == ["id", "twice"]
+    assert cols["all_str"] == ["id", "s", "m"]
+    evens = read_named_output(spark, path, "evens", cols["evens"], schema)
+    alls = read_named_output(spark, path, "all_str", cols["all_str"], schema)
+    assert evens.count() == 50
+    assert alls.count() == 100
+    assert evens.filter(F.col("twice") != F.col("id") * 2).count() == 0
+    # the read prunes on the tag partition, not a post-scan filter
+    plan = evens._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__tag" in plan, plan
+
+
+def test_named_outputs_type_conflict_rejected(spark, tmp_path):
+    from hadoop_spark.sources.formats import write_named_outputs
+
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="conflicts"):
+        write_named_outputs(
+            df,
+            str(tmp_path / "x"),
+            {
+                "a": (F.lit(True), {"v": F.col("id")}),
+                "b": (F.lit(True), {"v": F.col("id").cast("string")}),
+            },
+        )
+
+
+def test_read_auto_mixed_directory(spark, tmp_path):
+    """AutoInputFormat.java:40 parity: per-file magic sniffing over a dir
+    mixing a real SequenceFile with plain text."""
+    import os
+
+    from hadoop_spark.sources.formats import read_auto, sniff_format, write_sequence_file
+
+    seq_dir = str(tmp_path / "seq")
+    kv = spark.range(10).select(
+        F.col("id").cast("string").alias("k"), F.concat(F.lit("v"), F.col("id").cast("string")).alias("v")
+    )
+    write_sequence_file(kv.coalesce(1), seq_dir)
+    mix = tmp_path / "mix"
+    mix.mkdir()
+    for i, p in enumerate(sorted(glob.glob(seq_dir + "/part-*"))):
+        shutil.copy(p, mix / f"part-seq-{i}")
+    (mix / "notes.txt").write_text("hello\nworld\n")
+    assert sniff_format(str(next(mix.glob("part-seq-*")))) == "sequence"
+    assert sniff_format(str(mix / "notes.txt")) == "text"
+    out = read_auto(spark, str(mix))
+    rows = out.collect()
+    assert len(rows) == 12
+    assert sum(1 for r in rows if r.key is None) == 2
+    assert {r.value for r in rows if r.key is not None} == {f"v{i}" for i in range(10)}

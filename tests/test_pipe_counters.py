@@ -71,3 +71,69 @@ def test_pipe_shipped_script(spark, tmp_path):
     assert sorted(r.line for r in out.collect()) == sorted(
         r.n_name.upper() for r in nation.collect()
     )
+
+
+def test_pipe_counter_rows_exactly_once(spark):
+    """Counters-as-data (pipe_with_counter_rows) are exactly-once per
+    action: both frames come from one persisted subprocess pass, and
+    repeated actions return identical counter totals. The accumulator
+    variant is at-least-once under lineage re-execution — demonstrated
+    here by running two actions over the un-cached piped frame and
+    watching the accumulator double, the divergence the reference's
+    committed-attempt-only Counters semantics does not have."""
+    from hadoop_spark.operators.pipe import pipe_with_counter_rows
+
+    nation = load_table(spark, SF_DIR, "nation").select("n_name")
+    n = nation.count()
+
+    out, counters = pipe_with_counter_rows(nation, COUNTER_SCRIPT)
+    try:
+        assert sorted(r.line for r in out.collect()) == sorted(
+            r.n_name.upper() for r in nation.collect()
+        )
+        first = {(r.group, r.name): r.amount for r in counters.collect()}
+        second = {(r.group, r.name): r.amount for r in counters.collect()}
+        assert first == {("io", "lines"): n}
+        assert second == first  # exactly-once per action, every action
+    finally:
+        spark.catalog.clearCache()
+
+    # the accumulator variant double-counts across two actions
+    out2, acc = pipe_with_counters(nation, COUNTER_SCRIPT)
+    out2.count()
+    out2.count()  # re-executes the transformation -> adds again
+    assert acc.value() == {("io", "lines"): 2 * n}
+
+
+def test_pipe_nonzero_exit_fails_task(spark):
+    """PipeMapRed parity: a mapper exiting nonzero must fail the task, not
+    silently contribute a truncated partition; check_exit=False opts out."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from hadoop_spark.operators.pipe import pipe_with_counters
+
+    nation = load_table(spark, SF_DIR, "nation").select("n_name")
+    bad = "head -3; exit 9"
+    out, _ = pipe_with_counters(nation.coalesce(1), bad)
+    with pytest.raises(Py4JJavaError):
+        out.collect()
+    out_ok, _ = pipe_with_counters(nation.coalesce(1), bad, check_exit=False)
+    assert len(out_ok.collect()) == 3
+
+
+def test_pipe_writer_thread_error_fails_task(spark):
+    """A writer-thread crash (e.g. typed-bytes rejecting a NULL) must fail
+    the task instead of silently truncating the partition's output."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.operators.pipe import pipe_typedbytes
+
+    df = spark.range(3).select(
+        F.when(F.col("id") == 1, None).otherwise(F.col("id")).alias("k")
+    )
+    out = pipe_typedbytes(df.coalesce(1), "cat", "k bigint")
+    with pytest.raises(Py4JJavaError):
+        out.collect()

@@ -315,3 +315,25 @@ def test_word_cooccurrence_fanout_capped(spark):
         F.col("rn") <= _COOC_CAP
     )
     assert posts.count() == _COOC_CAP
+
+
+def test_small_file_read_combines_splits(spark, tmp_path):
+    """Read-side CombineFileInputFormat evidence (`lib/input/
+    CombineFileInputFormat.java:84`): 300 tiny parquet files must coalesce
+    into a handful of input splits — split count tracks BYTES
+    (maxPartitionBytes + per-file openCost), not file count. A scan that
+    spawned 300 tasks here would spawn millions at 100 TB of small files."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tiny")
+    spark.range(3000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(300).write.parquet(path)
+    import glob
+
+    n_files = len(glob.glob(path + "/part-*"))
+    assert n_files >= 250, n_files
+    back = spark.read.parquet(path)
+    n_splits = back.rdd.getNumPartitions()
+    assert n_splits <= 32, (n_files, n_splits)
+    assert back.count() == 3000
