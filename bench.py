@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "cdc_merge",
     "zorder_layout",
     "multimodal_decode",
+    # round-3 extensions + the two de-weakened plans: scalable global rank,
+    # capped co-occurrence, Lloyd-step k-means, repetition quality signals
+    "keyfield_sort",
+    "word_cooccurrence",
+    "kmeans_assign",
+    "repetition_signals",
 ]
 
 

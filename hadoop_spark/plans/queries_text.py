@@ -320,3 +320,163 @@ def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= _COOC_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality signals (Gopher §A.1.1, C4-style heuristics): the
+# filters every pretraining corpus pass applies before tokenization.
+# Everything is exact-integer counting with one final IEEE divide per
+# ratio, so the oracle is bit-exact.
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+words AS (
+  SELECT doc_id, unnest(words) AS word FROM toks
+),
+wstats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+  FROM words GROUP BY doc_id
+),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1])) AS bg
+  FROM toks WHERE len(words) >= 2
+),
+bgcounts AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+),
+bgstats AS (
+  SELECT doc_id,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams
+  FROM bgcounts GROUP BY doc_id
+)
+SELECT w.doc_id,
+       w.n_words,
+       w.n_distinct,
+       1.0 - CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+         AS dup_word_ratio,
+       COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+       CASE WHEN b.n_bigrams > 0
+            THEN CAST(b.top_bigram_n AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_ratio
+FROM wstats w LEFT JOIN bgstats b ON w.doc_id = b.doc_id
+WHERE w.n_words > 0
+"""
+
+
+@query("repetition_signals", _REPETITION_ORACLE)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition filters (the Gopher/C4 quality-signal
+    family): duplicate-word ratio (1 - distinct/total) and most-frequent-
+    bigram mass — the two signals that catch boilerplate and spam pages
+    before they enter a training mix. All counting is exact integers; the
+    only floats are one divide per ratio. Scale shape: token/bigram
+    explode is map-side; the two aggregations shuffle on doc_id and
+    (doc_id, bigram) — partition-parallel across documents, no global
+    state; the bigram list per doc is length-bounded by the doc itself
+    (adjacent pairs, not all pairs — linear, unlike co-occurrence)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("words"),
+    )
+    toks = shared(toks)
+    words = toks.select("doc_id", F.explode("words").alias("word"))
+    wstats = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("word").alias("n_distinct"),
+    )
+    n = F.size("words")
+    bigrams = toks.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(
+                    F.element_at("words", i), F.lit(" "), F.element_at("words", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    bgstats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    out = wstats.join(bgstats, "doc_id", "left").filter(F.col("n_words") > 0)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        (
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+        ).alias("dup_word_ratio"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+    )
+
+
+_SOURCE_CAP = 50
+
+_SOURCE_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {{h}} , doc_id
+         ) AS rn
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_ids_sum
+FROM ranked WHERE rn <= {_SOURCE_CAP}
+GROUP BY source
+"""
+
+
+def _source_cap_oracle() -> str:
+    from hadoop_spark.functions.hashing import portable_hash64_sql
+
+    return _SOURCE_CAP_ORACLE.format(h=portable_hash64_sql("doc_id", salt="cap"))
+
+
+@query("source_cap_sample", _source_cap_oracle())
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling — the domain/source cap every training
+    mix applies so one crawl domain cannot dominate. Each source keeps at
+    most {_SOURCE_CAP} docs, chosen by a DETERMINISTIC md5 order (a pure
+    function of doc_id — scheduler- and retry-independent, the
+    SequenceFileInputFilter.MD5Filter discipline), tie-broken on doc_id.
+    Scale: one window partitioned by source; per-source data is processed
+    in parallel and nothing global materializes. The oracle re-derives the
+    exact kept set (count + id-sum per source)."""
+    from pyspark.sql import Window
+
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = Window.partitionBy("source").orderBy(
+        portable_hash64("doc_id", salt="cap"), F.asc("doc_id")
+    )
+    kept = docs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _SOURCE_CAP
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_ids_sum"),
+    )
