@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 COUNTER_PREFIX = "reporter:counter:"
+STATUS_PREFIX = "reporter:status:"
 
 
 def _spawn_captured(target):
@@ -165,6 +166,8 @@ def pipe_with_counters(
                 except BrokenPipeError:
                     pass
 
+        last_status: list[str] = []
+
         def drain_stderr():
             for eline in proc.stderr:
                 eline = eline.rstrip("\n")
@@ -175,6 +178,15 @@ def pipe_with_counters(
                         local[key] = local.get(key, 0) + int(amount)
                     except ValueError:
                         pass
+                elif eline.startswith(STATUS_PREFIX):
+                    # reporter:status:<text> (PipeMapRed stderr protocol):
+                    # the task's human-readable status line; LAST one wins,
+                    # like the reference's TaskReporter.setStatus.
+                    status = eline[len(STATUS_PREFIX):]
+                    if last_status:
+                        last_status[0] = status
+                    else:
+                        last_status.append(status)
 
         writer, werr = _spawn_captured(feed_stdin)
         errt, eerr = _spawn_captured(drain_stderr)
@@ -189,7 +201,13 @@ def pipe_with_counters(
         _check_exit(proc, cmd, check_exit)
         if local:
             counters.add(local)
+        if last_status:
+            from pyspark import TaskContext
 
+            pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+            statuses.add({pid: last_status[0]})
+
+    statuses = acc.status_acc
     schema = StructType([StructField(out_col, StringType(), True)])
     out_df = spark.createDataFrame(lines.rdd.mapPartitions(run_partition), schema)
     return out_df, acc
@@ -500,7 +518,10 @@ def pipe_typedbytes(
 
 class CounterAccumulator:
     """Distributed counter map: {(group, name): long}, merged at the driver —
-    the Counters analogue (`MR-CORE/mapreduce/Counters.java:41`)."""
+    the Counters analogue (`MR-CORE/mapreduce/Counters.java:41`). Also
+    carries the `reporter:status:` side-channel: the last status line each
+    partition reported (`PipeMapRed.java` stderr protocol →
+    TaskReporter.setStatus), exposed via :meth:`statuses`."""
 
     def __init__(self, spark: SparkSession):
         from pyspark.accumulators import AccumulatorParam
@@ -514,7 +535,20 @@ class CounterAccumulator:
                     a[k] = a.get(k, 0) + v
                 return a
 
+        class _DictLastWins(AccumulatorParam):
+            def zero(self, value):
+                return {}
+
+            def addInPlace(self, a, b):
+                a.update(b)
+                return a
+
         self.acc = spark.sparkContext.accumulator({}, _DictSum())
+        self.status_acc = spark.sparkContext.accumulator({}, _DictLastWins())
 
     def value(self) -> dict[tuple[str, str], int]:
         return dict(self.acc.value)
+
+    def statuses(self) -> dict[int, str]:
+        """{partition_id: last reported status line}."""
+        return dict(self.status_acc.value)

@@ -750,3 +750,94 @@ def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining-mix pipeline: the composition a real corpus build
+# runs nightly — quality gate -> exact near-dup removal -> per-source quota
+# -> mix accounting. Each stage reuses an already-verified primitive
+# (ws_token_count, fingerprint, portable md5 order), and the oracle replays
+# the ENTIRE chain, so a bug in any stage (or in stage ORDERING — capping
+# before dedup would keep different docs) cannot hash-match.
+
+_MIX_MIN_TOKENS = 20
+_MIX_MAX_TOKENS = 90
+_MIX_SOURCE_CAP = 15
+
+
+def _pretrain_mix_oracle() -> str:
+    from hadoop_spark.functions.text import fingerprint_sql
+
+    h = portable_hash64_sql("doc_id", salt="mix")
+    return f"""
+WITH gated AS (
+  SELECT doc_id, source,
+         {ws_token_count_sql('text')} AS n_tokens,
+         {fingerprint_sql('text')} AS fp
+  FROM documents
+  WHERE text IS NOT NULL
+    AND {ws_token_count_sql('text')} BETWEEN {_MIX_MIN_TOKENS} AND {_MIX_MAX_TOKENS}
+),
+deduped AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+capped AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY {h}, doc_id
+    ) AS rn
+    FROM deduped
+  ) WHERE rn <= {_MIX_SOURCE_CAP}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_ids_sum
+FROM capped GROUP BY source
+"""
+
+
+@query("pretrain_mix", _pretrain_mix_oracle())
+def pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly corpus-build chain, end to end: (1) token-count quality
+    gate ({_MIX_MIN_TOKENS}..{_MIX_MAX_TOKENS} whitespace tokens), (2)
+    exact near-dup removal on the normalization-stable fingerprint (keep
+    the smallest doc_id per fingerprint — deterministic canonical pick),
+    (3) per-source quota of {_MIX_SOURCE_CAP} docs in portable-md5 order,
+    (4) per-source mix accounting (docs, tokens, id-checksum).
+
+    Scale shape: the gate and fingerprint are map-side expressions pushed
+    against the scan; dedup is one window keyed on fingerprint (parallel
+    across fingerprints); the quota is one window keyed on source; the
+    accounting reuses the quota shuffle's clustering. Nothing global,
+    nothing driver-side, no UDFs."""
+    from hadoop_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    gated = docs.select(
+        "doc_id",
+        "source",
+        ws_token_count(F.col("text")).alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).filter(F.col("n_tokens").between(_MIX_MIN_TOKENS, _MIX_MAX_TOKENS))
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        portable_hash64("doc_id", salt="mix"), F.asc("doc_id")
+    )
+    capped = (
+        deduped.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= _MIX_SOURCE_CAP)
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("doc_id").alias("kept_ids_sum"),
+    )

@@ -523,3 +523,29 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("int")).cast("bigint").alias("step_click"),
         F.sum(purchased.cast("int")).cast("bigint").alias("step_purchase"),
     )
+
+
+_ENRICH_ORACLE = f"""
+SELECT (epoch_us(e.ts) // {TUMBLE_US}) * {TUMBLE_US} AS w_start_us,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n,
+       {dsum_sql('e.value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query("stream_static_enrich", _ENRICH_ORACLE)
+def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: events joined to the broadcast
+    customer dim, aggregated per (tumbling window, market segment). The
+    zero-state streaming-join shape — the static side is re-read per
+    micro-batch, no join state accumulates; the streaming execution of the
+    SAME builder is asserted equal to this batch plan in
+    tests/test_streaming.py::test_stream_static_enrich_equals_batch."""
+    from hadoop_spark.streaming.windows import stream_static_enrich
+
+    return stream_static_enrich(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )

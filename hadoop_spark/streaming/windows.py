@@ -233,6 +233,39 @@ def batch_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a slowly-changing
+    dimension (`customer`) and aggregated per (tumbling window, market
+    segment). The dim side is BROADCAST — in streaming, the static side is
+    re-read per micro-batch and never keeps join state (unlike
+    stream-stream joins), so this is the zero-state enrichment shape; at
+    100 TB of events the only shuffle is the windowed aggregate.
+
+    Works identically on a batch `events` frame (the oracle-checked
+    catalog query) and a readStream frame (tests/test_streaming.py) —
+    the unified-API contract."""
+    joined = events.join(
+        F.broadcast(dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id",
+    )
+    return (
+        joined.groupBy(
+            F.window("ts", TUMBLE).alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), scale=4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "segment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 # ------------------------------------------------------------- streaming IO
 
 def load_events_stream(spark, sf_dir: str) -> DataFrame:

@@ -137,3 +137,25 @@ def test_pipe_writer_thread_error_fails_task(spark):
     out = pipe_typedbytes(df.coalesce(1), "cat", "k bigint")
     with pytest.raises(Py4JJavaError):
         out.collect()
+
+
+def test_pipe_status_protocol(spark):
+    """`reporter:status:<text>` (PipeMapRed stderr protocol): last status
+    line per partition wins, surfaced on the counter handle."""
+    script = (
+        "python3 -c '"
+        "import sys\n"
+        "for line in sys.stdin:\n"
+        "    sys.stdout.write(line)\n"
+        'sys.stderr.write("reporter:status:halfway\\n")\n'
+        'sys.stderr.write("reporter:counter:io,done,1\\n")\n'
+        'sys.stderr.write("reporter:status:finished cleanly\\n")\n'
+        "'"
+    )
+    nation = load_table(spark, SF_DIR, "nation").select("n_name").repartition(2)
+    out, counters = pipe_with_counters(nation, script)
+    out.count()
+    statuses = counters.statuses()
+    assert set(statuses.values()) == {"finished cleanly"}
+    assert len(statuses) == 2  # one per partition
+    assert counters.value() == {("io", "done"): 2}

@@ -68,3 +68,15 @@ def test_stream_stream_interval_join_equals_batch(spark):
     # Inner interval joins emit eagerly — append output must equal batch.
     assert _rows(got) == _rows(want)
     assert len(_rows(got)) > 0
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Stream-static broadcast join: streaming execution must equal the
+    batch plan (unified-API), with the static side stateless."""
+    from hadoop_spark.streaming.windows import stream_static_enrich
+
+    dim = load_table(spark, SF_DIR, "customer")
+    stream = stream_static_enrich(load_events_stream(spark, SF_DIR), dim)
+    got = run_to_memory(stream, "t_enrich", output_mode="complete")
+    want = stream_static_enrich(load_table(spark, SF_DIR, "events"), dim)
+    assert _rows(got) == _rows(want)
