@@ -368,25 +368,58 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     each centroid as the per-dimension mean of its members.
 
     Scale shape — the canonical broadcast-iterate pattern: centroids are
-    K tiny rows broadcast to every task, assignment is map-side (no
-    shuffle of the big side), and the mean recomputation is one
-    partial-aggregated shuffle keyed on (cluster, dim). Per iteration at
-    100 TB: one scan + one agg shuffle; nothing driver-side but the K×dim
-    centroid table. The oracle pins membership counts, member-id sums, and
-    two exact checksums of the NEW centroid matrix (L1 mass +
-    dim-weighted), so a wrong assignment, a lost member, or a transposed
-    dimension cannot hash-match."""
+    K tiny rows COLLECTED to the driver (bounded by construction — the
+    DistributedCache literal pattern, same discipline as
+    map_lookup_enrich) and folded into a per-row `aggregate` expression,
+    so assignment is purely MAP-SIDE: no shuffle of the vector table at
+    all (gated in tests/test_plan_quality.py). The only shuffles are the
+    per-(cluster,dim) mean recomputation and the tiny per-cluster
+    rollups. Per iteration at 100 TB: one scan + one agg shuffle; nothing
+    driver-side but the K×dim centroid matrix. The oracle pins membership
+    counts, member-id sums, and two exact checksums of the NEW centroid
+    matrix (L1 mass + dim-weighted), so a wrong assignment, a lost
+    member, or a transposed dimension cannot hash-match."""
     emb = shared(with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings"))))
-    cents = emb.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), "q", "n2")
+        .collect()
+    )  # K rows — bounded scalar collect, the broadcast side of the pattern
+    if not cent_rows:  # empty-input regime: no seeds -> no clusters
+        return spark.createDataFrame(
+            [],
+            "cluster_id bigint, n_members bigint, sum_vec_ids bigint, "
+            "centroid_l1_q bigint, centroid_dim_checksum bigint",
+        )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.cid)).alias("cid"),
+                F.array(*[F.lit(int(v)) for v in r.q]).alias("cq"),
+                F.lit(int(r.n2)).alias("cn2"),
+            )
+            for r in sorted(cent_rows, key=lambda r: r.cid)
+        ]
     )
-    d2 = F.col("n2") + F.col("cn2") - 2 * int_dot(F.col("q"), F.col("cq"))
-    w = Window.partitionBy("vec_id").orderBy(d2.asc(), F.asc("cid"))
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster_id"), "q")
+
+    def d2_to(c):  # exact BIGINT squared-L2 to centroid struct c
+        return F.col("n2") + c["cn2"] - 2 * int_dot(F.col("q"), c["cq"])
+
+    # map-side argmin: fold the centroid array, keep (best_d2, best_cid);
+    # strict < keeps the SMALLEST cid on ties (the array is cid-ascending)
+    best = F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(None).cast("bigint").alias("d2"),
+            F.lit(None).cast("int").alias("cid"),
+        ),
+        lambda acc, c: F.when(
+            acc["cid"].isNull() | (d2_to(c) < acc["d2"]),
+            F.struct(d2_to(c).alias("d2"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    assign = emb.select(
+        "vec_id", best["cid"].cast("bigint").alias("cluster_id"), "q"
     )
     assign = shared(assign)
     members = assign.groupBy("cluster_id").agg(

@@ -480,3 +480,87 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("kept_ids_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — the search / keyword-extraction workload, made
+# engine-exact: idf is quantized to a BIGINT via integer floor division
+# (SCALE·(N+1)) // (df+1), so scoring and ranking involve no transcendental
+# functions (ln differs in the last bit across engines) and the oracle is
+# bit-exact. Monotonicity in df is identical to log-idf, which is all
+# ranking needs.
+
+_TFIDF_SCALE = 1_000_000
+_TFIDF_TOP = 5
+
+_TFIDF_ORACLE_TMPL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> ''))
+           AS word
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM words GROUP BY word
+),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf,
+         t.tf * (CAST({num} AS BIGINT) // (d.df + 1)) AS score
+  FROM tf t JOIN df d ON t.word = d.word
+)
+SELECT doc_id, word, tf, score, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, word
+  ) AS rnk FROM scored
+) WHERE rnk <= {top}
+"""
+
+
+def _tfidf_oracle() -> str:
+    # N is data-dependent; the oracle recomputes it inline as a subquery
+    return _TFIDF_ORACLE_TMPL.format(
+        num=f"{_TFIDF_SCALE} * (1 + (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL))",
+        top=_TFIDF_TOP,
+    )
+
+
+@query("tfidf_topterms", _tfidf_oracle())
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{_TFIDF_TOP} terms by quantized TF-IDF. Scale
+    shape: tf is one (doc,word) aggregate; df is one vocabulary-sized
+    aggregate; the tf⋈df join is keyed on the word (vocabulary
+    cardinality, not corpus cardinality); the top-k window partitions on
+    doc_id. N (total docs) is one scalar aggregate folded into the idf
+    literal — the same bounded driver scalar the IVF probe list uses.
+    Integer idf (floor((N+1)·SCALE/(df+1))) keeps ranking monotone in df
+    with zero cross-engine float risk."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_docs = docs.count()  # bounded scalar: one number
+    words = shared(
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        ).filter(F.col("word") != "")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    num = _TFIDF_SCALE * (1 + n_docs)
+    scored = tf.join(df, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        (F.col("tf") * F.expr(f"CAST({num} AS BIGINT) div (df + 1)")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TFIDF_TOP)
+        .select("doc_id", "word", "tf", "score", "rnk")
+    )

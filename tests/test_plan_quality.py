@@ -337,3 +337,40 @@ def test_small_file_read_combines_splits(spark, tmp_path):
     n_splits = back.rdd.getNumPartitions()
     assert n_splits <= 32, (n_files, n_splits)
     assert back.count() == 3000
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        # gate -> fp-window -> source-window -> final agg: two key shuffles
+        ("pretrain_mix", 2),
+        # one source-partitioned window feeding the final agg
+        ("source_cap_sample", 1),
+        # wstats (doc) + bigram counts (doc,bg) + rollup (doc) + join
+        ("repetition_signals", 4),
+        # windowed agg after the broadcast dim join
+        ("stream_static_enrich", 1),
+        # counters ride the single mapPartitions pass + one tiny agg
+        ("pipe_counter_rows", 1),
+        # per-doc top-N window + the posting self-join + final agg
+        ("word_cooccurrence", 3),
+    ],
+)
+def test_round3_shuffle_budget(spark, name, max_shuffles):
+    assert _shuffles(_plan(spark, name)) <= max_shuffles, name
+
+
+def test_stream_static_enrich_broadcasts_dim(spark):
+    plan = _plan(spark, "stream_static_enrich")
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    """The Lloyd assignment step must not shuffle the vector table: the
+    centroid fold is a map-side expression; only the per-(cluster,dim)
+    mean recomputation and tiny per-cluster rollups may shuffle."""
+    plan = _plan(spark, "kmeans_assign")
+    # no per-vector window (the old weak shape), no join on the big side
+    assert "Window" not in plan, plan
+    assert _shuffles(plan) <= 4, plan
