@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "word_cooccurrence",
     "kmeans_assign",
     "repetition_signals",
+    "pretrain_mix",
+    "tfidf_topterms",
+    "stream_static_enrich",
+    "triangle_count",
 ]
 
 
