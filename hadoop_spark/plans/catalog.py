@@ -58,12 +58,16 @@ def load_all() -> None:
     # round 3 rotates the never-driver-checked modules to the front:
     # tpch2(16) + sort(8) + join(13) + similarity(4) + text(9) = exactly 50.
     # stream/mlprep/workloads (37 queries) rotate into the window next round.
+    # Round-3 NEW queries live in modules imported after `queries_text`
+    # (or at the tails of later modules) so positions 1-50 stay exactly
+    # the 50 never-driver-checked r1/r2 queries.
     from hadoop_spark.plans import (  # noqa: F401
         queries_tpch2,
         queries_sort,
         queries_join,
         queries_similarity,
         queries_text,
+        queries_cluster,
         queries_stream,
         queries_mlprep,
         queries_workloads,
