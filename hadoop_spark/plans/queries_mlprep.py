@@ -841,3 +841,111 @@ def pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("doc_id").alias("kept_ids_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture-weighted sampling: apply a per-source sampling RATE (the mixture
+# spec of a training run: upsample wiki, downsample crawl) with the
+# hash-deterministic keep rule rate > hash(doc)/2^60 — scheduler- and
+# retry-independent, and exactly replayable in the oracle.
+
+_MIX_RATES = {  # fixture sources are src0..src19
+    "src0": 1.0,
+    "src1": 0.8,
+    "src2": 0.5,
+    "src3": 0.35,
+    "src4": 0.1,
+}
+_MIX_DEFAULT_RATE = 0.2
+_HASH_SPACE = float(2**60)  # portable_hash64 is 60-bit
+
+
+def _mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r!r}" for s, r in sorted(_MIX_RATES.items())
+    )
+    h = portable_hash64_sql("doc_id", salt="mixture")
+    return f"""
+WITH rated AS (
+  SELECT doc_id, source,
+         CASE {cases} ELSE {_MIX_DEFAULT_RATE!r} END AS rate,
+         CAST({h} AS DOUBLE) / {_HASH_SPACE!r} AS u
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN u < rate THEN doc_id ELSE 0 END) AS BIGINT) AS kept_ids_sum
+FROM rated GROUP BY source
+"""
+
+
+@query("mixture_sample", _mixture_oracle())
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling: each source keeps docs at its
+    configured rate, decided by comparing the portable 60-bit hash
+    (normalized to [0,1)) against the rate — a pure function of the data,
+    so the SAME docs are kept on every run, every retry, every cluster
+    size (the property `df.sample()` does NOT have). Rates ride a literal
+    CASE (the broadcast-side of a tiny dim); one map-side filter + one
+    aggregate. The oracle replays the exact keep set per source."""
+    rate = F.lit(_MIX_DEFAULT_RATE)
+    for s, r in sorted(_MIX_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    rated = docs.select(
+        "doc_id",
+        "source",
+        rate.alias("rate"),
+        (portable_hash64("doc_id", salt="mixture").cast("double") / F.lit(_HASH_SPACE)).alias("u"),
+    )
+    kept = F.col("u") < F.col("rate")
+    return rated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0))).alias("kept_ids_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching prep: group docs into token-length buckets and
+# measure the padding waste of batching each bucket to its own max — the
+# alternative to sequence_packing for attention kernels that want
+# near-uniform lengths per batch.
+
+_LB_WIDTH = 16  # tokens per bucket
+
+
+_LENGTH_BUCKETS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {ws_token_count_sql('text')} AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, n_tokens, n_tokens // {_LB_WIDTH} AS bucket FROM t
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste
+FROM b GROUP BY bucket
+"""
+
+
+@query("length_buckets", _LENGTH_BUCKETS_ORACLE)
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length bucketing (width {_LB_WIDTH}) with per-bucket padding
+    waste if each bucket batches to its own max — the measurement that
+    chooses between bucketing and packing for a training run. One
+    map-side token count + one aggregate; exact integers throughout."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select(
+        "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
+    ).withColumn("bucket", F.floor(F.col("n_tokens") / _LB_WIDTH))
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias("padding_waste"),
+    )
