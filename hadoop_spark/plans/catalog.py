@@ -76,6 +76,9 @@ def load_all() -> None:
         queries_dedup,
         queries_io,
         queries_tpch,
+        queries_lm,
+        queries_graph,
+        queries_stats,
     )
 
     _LOADED = True

@@ -1,0 +1,229 @@
+"""Distributed statistics over the event log (extension): finite-kernel
+EWMA smoothing, per-group least-squares trend fitting, and robust
+(median/MAD) anomaly flagging.
+
+These are the aggregate/window statistics a metrics pipeline computes at
+100 TB: everything is a grouped aggregation or a keyed window — one
+shuffle on the group key, partial-aggregated map-side, no driver-side
+data paths. Determinism follows the repo-wide discipline: exact-integer
+or decimal-quantized sums (`functions/numeric.dsum`), identical
+expression trees on the Spark and oracle sides, and DECIMAL-quantized
+values wherever a comparison could flip on sub-ulp noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_spark.functions.numeric import dsum, dsum_sql
+from hadoop_spark.plans.catalog import query
+from hadoop_spark.sources.tables import load_table
+
+# ----------------------------------------------------------------------
+# ewma_smooth — 8-tap exponential moving average per user. The infinite-
+# memory EWMA recurrence is inherently sequential (that form lives in
+# `streaming/windows.py` applyInPandasWithState as a running state op);
+# the batch-scalable form is the truncated kernel: y_t = sum_j w_j x_{t-j}
+# / sum_j w_j over the taps present, with w_j = a(1-a)^j. A keyed window
+# with 8 lag() taps — one shuffle on user_id, whole-stage-codegen'd, and
+# at 100 TB each user's history sorts within its partition (no global
+# sort, no single-partition window).
+# ----------------------------------------------------------------------
+
+_ALPHA = 0.25
+_TAPS = 8
+_W = [repr(_ALPHA * (1.0 - _ALPHA) ** j) for j in range(_TAPS)]
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n         ".join(
+        f"lag(value, {j}) OVER w AS x{j}" for j in range(1, _TAPS)
+    )
+    numer = " + ".join(
+        [f"CAST({_W[0]} AS DOUBLE) * value"]
+        + [
+            f"COALESCE(CAST({_W[j]} AS DOUBLE) * x{j}, CAST(0 AS DOUBLE))"
+            for j in range(1, _TAPS)
+        ]
+    )
+    denom = " + ".join(
+        [f"CAST({_W[0]} AS DOUBLE)"]
+        + [
+            f"CASE WHEN x{j} IS NULL THEN CAST(0 AS DOUBLE)"
+            f" ELSE CAST({_W[j]} AS DOUBLE) END"
+            for j in range(1, _TAPS)
+        ]
+    )
+    return f"""
+WITH lagged AS (
+  SELECT event_id, user_id, value,
+         {lags}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, value,
+       CAST(CAST(({numer}) / ({denom}) AS DECIMAL(18,8)) AS DOUBLE) AS ewma
+FROM lagged
+"""
+
+
+@query("ewma_smooth", _ewma_oracle())
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-kernel EWMA per user over the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        *[F.lag("value", j).over(w).alias(f"x{j}") for j in range(1, _TAPS)],
+    )
+    numer = F.lit(float(_W[0])) * F.col("value")
+    denom: F.Column = F.lit(float(_W[0]))
+    for j in range(1, _TAPS):
+        numer = numer + F.coalesce(
+            F.lit(float(_W[j])) * F.col(f"x{j}"), F.lit(0.0)
+        )
+        denom = denom + F.when(
+            F.col(f"x{j}").isNull(), F.lit(0.0)
+        ).otherwise(F.lit(float(_W[j])))
+    return lagged.select(
+        "event_id",
+        "user_id",
+        "value",
+        (numer / denom).cast("decimal(18,8)").cast("double").alias("ewma"),
+    )
+
+
+# ----------------------------------------------------------------------
+# linreg_per_group — per-event-type OLS trend (value vs. hours since the
+# epoch origin) from the five classic sufficient statistics. All sums are
+# exact (BIGINT for integer x, decimal-quantized for y and x*y), so slope
+# and intercept are bit-identical at any parallelism; the closed form
+# means ONE aggregation — no iteration, no collect, 100 TB = same plan.
+# ----------------------------------------------------------------------
+
+_T0 = 1704067200  # 2024-01-01T00:00:00Z, the fixture's epoch origin
+
+_LINREG_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+           AS x,
+         CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS y
+  FROM events
+), sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         {dsum_sql("y", 4)} AS sy,
+         {dsum_sql("CAST(x AS DOUBLE) * y", 4)} AS sxy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(CAST(
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       AS DECIMAL(18,10)) AS DOUBLE) AS slope,
+       CAST(CAST(
+         (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+       AS DECIMAL(18,10)) AS DOUBLE) AS intercept
+FROM sums
+"""
+
+
+@query("linreg_per_group", _LINREG_ORACLE)
+def linreg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-sufficient-statistics OLS slope/intercept per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ((F.unix_timestamp("ts") - F.lit(_T0)) / F.lit(3600)).cast("long")
+    y = F.col("value").cast("decimal(18,4)").cast("double")
+    pts = ev.select("event_type", x.alias("x"), y.alias("y"))
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        dsum(F.col("y"), 4).alias("sy"),
+        dsum(F.col("x").cast("double") * F.col("y"), 4).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    intercept = (F.col("sy") - slope * sxd) / nd
+    return sums.select(
+        "event_type",
+        "n",
+        slope.cast("decimal(18,10)").cast("double").alias("slope"),
+        intercept.cast("decimal(18,10)").cast("double").alias("intercept"),
+    )
+
+
+# ----------------------------------------------------------------------
+# anomaly_mad — robust per-group outlier counts: |x - median| > 3 * MAD.
+# Exact medians come from `operators/stats.group_median` — value-histogram
+# rank selection, NOT percentile(): an exact percentile aggregate buffers
+# every value of a group, and with few huge groups (5 event types x 20 B
+# rows at 100 TB) that is a reducer OOM by construction. The histogram
+# form's shuffle is bounded by |distinct values|, and its explicit
+# (lo + hi) / 2 interpolation is mirrored verbatim in the oracle so the
+# result is bit-identical (engine-internal quantile interpolation is
+# not). The outlier comparison runs on DECIMAL-quantized deviations so
+# the flag cannot flip on sub-quantum noise.
+# ----------------------------------------------------------------------
+
+from hadoop_spark.operators.stats import group_median, group_median_sql  # noqa: E402
+
+_MAD_ORACLE = f"""
+WITH {group_median_sql("events", "event_type", "value", "med", "m1")},
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN m1 m ON e.event_type = m.event_type
+),
+{group_median_sql("dev", "event_type", "adev", "mad", "m2")}
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(MIN(d.med) AS DECIMAL(18,6)) AS DOUBLE) AS med,
+       CAST(CAST(MIN(m.mad) AS DECIMAL(18,6)) AS DOUBLE) AS mad,
+       CAST(SUM(CASE WHEN CAST(d.adev AS DECIMAL(18,6))
+                      > CAST(3 * m.mad AS DECIMAL(18,6))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN m2 m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@query("anomaly_mad", _MAD_ORACLE)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    med = group_median(ev, "event_type", "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = group_median(dev, "event_type", "adev", "mad")
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("med").cast("decimal(18,6)").cast("double").alias("med"),
+        F.min("mad").cast("decimal(18,6)").cast("double").alias("mad"),
+        F.sum(
+            F.when(
+                F.col("adev").cast("decimal(18,6)")
+                > (F.lit(3) * F.col("mad")).cast("decimal(18,6)"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )

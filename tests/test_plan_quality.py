@@ -374,3 +374,51 @@ def test_kmeans_assignment_is_map_side(spark):
     # no per-vector window (the old weak shape), no join on the big side
     assert "Window" not in plan, plan
     assert _shuffles(plan) <= 4, plan
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        # md5(seg)-keyed window + per-doc agg + fanout repartition
+        ("dedup_paragraph", 3),
+        # keyed lag window only
+        ("ewma_smooth", 1),
+        # one grouped-sums aggregation
+        ("linreg_per_group", 1),
+    ],
+)
+def test_round3b_shuffle_budget(spark, name, max_shuffles):
+    assert _shuffles(_plan(spark, name)) <= max_shuffles, name
+
+
+def test_quality_classifier_is_map_only(spark):
+    """Model inference must be a map-only job: the weights ride a 1-row
+    broadcast; the document table is never shuffled."""
+    plan = _plan(spark, "quality_classifier")
+    assert _shuffles(plan) == 0, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDF
+
+
+def test_bigram_lm_single_partition_only_for_scalar(spark):
+    """bigram_lm_score may single-partition ONLY the 1-row vocab-size
+    scalar (partial_count per partition -> final count); every data-sized
+    exchange must be hash-keyed."""
+    plan = _plan(spark, "bigram_lm_score")
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1, plan
+    assert "Window.*SinglePartition" not in plan
+
+
+def test_anomaly_mad_scalable_median(spark):
+    """Medians must come from the value-histogram rank selection, never a
+    value-buffering percentile aggregate (reducer OOM with few huge
+    groups); the per-group medians join back as broadcasts; only the
+    histogram builds touch data-sized rows."""
+    plan = _plan(spark, "anomaly_mad")
+    assert "percentile" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    # window runs over histogram-sized data keyed by group, never a
+    # single-partition global window
+    assert "Exchange SinglePartition" not in plan, plan
