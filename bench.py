@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     "tfidf_topterms",
     "stream_static_enrich",
     "triangle_count",
+    # round-3b extensions: segment dedup, bigram-LM scoring, iterative
+    # PageRank, histogram-median robust stats
+    "dedup_paragraph",
+    "bigram_lm_score",
+    "pagerank",
+    "anomaly_mad",
 ]
 
 

@@ -44,6 +44,61 @@ def group_median(df: DataFrame, grp: str, val: str, out: str) -> DataFrame:
     )
 
 
+def group_quantiles(
+    df: DataFrame, grp: str, val: str, quantiles: dict[str, float]
+) -> DataFrame:
+    """Exact per-group NEAREST-RANK quantiles (type-1: the smallest value
+    whose cumulative count reaches ceil(q*n)) from ONE value histogram —
+    any number of cut points costs the same single partial-aggregated
+    shuffle. Nearest-rank (vs interpolated) keeps every output an actual
+    data value, so downstream clipping/winsorizing compares like with
+    like, and both engines compute it from identical integer ranks.
+
+    `quantiles` maps output column name -> q in (0, 1].
+    """
+    hist = df.groupBy(grp, val).agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.groupBy(grp).agg(F.sum("c").cast("long").alias("n"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy(grp).orderBy(val))
+    )
+    j = cum.join(F.broadcast(tot), grp)
+    aggs = []
+    for out, q in quantiles.items():
+        rank = F.ceil(F.col("n") * F.lit(q)).cast("long")
+        aggs.append(F.min(F.when(F.col("cum") >= rank, F.col(val))).alias(out))
+    return j.groupBy(grp).agg(*aggs)
+
+
+def group_quantiles_sql(
+    src: str, grp: str, val: str, quantiles: dict[str, float], prefix: str
+) -> str:
+    """DuckDB CTE block mirroring `group_quantiles` (same nearest ranks).
+    Final CTE `{prefix}` has columns (grp, *quantile names)."""
+    sels = ",\n         ".join(
+        f"MIN(CASE WHEN h.cum >= CAST(CEIL(t.n * {q!r}) AS BIGINT)"
+        f" THEN h.v END) AS {out}"
+        for out, q in quantiles.items()
+    )
+    return f"""
+{prefix}_hist AS (
+  SELECT {grp} AS g, {val} AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {src} GROUP BY {grp}, {val}
+),
+{prefix}_tot AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM {prefix}_hist GROUP BY g
+),
+{prefix}_cum AS (
+  SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum
+  FROM {prefix}_hist
+),
+{prefix} AS (
+  SELECT h.g AS {grp},
+         {sels}
+  FROM {prefix}_cum h JOIN {prefix}_tot t ON h.g = t.g
+  GROUP BY h.g
+)"""
+
+
 def group_median_sql(src: str, grp: str, val: str, out: str, prefix: str) -> str:
     """DuckDB CTE block mirroring `group_median` exactly (same rank
     selection, same (lo + hi) / 2 interpolation). Emits CTEs named

@@ -710,3 +710,96 @@ def auto_input_mixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("key").alias("n_keys"),
         )
     )
+
+
+_PO_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(CASE WHEN event_type = 'error'
+                               THEN value * 2 ELSE value END
+                          AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("partition_overwrite", _PO_ORACLE)
+def partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse form of the reference's
+    job-level output commit (`FileOutputCommitter` v1/v2 commits a whole
+    job's output dir; `MultipleOutputs` routes but never replaces): write
+    the full event log partitioned by event_type, then OVERWRITE exactly
+    one partition (the 'error' slice, values doubled) in a second job.
+    With partitionOverwriteMode=dynamic only partitions present in the
+    incoming data are replaced — the other partitions' files are not
+    rewritten (asserted in tests/test_partition_overwrite.py), which at
+    100 TB is the difference between rewriting one day's slice and
+    rewriting the table. The read-back aggregation proves the final table
+    state: doubled error values, untouched everything else."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(18,4)").alias("value")
+    )
+    path = _scratch(sf_dir, "po_events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            ev.filter(F.col("event_type") == "error")
+            .withColumn("value", (F.col("value") * 2).cast("decimal(18,4)"))
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(mode_key, prev)
+    # explicit schema: a zero-row write leaves no files to infer from
+    back = spark.read.schema(ev.schema).parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
+
+
+_PYDS_ORACLE = """
+SELECT CAST(s_suppkey AS VARCHAR) AS sk, s_name AS sname,
+       CAST(s_nationkey AS VARCHAR) AS snation
+FROM supplier
+"""
+
+
+@query("pyds_fixed_width_roundtrip", _PYDS_ORACLE)
+def pyds_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom pluggable format end-to-end through Spark 4's Python
+    DataSource API (`sources/pyds.py`): the supplier table is WRITTEN as
+    fixed-width records by the source's RecordWriter/OutputCommitter path
+    and READ back through its getSplits/RecordReader path — the full
+    custom-InputFormat+OutputFormat life cycle of the reference
+    (`MR-CORE/mapreduce/InputFormat.java:53`, `OutputCommitter.java:66`)
+    on the modern API. Record decode runs in Arrow-batched Python workers,
+    one task per planned split."""
+    from hadoop_spark.sources import pyds
+
+    pyds.register(spark)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("sk"),
+        F.col("s_name").alias("sname"),
+        F.col("s_nationkey").cast("string").alias("snation"),
+    )
+    path = _scratch(sf_dir, "pyds_supplier")
+    fields = "sk:8,sname:25,snation:4"
+    (
+        sup.write.format("fixedwidth")
+        .option("path", path)
+        .option("fields", fields)
+        .mode("overwrite")
+        .save()
+    )
+    return (
+        spark.read.format("fixedwidth")
+        .option("path", path)
+        .option("fields", fields)
+        .load()
+    )

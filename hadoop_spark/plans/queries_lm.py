@@ -301,3 +301,285 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.cast("decimal(18,8)").cast("double").alias("margin"),
         (margin.cast("decimal(18,8)") > 0).alias("keep"),
     )
+
+
+# ----------------------------------------------------------------------
+# chunk_documents — overlapping sliding-window chunking (RAG / context-
+# window prep): W-token chunks every S tokens, last partial chunk kept.
+# Pure map-side work (tokenize + windowed slice + fingerprint per chunk) —
+# a 100 TB corpus chunks with ZERO shuffles; the fingerprint column is
+# what a downstream chunk-dedup or vector-index build keys on.
+# ----------------------------------------------------------------------
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (8-token overlap)
+
+_CHUNK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_id,
+       CAST(len(w[(CAST(t.i AS BIGINT)*{_CHUNK_S}+1)
+                  :(CAST(t.i AS BIGINT)*{_CHUNK_S}+{_CHUNK_W})]) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(
+         w[(CAST(t.i AS BIGINT)*{_CHUNK_S}+1)
+           :(CAST(t.i AS BIGINT)*{_CHUNK_S}+{_CHUNK_W})], ' ')) AS chunk_fp
+FROM toks, UNNEST(range(CAST(ceil(len(w)/{_CHUNK_S}.0) AS BIGINT))) AS t(i)
+WHERE len(w) > 0
+"""
+
+
+@query("chunk_documents", _CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping W=32/stride=24 token chunks with per-chunk fingerprints."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = fanout_small(docs).select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w"),
+    ).filter(F.size("w") > 0)
+    nchunk = F.ceil(F.size("w") / F.lit(float(_CHUNK_S))).cast("long")
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), nchunk - 1),
+                lambda i: F.struct(
+                    i.alias("chunk_id"),
+                    F.size(
+                        F.slice("w", (i * _CHUNK_S + 1).cast("int"), _CHUNK_W)
+                    )
+                    .cast("long")
+                    .alias("n_tokens"),
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice("w", (i * _CHUNK_S + 1).cast("int"), _CHUNK_W),
+                        )
+                    ).alias("chunk_fp"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_fp")
+
+
+# ----------------------------------------------------------------------
+# incremental_dedup — dedup a NEW shard against the existing corpus (the
+# steady-state form of exact dedup: the historical fingerprint index is a
+# table, the daily increment joins against it — never re-deduping the
+# whole corpus). The join keys on the 32-byte fingerprint; at 100 TB the
+# history side is fingerprint-only (32 bytes/doc), shuffled on fp — or
+# pre-bucketed by fp so the daily join is co-located, with a bloom filter
+# pre-pass to skip the non-matching majority (the runtime bloom gate in
+# tests/test_plan_quality.py shows the engine applies one).
+# ----------------------------------------------------------------------
+
+_INCR_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source, md5(text) AS f
+  FROM documents WHERE text IS NOT NULL
+),
+history AS (SELECT DISTINCT f FROM fp WHERE source <> 'src0'),
+batch AS (SELECT doc_id, f FROM fp WHERE source = 'src0')
+SELECT b.doc_id, (h.f IS NOT NULL) AS is_dup
+FROM batch b LEFT JOIN history h ON b.f = h.f
+"""
+
+
+@query("incremental_dedup", _INCR_ORACLE)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-shard-vs-corpus exact dedup: src0 is the incoming batch, every
+    other source is the historical index."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fp = docs.select("doc_id", "source", F.md5("text").alias("f"))
+    history = fp.filter(F.col("source") != "src0").select("f").distinct()
+    batch = fp.filter(F.col("source") == "src0").select("doc_id", "f")
+    h = history.withColumn("hit", F.lit(True))
+    return batch.join(h, "f", "left").select(
+        "doc_id", F.coalesce(F.col("hit"), F.lit(False)).alias("is_dup")
+    )
+
+
+# ----------------------------------------------------------------------
+# bpe_pair_counts — the inner loop of BPE tokenizer training: frequencies
+# of adjacent symbol pairs within words, weighted by word frequency (the
+# count table from which the highest-frequency pair becomes the next
+# merge). Two-level aggregation keeps the big shuffle bounded: words
+# dedupe to (word, count) first — pair explosion then runs over the
+# VOCABULARY (distinct words), not the corpus, the standard trick that
+# makes BPE training feasible on a 100 TB corpus (vocab is millions,
+# corpus is trillions).
+# ----------------------------------------------------------------------
+
+_BPE_MIN = 5  # pair-count cutoff keeps the table bounded
+
+_BPE_ORACLE = rf"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(t.i AS INT) + 1, 2) AS pair, wc
+  FROM words, UNNEST(range(len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+HAVING SUM(wc) >= {_BPE_MIN}
+"""
+
+
+@query("bpe_pair_counts", _BPE_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted adjacent character-pair counts over the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = (
+        fanout_small(docs)
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substr(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .filter(F.col("n") >= _BPE_MIN)
+    )
+
+
+# ----------------------------------------------------------------------
+# chi2_terms — per-language discriminative vocabulary via the chi-square
+# statistic over (term x language) document-presence contingency tables —
+# the classic feature-selection pass of corpus analysis (and a data-mix
+# debugging tool: which terms make src/lang slices differ). Counts are
+# document-level presence (DISTINCT per doc), the contingency algebra is
+# exact integers cast to DOUBLE through one fixed expression tree, and
+# ranking compares the DECIMAL-quantized statistic so order cannot flip
+# on sub-quantum noise. Shuffles: the posting distinct + two bounded
+# aggregations + a vocabulary-sized top-k window.
+# ----------------------------------------------------------------------
+
+_CHI2_MIN_DF = 10  # term must appear in >= 10 docs
+_CHI2_TOPK = 5
+
+_CHI2_ORACLE = rf"""
+WITH docs0 AS (
+  SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+),
+posts AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM docs0
+),
+tl AS (
+  SELECT term, lang, CAST(COUNT(*) AS BIGINT) AS a
+  FROM posts GROUP BY term, lang
+),
+tt AS (
+  SELECT term, CAST(SUM(a) AS BIGINT) AS nt FROM tl GROUP BY term
+),
+lt AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM docs0 GROUP BY lang
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs0),
+chi AS (
+  SELECT tl.lang, tl.term,
+         CAST(CAST(
+           (CAST(t2.n AS DOUBLE)
+            * (CAST(tl.a AS DOUBLE) * CAST(t2.n - tt.nt - lt.nl + tl.a AS DOUBLE)
+               - CAST(tt.nt - tl.a AS DOUBLE) * CAST(lt.nl - tl.a AS DOUBLE))
+            * (CAST(tl.a AS DOUBLE) * CAST(t2.n - tt.nt - lt.nl + tl.a AS DOUBLE)
+               - CAST(tt.nt - tl.a AS DOUBLE) * CAST(lt.nl - tl.a AS DOUBLE)))
+           / (CAST(tt.nt AS DOUBLE) * CAST(t2.n - tt.nt AS DOUBLE)
+              * CAST(lt.nl AS DOUBLE) * CAST(t2.n - lt.nl AS DOUBLE))
+         AS DECIMAL(18,6)) AS DOUBLE) AS chi2
+  FROM tl
+  JOIN tt ON tl.term = tt.term
+  JOIN lt ON tl.lang = lt.lang
+  CROSS JOIN tot t2
+  WHERE tt.nt >= {_CHI2_MIN_DF} AND tt.nt < t2.n AND lt.nl < t2.n
+)
+SELECT lang, term, chi2 FROM (
+  SELECT lang, term, chi2,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY chi2 DESC, term) AS rk
+  FROM chi
+) WHERE rk <= {_CHI2_TOPK}
+"""
+
+
+@query("chi2_terms", _CHI2_ORACLE)
+def chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 chi-square discriminative terms per language."""
+    docs0 = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    posts = (
+        fanout_small(docs0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+                )
+            ).alias("term"),
+        )
+    )
+    tl = posts.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("a"))
+    tt = tl.groupBy("term").agg(F.sum("a").cast("long").alias("nt"))
+    lt = docs0.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    tot = docs0.agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        tl.join(tt, "term")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("nt") >= _CHI2_MIN_DF)
+            & (F.col("nt") < F.col("n"))
+            & (F.col("nl") < F.col("n"))
+        )
+    )
+    ad_bc = F.col("a").cast("double") * (
+        F.col("n") - F.col("nt") - F.col("nl") + F.col("a")
+    ).cast("double") - (F.col("nt") - F.col("a")).cast("double") * (
+        F.col("nl") - F.col("a")
+    ).cast("double")
+    chi2 = (
+        (F.col("n").cast("double") * ad_bc * ad_bc)
+        / (
+            F.col("nt").cast("double")
+            * (F.col("n") - F.col("nt")).cast("double")
+            * F.col("nl").cast("double")
+            * (F.col("n") - F.col("nl")).cast("double")
+        )
+    ).cast("decimal(18,6)").cast("double")
+    scored = j.select("lang", "term", chi2.alias("chi2"))
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("chi2").desc(), "term")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= _CHI2_TOPK)
+        .select("lang", "term", "chi2")
+    )

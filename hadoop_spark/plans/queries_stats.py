@@ -227,3 +227,65 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+# ----------------------------------------------------------------------
+# winsorized_stats — per-group p05/p95 clipping (winsorized mean + clip
+# counts), the standard robust-mean prep before z-scoring noisy metrics.
+# Cut points come from `operators/stats.group_quantiles`: ONE histogram
+# shuffle yields every quantile (nearest-rank, so cut points are actual
+# data values — identical doubles in both engines); the clip pass joins
+# them back as a broadcast. No value-buffering percentile, no giant
+# window.
+# ----------------------------------------------------------------------
+
+from hadoop_spark.operators.stats import (  # noqa: E402
+    group_quantiles,
+    group_quantiles_sql,
+)
+
+_WINSOR_ORACLE = f"""
+WITH {group_quantiles_sql("events", "event_type", "value",
+                          {"p05": 0.05, "p95": 0.95}, "qq")},
+clipped AS (
+  SELECT e.event_type, e.value, q.p05, q.p95,
+         CASE WHEN e.value < q.p05 THEN q.p05
+              WHEN e.value > q.p95 THEN q.p95
+              ELSE e.value END AS w
+  FROM events e JOIN qq q ON e.event_type = q.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       MIN(p05) AS p05, MIN(p95) AS p95,
+       ({dsum_sql("w", 4)} / CAST(COUNT(*) AS DOUBLE)) AS winsor_mean
+FROM clipped GROUP BY event_type
+"""
+
+
+@query("winsorized_stats", _WINSOR_ORACLE)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P05/P95 winsorized mean per event_type, histogram-exact quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    q = group_quantiles(ev, "event_type", "value", {"p05": 0.05, "p95": 0.95})
+    j = ev.join(F.broadcast(q), "event_type")
+    w = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_hi"),
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+        (dsum(w, 4) / F.count(F.lit(1)).cast("double")).alias("winsor_mean"),
+    )

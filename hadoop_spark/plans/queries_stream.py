@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_spark.functions.hashing import portable_hash64_sql
 from hadoop_spark.functions.numeric import dsum_sql
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table
@@ -548,4 +549,53 @@ def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_enrich(
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "customer"),
+    )
+
+
+_KMV_STREAM_K = 64
+_KMV_STREAM_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {portable_hash64_sql('user_id', salt='#kmv')} AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+),
+per_key AS (
+  SELECT event_type,
+         MAX(rn) AS n_seen,
+         MAX(CASE WHEN rn = {_KMV_STREAM_K} THEN h END) AS kth
+  FROM ranked WHERE rn <= {_KMV_STREAM_K}
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(CASE WHEN n_seen < {_KMV_STREAM_K} THEN n_seen
+                 ELSE CAST(FLOOR(({_KMV_STREAM_K} - 1)
+                      * 1152921504606846975.0 / kth) AS BIGINT)
+            END AS BIGINT) AS est_distinct
+FROM per_key
+"""
+
+
+@query("stream_kmv_distinct", _KMV_STREAM_ORACLE)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user estimate per event type: the KMV sketch as
+    applyInPandasWithState keyed state (set-union merge — commutative and
+    idempotent, so batch slicing cannot change the drained result), hash-
+    checked against the batch KMV oracle. The estimate is monotone
+    nondecreasing across updates, so the final state is the max."""
+    from hadoop_spark.streaming.windows import (
+        load_events_stream,
+        run_to_memory,
+        stateful_kmv_distinct,
+    )
+
+    stream = stateful_kmv_distinct(
+        load_events_stream(spark, sf_dir), k=_KMV_STREAM_K
+    )
+    got = run_to_memory(stream, "q_stream_kmv_distinct", output_mode="update")
+    return got.groupBy("event_type").agg(
+        F.max("est_distinct").alias("est_distinct")
     )

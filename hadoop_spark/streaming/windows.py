@@ -316,3 +316,56 @@ def run_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")  # noqa: S608
+
+
+def stateful_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming cardinality via a KMV sketch held in keyed state — the
+    mergeable-sketch form of streaming COUNT(DISTINCT), which Structured
+    Streaming cannot express exactly with bounded state. State per key is
+    the K smallest DISTINCT 60-bit portable hashes: set-union + truncate
+    is commutative and idempotent, so the final state is independent of
+    micro-batch slicing and replay (no quantization discipline needed —
+    the merge is exact by construction). Estimate = (K-1)·H / h_(K), the
+    same deterministic estimator as the batch `kmv_distinct_sketch`, so
+    the drained stream is oracle-checkable against DuckDB bit-for-bit.
+
+    Scale: state is K longs per key (512 B at K=64) — millions of keys fit
+    one state store; per-batch work is a set merge over the batch's
+    pre-hashed rows (hashing runs JVM-side BEFORE the state operator).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    hashed = events.select(
+        "event_type", portable_hash64(F.col("user_id"), salt="#kmv").alias("h")
+    )
+    hspace = 1152921504606846975.0  # 16^15 - 1: the 60-bit hash range
+
+    def update(key, pdfs, state: GroupState):
+        cur = list(state.get[0]) if state.exists else []
+        seen = set(cur)
+        for pdf in pdfs:
+            seen.update(int(x) for x in pdf["h"].tolist())
+        best = sorted(seen)[:k]
+        state.update((best,))
+        n_seen = len(best)
+        est = (
+            n_seen
+            if n_seen < k
+            else int(math.floor((k - 1) * hspace / best[-1]))
+        )
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "est_distinct": [est]}
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, est_distinct bigint",
+        stateStructType="hashes array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
