@@ -575,11 +575,110 @@ def chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("decimal(18,6)").cast("double")
     scored = j.select("lang", "term", chi2.alias("chi2"))
-    rk = F.row_number().over(
-        Window.partitionBy("lang").orderBy(F.col("chi2").desc(), "term")
-    )
+    # Two-level exact top-k: a single window per language would pull the
+    # WHOLE vocabulary of a language through one partition (5 languages =
+    # 5 giant partitions at corpus scale — the keyfield_sort anti-pattern).
+    # Instead rank within (lang, term-hash salt) buckets first, keep 5 per
+    # bucket, then rank the 5 * n_salts survivors. Top-k under a total
+    # order is invariant under this refinement, so the simple single-window
+    # SQL oracle still matches row-for-row.
+    n_salts = 32
+    salted = scored.withColumn("salt", F.pmod(F.hash("term"), F.lit(n_salts)))
+    order = (F.col("chi2").desc(), F.col("term"))
+    rk1 = F.row_number().over(Window.partitionBy("lang", "salt").orderBy(*order))
+    survivors = salted.withColumn("rk1", rk1).filter(F.col("rk1") <= _CHI2_TOPK)
+    rk2 = F.row_number().over(Window.partitionBy("lang").orderBy(*order))
     return (
-        scored.withColumn("rk", rk)
+        survivors.withColumn("rk", rk2)
         .filter(F.col("rk") <= _CHI2_TOPK)
         .select("lang", "term", "chi2")
     )
+
+
+# ----------------------------------------------------------------------
+# source_tv_divergence — total-variation distance between each source's
+# unigram distribution and the corpus distribution: the data-mix drift
+# monitor (which source's text is unlike the rest / did an ingest shift).
+# TV is used instead of KL because it needs no logarithm: engine-exact
+# from integer counts + quantized sums. Absent terms are handled in
+# closed form (TV = 0.5 * (sum_observed |p - q| + (1 - sum_observed q))),
+# so the join stays on OBSERVED (source, term) pairs — never the
+# |sources| x |vocab| cross product.
+# ----------------------------------------------------------------------
+
+_TV_ORACLE = rf"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+  GROUP BY source, term
+),
+stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY source),
+ct AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY term),
+tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM ct),
+obs AS (
+  SELECT s.source,
+         CAST(CAST(ABS(CAST(s.c AS DOUBLE) / CAST(t.ns AS DOUBLE)
+                       - CAST(c2.cc AS DOUBLE) / CAST(o.n AS DOUBLE))
+              AS DECIMAL(18,12)) AS DOUBLE) AS adiff,
+         CAST(CAST(CAST(c2.cc AS DOUBLE) / CAST(o.n AS DOUBLE)
+              AS DECIMAL(18,12)) AS DOUBLE) AS q
+  FROM st s
+  JOIN stot t ON s.source = t.source
+  JOIN ct c2 ON s.term = c2.term
+  CROSS JOIN tot o
+)
+SELECT source,
+       CAST(CAST(
+         0.5 * ({dsum_sql("adiff", 12)}
+                + (CAST(1 AS DOUBLE) - {dsum_sql("q", 12)}))
+       AS DECIMAL(18,12)) AS DOUBLE) AS tv
+FROM obs GROUP BY source
+"""
+
+
+@query("source_tv_divergence", _TV_ORACLE)
+def source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation distance from the corpus unigram mix."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = fanout_small(docs).select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    from hadoop_spark.sources.tables import shared
+
+    st = shared(st)
+    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    ct = st.groupBy("term").agg(F.sum("c").cast("long").alias("cc"))
+    tot = ct.agg(F.sum("cc").cast("long").alias("n"))
+    q = (
+        (F.col("cc").cast("double") / F.col("n").cast("double"))
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    adiff = (
+        F.abs(
+            F.col("c").cast("double") / F.col("ns").cast("double")
+            - F.col("cc").cast("double") / F.col("n").cast("double")
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    obs = (
+        st.join(F.broadcast(stot), "source")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("source", adiff.alias("adiff"), q.alias("q"))
+    )
+    tv = (
+        F.lit(0.5)
+        * (dsum(F.col("adiff"), 12) + (F.lit(1).cast("double") - dsum(F.col("q"), 12)))
+    ).cast("decimal(18,12)").cast("double")
+    return obs.groupBy("source").agg(tv.alias("tv"))
