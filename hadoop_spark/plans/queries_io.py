@@ -803,3 +803,98 @@ def pyds_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("fields", fields)
         .load()
     )
+
+
+_PATCH_ORACLE = """
+WITH grid AS (
+  SELECT d.doc_id, py.v AS patch_y, px.v AS patch_x, dy.v AS dy, dx.v AS dx, c.v AS c
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(2)) AS v) py
+  CROSS JOIN (SELECT unnest(range(3)) AS v) px
+  CROSS JOIN (SELECT unnest(range(4)) AS v) dy
+  CROSS JOIN (SELECT unnest(range(4)) AS v) dx
+  CROSS JOIN (SELECT unnest(range(3)) AS v) c
+  WHERE d.doc_id % 2 = 0
+)
+SELECT doc_id, CAST(patch_y AS INT) AS patch_y, CAST(patch_x AS INT) AS patch_x,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM((doc_id * 7919
+                 + (((patch_y * 4 + dy) * 12 + (patch_x * 4 + dx)) * 3 + c))
+                % 256) AS BIGINT) AS patch_sum
+FROM grid
+GROUP BY doc_id, patch_y, patch_x
+"""
+
+
+@query("image_patch_grid", _PATCH_ORACLE)
+def image_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction over REAL-decoded P6 images: each even
+    doc's synthetic 12x8 image splits into a 3x2 grid of 4x4 patches with
+    exact per-patch pixel sums (operators/multimodal.py image_patches,
+    Arrow-batched 1->N mapInPandas). The oracle recomputes every patch sum
+    from the pixel-generator formula — a patch-indexing bug (row-major
+    offset, channel stride, grid origin) cannot hash-match."""
+    from pyspark.sql.types import BinaryType
+
+    from hadoop_spark.operators.multimodal import as_media, image_patches, make_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+
+    @pandas_udf(BinaryType())
+    def ppm_bytes(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda s: make_ppm(int(s)))
+
+    media = as_media(
+        even.withColumn("payload", ppm_bytes("doc_id")), "doc_id", "payload", "image"
+    )
+    return image_patches(media, patch=4)
+
+
+_AUDIO_WIN_ORACLE = """
+WITH samples AS (
+  SELECT d.doc_id, CAST(r.i AS BIGINT) AS i,
+         (d.doc_id * 31 + CAST(r.i AS BIGINT) * 17) % 65536 - 32768 AS s
+  FROM documents d CROSS JOIN (SELECT unnest(range(128)) AS i) r
+  WHERE d.doc_id % 2 = 1 AND r.i < 64 + d.doc_id % 64
+)
+SELECT doc_id, CAST(i // 16 AS INT) AS win_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+       SQRT(CAST(SUM(s * s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS rms
+FROM samples
+GROUP BY doc_id, i // 16
+"""
+
+
+@query("audio_rms_windows", _AUDIO_WIN_ORACLE)
+def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over REAL-decoded PCM WAV: 16-sample windows
+    per odd doc with exact integer sum-of-squares and IEEE-exact RMS
+    (sqrt of a correctly-rounded quotient — identical across engines).
+    The Python stage only moves integers (operators/multimodal.py
+    audio_windows); RMS is computed JVM-side."""
+    from pyspark.sql.types import BinaryType
+
+    from hadoop_spark.operators.multimodal import as_media, audio_windows, make_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+
+    @pandas_udf(BinaryType())
+    def wav_bytes(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda s: make_wav(int(s)))
+
+    media = as_media(
+        odd.withColumn("payload", wav_bytes("doc_id")), "doc_id", "payload", "audio"
+    )
+    w = audio_windows(media, win=16)
+    return w.select(
+        "doc_id",
+        "win_id",
+        "n_samples",
+        "sum_sq",
+        F.sqrt(
+            F.col("sum_sq").cast("double") / F.col("n_samples").cast("double")
+        ).alias("rms"),
+    )

@@ -22,9 +22,11 @@ from hadoop_spark.sources.tables import load_table
 
 # ----------------------------------------------------------------------
 # ewma_smooth — 8-tap exponential moving average per user. The infinite-
-# memory EWMA recurrence is inherently sequential (that form lives in
-# `streaming/windows.py` applyInPandasWithState as a running state op);
-# the batch-scalable form is the truncated kernel: y_t = sum_j w_j x_{t-j}
+# memory EWMA recurrence is inherently sequential and order-sensitive, so
+# it has no batch-slicing-independent streaming-state form (the stateful
+# ops in `streaming/windows.py` are deliberately commutative: count/sum,
+# KMV set-union); the batch-scalable form of smoothing is the truncated
+# kernel: y_t = sum_j w_j x_{t-j}
 # / sum_j w_j over the taps present, with w_j = a(1-a)^j. A keyed window
 # with 8 lag() taps — one shuffle on user_id, whole-stage-codegen'd, and
 # at 100 TB each user's history sorts within its partition (no global
