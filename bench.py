@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "bigram_lm_score",
     "pagerank",
     "anomaly_mad",
+    "ann_pq_adc",
+    "chunk_documents",
+    "source_tv_divergence",
+    "winsorized_stats",
+    "bfs_hops",
 ]
 
 

@@ -152,3 +152,199 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_l1_q",
         "centroid_dim_checksum",
     )
+
+
+# ----------------------------------------------------------------------
+# ann_pq_adc — product-quantized ANN with asymmetric distance computation
+# (ADC): the compression half of the real 100 TB vector stack (IVF prunes
+# WHICH vectors to scan — `ann_ivf_topk` — PQ compresses HOW each scanned
+# vector is stored: M=8 one-byte codes instead of 64 floats, a 32x
+# memory cut).
+#
+# Codebooks are per-subspace (8 subspaces x 8 dims, K=16 entries seeded
+# from vec_id < 16 — deterministic init, same convention as
+# `kmeans_assign`; a Lloyd refinement would slot in front unchanged).
+# Both ENCODE (per-vector nearest codeword per subspace) and SEARCH
+# (query-to-codeword distance lookup) run MAP-SIDE against the
+# driver-collected codebook literal — 128 tiny rows, the DistributedCache
+# pattern — so the whole scan is one pass with zero shuffles before the
+# per-query top-k. All distances are exact BIGINT arithmetic on the
+# quantized grid; ranking ties break on (distance, vec_id).
+# ----------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces
+_PQ_SUB = 8      # dims per subspace (8 x 8 = 64)
+_PQ_K = 16       # codewords per subspace (seeded: vec_id < 16)
+_PQ_QUERIES = 3  # vec_id < 3 are the query vectors
+_PQ_TOPK = 5
+
+_PQ_ORACLE = f"""
+WITH {_EMB_CTE},
+mm AS (SELECT CAST(unnest(range({_PQ_M})) AS BIGINT) AS m),
+cb AS (
+  SELECT mm.m, e2.vec_id AS cid,
+         e2.q[(mm.m*{_PQ_SUB}+1):(mm.m*{_PQ_SUB}+{_PQ_SUB})] AS csub
+  FROM en e2 CROSS JOIN mm WHERE e2.vec_id < {_PQ_K}
+),
+cbn AS (SELECT m, cid, csub, {int_dot_sql('csub', 'csub')} AS cn2 FROM cb),
+vsub AS (
+  SELECT e2.vec_id, mm.m,
+         e2.q[(mm.m*{_PQ_SUB}+1):(mm.m*{_PQ_SUB}+{_PQ_SUB})] AS sub
+  FROM en e2 CROSS JOIN mm
+),
+vsubn AS (SELECT vec_id, m, sub, {int_dot_sql('sub', 'sub')} AS sn2 FROM vsub),
+enc AS (
+  SELECT vec_id, m, cid AS code, csub, cn2 FROM (
+    SELECT v.vec_id, v.m, c.cid, c.csub, c.cn2,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.m
+             ORDER BY v.sn2 + c.cn2 - 2 * {int_dot_sql('v.sub', 'c.csub')},
+                      c.cid
+           ) AS rn
+    FROM vsubn v JOIN cbn c ON v.m = c.m
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, e2.vec_id,
+         CAST(SUM(q.sn2 + e2.cn2 - 2 * {int_dot_sql('q.sub', 'e2.csub')})
+              AS BIGINT) AS adc_d2
+  FROM vsubn q
+  JOIN enc e2 ON q.m = e2.m AND e2.vec_id <> q.vec_id
+  WHERE q.vec_id < {_PQ_QUERIES}
+  GROUP BY q.vec_id, e2.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_d2, vec_id
+  ) AS rnk FROM adc
+) WHERE rnk <= {_PQ_TOPK}
+"""
+
+
+@query("ann_pq_adc", _PQ_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC top-k with the authentic lookup-table scan.
+
+    The codebook ships as TWO flat array<bigint> literals (values + squared
+    norms — one analyzable constant each, not hundreds of struct literals),
+    and ADC uses the classic precomputed distance tables: for each (query,
+    subspace) a 16-entry table of query-to-codeword distances is built
+    driver-side (3x8x16 integers), so the scan per vector is
+    M table lookups by code — exactly how a production PQ scan spends its
+    cycles, and why it is fast."""
+    import numpy as np
+
+    def _quant(vals) -> list[int]:
+        # Spark F.round half-up on double*1e7 — mirrored exactly (numpy and
+        # Python round are half-even; the blocked-GEMM discipline).
+        a = np.asarray(vals, dtype=np.float64) * 10_000_000
+        return [int(v) for v in np.sign(a) * np.floor(np.abs(a) + 0.5)]
+
+    emb = fanout_small(load_table(spark, sf_dir, "embeddings"))
+    # Codebook seeds + query vectors: ONE driver-side collect of bounded
+    # rows (the centroid-literal pattern from kmeans_assign /
+    # map_lookup_enrich), quantized half-up to the shared integer grid.
+    head = {
+        int(r["vec_id"]): _quant(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < max(_PQ_K, _PQ_QUERIES))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    seeds = sorted((vid, qv) for vid, qv in head.items() if vid < _PQ_K)
+    # flat[(m*K + cid)*SUB + d] = codeword value; cn2s[m*K + cid] = |c|^2
+    flat: list[int] = [0] * (_PQ_M * _PQ_K * _PQ_SUB)
+    cn2s: list[int] = [0] * (_PQ_M * _PQ_K)
+    for cid, qv in seeds:
+        for m in range(_PQ_M):
+            sub = [int(x) for x in qv[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+            base = (m * _PQ_K + cid) * _PQ_SUB
+            flat[base : base + _PQ_SUB] = sub
+            cn2s[m * _PQ_K + cid] = sum(x * x for x in sub)
+    # ADC lookup tables: distance from each query's RAW sub-vector to every
+    # codeword, precomputed driver-side (asymmetric: exact query side,
+    # compressed DB side).
+    qrows = sorted((vid, qv) for vid, qv in head.items() if vid < _PQ_QUERIES)
+    tables: dict[int, list[list[int]]] = {}
+    for qid, qv in qrows:
+        per_m = []
+        for m in range(_PQ_M):
+            qsub = [int(x) for x in qv[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+            qn2 = sum(x * x for x in qsub)
+            per_m.append(
+                [
+                    qn2
+                    + cn2s[m * _PQ_K + cid]
+                    - 2
+                    * sum(
+                        a * b
+                        for a, b in zip(
+                            qsub,
+                            flat[
+                                (m * _PQ_K + cid) * _PQ_SUB : (m * _PQ_K + cid + 1)
+                                * _PQ_SUB
+                            ],
+                        )
+                    )
+                    for cid in range(_PQ_K)
+                ]
+            )
+        tables[qid] = per_m
+
+    # The scan itself is a vectorized Arrow-batched kernel — quantize is
+    # the shared half-up grid, encode is a per-subspace GEMM + argmin, ADC
+    # is M table lookups per vector. All post-quantization values are
+    # integers with |value| < 2^53, so float64 BLAS is EXACT (same
+    # argument as dedup_embedding's blocked GEMM), and np.argmin's
+    # first-minimum rule IS the oracle's (d2, cid) tie-break.
+    import pandas as pd
+
+    cmat = np.array(flat, dtype=np.float64).reshape(_PQ_M * _PQ_K, _PQ_SUB)
+    cn2v = np.array(cn2s, dtype=np.float64)
+    m_, k_, sub_, qids = _PQ_M, _PQ_K, _PQ_SUB, sorted(tables)
+    tabmat = {qid: np.array(tables[qid], dtype=np.int64) for qid in qids}
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf) or not qids:
+                continue
+            raw = np.array(pdf["embedding"].tolist(), dtype=np.float64) * 10_000_000
+            x = np.sign(raw) * np.floor(np.abs(raw) + 0.5)
+            n = len(pdf)
+            codes = np.empty((n, m_), dtype=np.int64)
+            for m in range(m_):
+                xs = x[:, m * sub_ : (m + 1) * sub_]
+                dots = xs @ cmat[m * k_ : (m + 1) * k_].T
+                sn2 = (xs * xs).sum(axis=1)[:, None]
+                d2 = sn2 + cn2v[m * k_ : (m + 1) * k_][None, :] - 2.0 * dots
+                codes[:, m] = d2.argmin(axis=1)
+            vids = pdf["vec_id"].to_numpy()
+            outs = []
+            for qid in qids:
+                adc = np.zeros(n, dtype=np.int64)
+                for m in range(m_):
+                    adc += tabmat[qid][m][codes[:, m]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(n, qid, dtype=np.int64),
+                            "vec_id": vids,
+                            "adc_d2": adc,
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        scan, schema="query_id bigint, vec_id bigint, adc_d2 bigint"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2", "rnk"
+        )
+    )

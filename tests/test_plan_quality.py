@@ -422,3 +422,13 @@ def test_anomaly_mad_scalable_median(spark):
     # window runs over histogram-sized data keyed by group, never a
     # single-partition global window
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pq_encode_and_scan_are_map_side(spark):
+    """PQ's reason to exist is scan speed: encode (nearest codeword per
+    subspace) and ADC scoring must both run map-side against the codebook
+    literal — the only shuffle is the per-query top-k."""
+    plan = _plan(spark, "ann_pq_adc")
+    assert _shuffles(plan) <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
