@@ -221,6 +221,38 @@ FROM (
 ) WHERE rnk <= {_PQ_TOPK}
 """
 
+# PQ vs exact-L2 recall: the CTE prefix of _PQ_ORACLE (everything up to
+# the final SELECT) reused, plus the exact integer-L2 top-k and the
+# intersection count.
+_PQ_CTES = _PQ_ORACLE.split("\nSELECT query_id, vec_id AS neighbor_id")[0]
+
+_PQ_RECALL_ORACLE = f"""{_PQ_CTES},
+pqtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_d2, vec_id
+    ) AS rnk FROM adc
+  ) WHERE rnk <= {_PQ_TOPK}
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY q.n2 + v.n2 - 2 * {int_dot_sql('q.q', 'v.q')}, v.vec_id
+           ) AS rnk
+    FROM en q JOIN en v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {_PQ_QUERIES}
+  ) WHERE rnk <= {_PQ_TOPK}
+)
+SELECT p.query_id,
+       CAST(COUNT(e.vec_id) AS BIGINT) AS n_matched,
+       CAST({_PQ_TOPK} AS BIGINT) AS k
+FROM pqtop p LEFT JOIN exact e
+  ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+GROUP BY p.query_id
+"""
+
 
 @query("ann_pq_adc", _PQ_ORACLE)
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,5 +378,42 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2", "rnk"
+        )
+    )
+
+
+@query("ann_pq_recall", _PQ_RECALL_ORACLE)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC ranking against the exact integer-L2 top-5 —
+    the measurement that sizes M/K before a PQ index ships (compression is
+    only worth the recall it keeps). Composes the PQ scan with a
+    broadcast-query exact scoring pass; output is exact integers."""
+    pq = ann_pq_adc(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
+    qs = emb.filter(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    d2 = F.col("qn2") + F.col("n2") - 2 * int_dot(F.col("qq"), F.col("q"))
+    scored = emb.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", F.lit(True).alias("hit"))
+    )
+    return (
+        pq.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            F.lit(_PQ_TOPK).cast("bigint").alias("k"),
         )
     )

@@ -32,3 +32,37 @@ def test_stateful_final_state_equals_batch_aggregate(spark):
     got_rows = sorted(tuple(r) for r in final.collect())
     want_rows = sorted(tuple(r) for r in want.collect())
     assert got_rows == want_rows
+
+
+def test_kmv_state_is_batch_slicing_independent(spark, tmp_path):
+    """The KMV sketch state's set-union merge must give the SAME drained
+    estimate no matter how the stream is sliced into micro-batches: run
+    once over the events as a single file (1 batch) and once split into 4
+    files with maxFilesPerTrigger=1 (4 batches); results must be
+    identical."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.streaming.windows import run_to_memory, stateful_kmv_distinct
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    split_dir = str(tmp_path / "ev_split")
+    ev.repartition(4).write.mode("overwrite").parquet(split_dir)
+
+    def drained(stream_df, name):
+        got = run_to_memory(
+            stateful_kmv_distinct(stream_df), name, output_mode="update"
+        )
+        return sorted(
+            tuple(r)
+            for r in got.groupBy("event_type")
+            .agg(F.max("est_distinct").alias("est_distinct"))
+            .collect()
+        )
+
+    one = spark.readStream.schema(ev.schema).parquet(split_dir)
+    many = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    assert drained(one, "t_kmv_one") == drained(many, "t_kmv_many")
