@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "pagerank",
     "anomaly_mad",
     "ann_pq_adc",
+    "ann_ivfpq_topk",
     "chunk_documents",
     "source_tv_divergence",
     "winsorized_stats",

@@ -417,3 +417,200 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PQ_TOPK).cast("bigint").alias("k"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# ann_ivfpq_topk — the composed production index: IVF prunes WHICH
+# vectors each query scans (nprobe nearest cells by exact integer L2),
+# PQ/ADC compresses HOW each candidate is scored (M lookup-table adds).
+# Everything still runs in the one Arrow-batched kernel: per batch the
+# vectors' cell assignment is a GEMM+argmin against the 8 full-dim
+# centroids, the PQ codes a GEMM+argmin per subspace, and each query
+# contributes rows only for vectors in its probed cells — the candidate
+# set shrinks by ~(1 - nprobe/ncells) BEFORE any shuffle, so the
+# per-query top-k sees pruned data only.
+# ----------------------------------------------------------------------
+
+_IPQ_CELLS = 8   # IVF cells (seeded: vec_id < 8, full-dim)
+_IPQ_PROBE = 2   # cells probed per query
+
+_IVFPQ_ORACLE = f"""{_PQ_CTES},
+cells AS (
+  SELECT vec_id AS cent_id, q AS cq, {int_dot_sql('q', 'q')} AS cn2
+  FROM en WHERE vec_id < {_IPQ_CELLS}
+),
+vassign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT v.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY v.n2 + c.cn2 - 2 * {int_dot_sql('v.q', 'c.cq')},
+                      c.cent_id
+           ) AS rn
+    FROM en v CROSS JOIN cells c
+  ) WHERE rn = 1
+),
+qprobes AS (
+  SELECT query_id, cent_id AS cell FROM (
+    SELECT qv.vec_id AS query_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qv.vec_id
+             ORDER BY qv.n2 + c.cn2 - 2 * {int_dot_sql('qv.q', 'c.cq')},
+                      c.cent_id
+           ) AS rn
+    FROM en qv CROSS JOIN cells c WHERE qv.vec_id < {_PQ_QUERIES}
+  ) WHERE rn <= {_IPQ_PROBE}
+),
+pruned AS (
+  SELECT a.query_id, a.vec_id, a.adc_d2
+  FROM adc a
+  JOIN vassign va ON va.vec_id = a.vec_id
+  JOIN qprobes p ON p.query_id = a.query_id AND p.cell = va.cell
+)
+SELECT query_id, vec_id AS neighbor_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_d2, vec_id
+  ) AS rnk FROM pruned
+) WHERE rnk <= {_PQ_TOPK}
+"""
+
+
+@query("ann_ivfpq_topk", _IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell pruning + PQ/ADC scoring in one Arrow-batched kernel."""
+    import numpy as np
+
+    def _quant(vals) -> list[int]:
+        a = np.asarray(vals, dtype=np.float64) * 10_000_000
+        return [int(v) for v in np.sign(a) * np.floor(np.abs(a) + 0.5)]
+
+    emb = fanout_small(load_table(spark, sf_dir, "embeddings"))
+    head = {
+        int(r["vec_id"]): _quant(r["embedding"])
+        for r in emb.filter(
+            F.col("vec_id") < max(_PQ_K, _PQ_QUERIES, _IPQ_CELLS)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    seeds = sorted((vid, qv) for vid, qv in head.items() if vid < _PQ_K)
+    flat: list[int] = [0] * (_PQ_M * _PQ_K * _PQ_SUB)
+    cn2s: list[int] = [0] * (_PQ_M * _PQ_K)
+    for cid, qv in seeds:
+        for m in range(_PQ_M):
+            sub = [int(x) for x in qv[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+            base = (m * _PQ_K + cid) * _PQ_SUB
+            flat[base : base + _PQ_SUB] = sub
+            cn2s[m * _PQ_K + cid] = sum(x * x for x in sub)
+
+    # full-dim IVF centroids + per-query probed cells (driver-side: all
+    # inputs are the bounded head rows)
+    cents = {vid: qv for vid, qv in head.items() if vid < _IPQ_CELLS}
+    if not cents or not any(vid < _PQ_QUERIES for vid in head):
+        # empty-input regime: no centroids or no queries -> no results
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, adc_d2 bigint, rnk bigint"
+        )
+    cent_ids = sorted(cents)
+    cmat_cell = np.array([cents[c] for c in cent_ids], dtype=np.float64)
+    cell_n2 = (cmat_cell * cmat_cell).sum(axis=1)
+
+    def nearest_cells(vec, keep):
+        v = np.asarray(vec, dtype=np.float64)
+        d2 = (v * v).sum() + cell_n2 - 2.0 * (cmat_cell @ v)
+        order = sorted(range(len(cent_ids)), key=lambda i: (d2[i], cent_ids[i]))
+        return [cent_ids[i] for i in order[:keep]]
+
+    qrows = sorted((vid, qv) for vid, qv in head.items() if vid < _PQ_QUERIES)
+    probes = {qid: set(nearest_cells(qv, _IPQ_PROBE)) for qid, qv in qrows}
+    tables = {}
+    for qid, qv in qrows:
+        per_m = []
+        for m in range(_PQ_M):
+            qsub = [int(x) for x in qv[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+            qn2 = sum(x * x for x in qsub)
+            per_m.append(
+                [
+                    qn2
+                    + cn2s[m * _PQ_K + cid]
+                    - 2
+                    * sum(
+                        a * b
+                        for a, b in zip(
+                            qsub,
+                            flat[
+                                (m * _PQ_K + cid) * _PQ_SUB : (m * _PQ_K + cid + 1)
+                                * _PQ_SUB
+                            ],
+                        )
+                    )
+                    for cid in range(_PQ_K)
+                ]
+            )
+        tables[qid] = per_m
+
+    import pandas as pd
+
+    cmat = np.array(flat, dtype=np.float64).reshape(_PQ_M * _PQ_K, _PQ_SUB)
+    cn2v = np.array(cn2s, dtype=np.float64)
+    m_, k_, sub_, qids = _PQ_M, _PQ_K, _PQ_SUB, sorted(tables)
+    tabmat = {qid: np.array(tables[qid], dtype=np.int64) for qid in qids}
+    cid_arr = np.array(cent_ids, dtype=np.int64)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf) or not qids:
+                continue
+            raw = np.array(pdf["embedding"].tolist(), dtype=np.float64) * 10_000_000
+            x = np.sign(raw) * np.floor(np.abs(raw) + 0.5)
+            n = len(pdf)
+            # IVF cell per vector: full-dim GEMM + argmin (cent_ids are
+            # ascending, so argmin's first-min rule = (d2, cent_id) order)
+            dcell = (x * x).sum(axis=1)[:, None] + cell_n2[None, :] - 2.0 * (
+                x @ cmat_cell.T
+            )
+            vcell = cid_arr[dcell.argmin(axis=1)]
+            codes = np.empty((n, m_), dtype=np.int64)
+            for m in range(m_):
+                xs = x[:, m * sub_ : (m + 1) * sub_]
+                dots = xs @ cmat[m * k_ : (m + 1) * k_].T
+                sn2 = (xs * xs).sum(axis=1)[:, None]
+                d2 = sn2 + cn2v[m * k_ : (m + 1) * k_][None, :] - 2.0 * dots
+                codes[:, m] = d2.argmin(axis=1)
+            vids = pdf["vec_id"].to_numpy()
+            outs = []
+            for qid in qids:
+                mask = np.isin(vcell, list(probes[qid]))
+                if not mask.any():
+                    continue
+                adc = np.zeros(int(mask.sum()), dtype=np.int64)
+                for m in range(m_):
+                    adc += tabmat[qid][m][codes[mask, m]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                int(mask.sum()), qid, dtype=np.int64
+                            ),
+                            "vec_id": vids[mask],
+                            "adc_d2": adc,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        scan, schema="query_id bigint, vec_id bigint, adc_d2 bigint"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2", "rnk"
+        )
+    )

@@ -682,3 +682,62 @@ def source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (dsum(F.col("adiff"), 12) + (F.lit(1).cast("double") - dsum(F.col("q"), 12)))
     ).cast("decimal(18,12)").cast("double")
     return obs.groupBy("source").agg(tv.alias("tv"))
+
+
+# ----------------------------------------------------------------------
+# token_gini — per-document lexical diversity as the Gini impurity of the
+# token distribution: 1 - sum_t (c_t/n)^2. The log-free stand-in for
+# token entropy (same ordering for filtering purposes, but exact across
+# engines: integer counts, one IEEE division). Fully MAP-SIDE — the
+# per-doc counts come from an expression over the token array, so a
+# 100 TB corpus scores with zero shuffles. Work per doc is O(u * n)
+# (distinct terms x tokens), bounded by document length — the same class
+# of bound as the quality_score feature pass.
+# ----------------------------------------------------------------------
+
+_GINI_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+       CAST(CAST(
+         (CAST(len(w) AS DOUBLE) * CAST(len(w) AS DOUBLE)
+          - CAST(list_sum(list_transform(list_distinct(w),
+              t -> CAST(len(list_filter(w, x -> x = t)) AS BIGINT)
+                   * CAST(len(list_filter(w, x -> x = t)) AS BIGINT)))
+            AS DOUBLE))
+         / (CAST(len(w) AS DOUBLE) * CAST(len(w) AS DOUBLE))
+       AS DECIMAL(18,12)) AS DOUBLE) AS gini
+FROM toks WHERE len(w) > 0
+"""
+
+
+@query("token_gini", _GINI_ORACLE)
+def token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity token diversity per document, zero-shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = fanout_small(docs).select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w"),
+    ).filter(F.size("w") > 0)
+    count_of = lambda t: F.size(F.filter(F.col("w"), lambda x: x == t)).cast("bigint")  # noqa: E731
+    sum_sq = F.aggregate(
+        F.transform(F.array_distinct("w"), lambda t: count_of(t) * count_of(t)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n = F.size("w").cast("long")
+    nd = n.cast("double")
+    gini = ((nd * nd - sum_sq.cast("double")) / (nd * nd)).cast(
+        "decimal(18,12)"
+    ).cast("double")
+    return toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
+        gini.alias("gini"),
+    )
