@@ -355,3 +355,113 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# lsh_candidate_quality — the dedup analog of ann_recall: measure the LSH
+# band-join's candidate quality against EXACT all-pairs ground truth
+# (jaccard >= 0.8) on a bounded evaluation sample. Recall tells you
+# whether the band/row split misses true duplicates; precision tells you
+# how much exact-verification work the banding wastes. The all-pairs
+# ground truth is O(sample^2) BY DESIGN — it runs on the capped sample
+# (doc_id < 1000), never the corpus; production uses these measured
+# numbers to size BANDS x ROWS_PER_BAND, then runs only the banded path.
+# ----------------------------------------------------------------------
+
+_EVAL_CAP = 1000  # evaluation sample: doc_id < 1000
+
+_LSH_QUALITY_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sh3 AS (SELECT doc_id, sh FROM sh2 WHERE doc_id < {_EVAL_CAP}),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+  WHERE {jaccard_sql('a.sh', 'b.sh')} >= 0.8
+),
+sigs AS (
+  SELECT doc_id, {minhash_signature_sql('hv')} AS sig
+  FROM (SELECT doc_id, {shingle_hashes_sql('sh')} AS hv FROM sh3)
+),
+bands AS (
+  SELECT doc_id, band,
+         CAST('0x' || substr(md5(
+           {_BAND_CONCAT}
+         ), 1, 15) AS BIGINT) AS bh
+  FROM sigs, (SELECT unnest(range(0, {BANDS})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+hits AS (
+  SELECT c.id_a, c.id_b FROM cand c JOIN truth t
+    ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+       CAST(CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+            ELSE CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END
+         AS DECIMAL(18,12)) AS DOUBLE) AS recall,
+       CAST(CAST(CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN NULL
+            ELSE CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) END
+         AS DECIMAL(18,12)) AS DOUBLE) AS precision
+"""
+
+
+@query("lsh_candidate_quality", _LSH_QUALITY_ORACLE)
+def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding recall/precision vs exact ground truth on the sample."""
+    docs = fanout_small(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < _EVAL_CAP
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = shared(
+        toks.select(
+            "doc_id", trigram_shingles(F.col("toks")).alias("sh")
+        ).filter(F.size("sh") > 0)
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = shared(
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.8)
+        .select("id_a", "id_b")
+    )
+    sigs = sh.select(
+        "doc_id", minhash_signature(shingle_hashes(F.col("sh"))).alias("sig")
+    )
+    cand = shared(lsh_band_pairs(sigs))
+    hits = cand.join(truth, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    j = nt.crossJoin(nc).crossJoin(nh)
+    recall = (
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_hits").cast("double") / F.col("n_truth").cast("double"),
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    precision = (
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_hits").cast("double") / F.col("n_candidates").cast("double"),
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return j.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        recall.alias("recall"),
+        precision.alias("precision"),
+    )
