@@ -291,3 +291,109 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p95").alias("p95"),
         (dsum(w, 4) / F.count(F.lit(1)).cast("double")).alias("winsor_mean"),
     )
+
+
+# ----------------------------------------------------------------------
+# linreg_residuals — fit-then-score: the per-group OLS trend from
+# `linreg_per_group` joined back (broadcast — group count is tiny) to
+# score every event's residual against its group's trend line, flagging
+# |residual| > 3 sigma. This is the standard model-fit-then-apply shape:
+# ONE aggregation pass to fit, ONE map-side pass to score — at 100 TB the
+# model rides a broadcast, the scoring never shuffles. Sigma comes from
+# the same sufficient statistics (RSS via the closed form), so the whole
+# query is two passes over the data, both partial-aggregated/map-only.
+# ----------------------------------------------------------------------
+
+_RESID_ORACLE = f"""
+WITH pts AS (
+  SELECT event_id, event_type,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+           AS x,
+         CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS y
+  FROM events
+), sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         {dsum_sql("y", 4)} AS sy,
+         {dsum_sql("CAST(x AS DOUBLE) * y", 4)} AS sxy,
+         {dsum_sql("y * y", 4)} AS syy
+  FROM pts GROUP BY event_type
+), fits AS (
+  SELECT event_type, n, sx, sy,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         syy, sxy, sxx
+  FROM sums
+), fits2 AS (
+  SELECT event_type, n, slope,
+         (sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icept,
+         -- RSS = syy - icept*sy - slope*sxy (closed form), computed after
+         -- icept so both engines share one expression tree
+         syy, sxy, sy
+  FROM fits
+), sigma AS (
+  SELECT event_type, slope, icept,
+         SQRT((syy - icept * sy - slope * sxy) / CAST(n AS DOUBLE)) AS s
+  FROM fits2
+)
+SELECT p.event_id,
+       CAST(CAST(p.y - (g.icept + g.slope * CAST(p.x AS DOUBLE))
+            AS DECIMAL(18,6)) AS DOUBLE) AS residual,
+       (CAST(ABS(p.y - (g.icept + g.slope * CAST(p.x AS DOUBLE)))
+             AS DECIMAL(18,6))
+        > CAST(3 * g.s AS DECIMAL(18,6))) AS is_outlier
+FROM pts p JOIN sigma g ON p.event_type = g.event_type
+"""
+
+
+@query("linreg_residuals", _RESID_ORACLE)
+def linreg_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event residual vs the group OLS trend + 3-sigma outlier flag."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ((F.unix_timestamp("ts") - F.lit(_T0)) / F.lit(3600)).cast("long")
+    y = F.col("value").cast("decimal(18,4)").cast("double")
+    pts = ev.select("event_id", "event_type", x.alias("x"), y.alias("y"))
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        dsum(F.col("y"), 4).alias("sy"),
+        dsum(F.col("x").cast("double") * F.col("y"), 4).alias("sxy"),
+        dsum(F.col("y") * F.col("y"), 4).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    fits = sums.select(
+        "event_type", "n", "sx", "sy", "syy", "sxy", slope.alias("slope")
+    )
+    icept = (F.col("sy") - F.col("slope") * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    fits2 = fits.select(
+        "event_type", "n", "slope", icept.alias("icept"), "syy", "sxy", "sy"
+    )
+    s = F.sqrt(
+        (
+            F.col("syy")
+            - F.col("icept") * F.col("sy")
+            - F.col("slope") * F.col("sxy")
+        )
+        / F.col("n").cast("double")
+    )
+    sigma = fits2.select("event_type", "slope", "icept", s.alias("s"))
+    j = pts.join(F.broadcast(sigma), "event_type")
+    resid = F.col("y") - (F.col("icept") + F.col("slope") * F.col("x").cast("double"))
+    return j.select(
+        "event_id",
+        resid.cast("decimal(18,6)").cast("double").alias("residual"),
+        (
+            F.abs(resid).cast("decimal(18,6)")
+            > (F.lit(3) * F.col("s")).cast("decimal(18,6)")
+        ).alias("is_outlier"),
+    )

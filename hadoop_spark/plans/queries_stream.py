@@ -599,3 +599,53 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.groupBy("event_type").agg(
         F.max("est_distinct").alias("est_distinct")
     )
+
+
+_KMV_WIN_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS win_start,
+         {portable_hash64_sql('user_id', salt='#kmvw')} AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, win_start, h,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, win_start ORDER BY h
+         ) AS rn
+  FROM hashed
+),
+per_key AS (
+  SELECT event_type, win_start,
+         MAX(rn) AS n_seen,
+         MAX(CASE WHEN rn = {_KMV_STREAM_K} THEN h END) AS kth
+  FROM ranked WHERE rn <= {_KMV_STREAM_K}
+  GROUP BY event_type, win_start
+)
+SELECT event_type, win_start,
+       CAST(CASE WHEN n_seen < {_KMV_STREAM_K} THEN n_seen
+                 ELSE CAST(FLOOR(({_KMV_STREAM_K} - 1)
+                      * 1152921504606846975.0 / kth) AS BIGINT)
+            END AS BIGINT) AS est_distinct
+FROM per_key
+"""
+
+
+@query("stream_windowed_kmv", _KMV_WIN_ORACLE)
+def stream_windowed_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per (event_type, hour window) over the stream — the
+    KMV sketch as windowed keyed state (window assigned JVM-side before
+    the state operator), drained and checked against the batch KMV
+    bit-for-bit."""
+    from hadoop_spark.streaming.windows import (
+        load_events_stream,
+        run_to_memory,
+        stateful_windowed_kmv,
+    )
+
+    stream = stateful_windowed_kmv(
+        load_events_stream(spark, sf_dir), k=_KMV_STREAM_K
+    )
+    got = run_to_memory(stream, "q_stream_windowed_kmv", output_mode="update")
+    return got.groupBy("event_type", "win_start").agg(
+        F.max("est_distinct").alias("est_distinct")
+    )

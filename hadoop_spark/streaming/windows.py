@@ -369,3 +369,62 @@ def stateful_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_windowed_kmv(events: DataFrame, k: int = 64) -> DataFrame:
+    """Windowed streaming COUNT(DISTINCT): the KMV sketch keyed by
+    (event_type, hour window) — the classic "distinct users per window"
+    ask that exact streaming aggregation cannot answer with bounded
+    state. Window assignment happens map-side (JVM date_trunc) BEFORE the
+    state operator, so state is one K-long sketch per (key, window); the
+    merge is the same commutative/idempotent set-union as
+    `stateful_kmv_distinct`, so micro-batch slicing cannot change the
+    drained result and the batch SQL oracle matches bit-for-bit.
+
+    Production note: pair with a watermark + state TTL to retire closed
+    windows (state then holds only the open tail); the drain-everything
+    form here keeps all windows so the oracle can check every one.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    hashed = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("win_start"),
+        portable_hash64(F.col("user_id"), salt="#kmvw").alias("h"),
+    )
+    hspace = 1152921504606846975.0
+
+    def update(key, pdfs, state: GroupState):
+        cur = list(state.get[0]) if state.exists else []
+        seen = set(cur)
+        for pdf in pdfs:
+            seen.update(int(x) for x in pdf["h"].tolist())
+        best = sorted(seen)[:k]
+        state.update((best,))
+        n_seen = len(best)
+        est = (
+            n_seen
+            if n_seen < k
+            else int(math.floor((k - 1) * hspace / best[-1]))
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "win_start": [key[1]],
+                "est_distinct": [est],
+            }
+        )
+
+    return hashed.groupBy("event_type", "win_start").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, win_start timestamp,"
+        " est_distinct bigint",
+        stateStructType="hashes array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
