@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_spark.functions.hashing import portable_hash64_sql
-from hadoop_spark.functions.numeric import dsum_sql
+from hadoop_spark.functions.numeric import dsum, dsum_sql
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table
 from hadoop_spark.streaming.windows import (
@@ -648,4 +648,218 @@ def stream_windowed_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = run_to_memory(stream, "q_stream_windowed_kmv", output_mode="update")
     return got.groupBy("event_type", "win_start").agg(
         F.max("est_distinct").alias("est_distinct")
+    )
+
+
+_SESSION_FUNNEL_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS e,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_e
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_e IS NULL OR e - prev_e >= {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+numbered AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY e, new_s ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, sid,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(CASE WHEN event_type = 'click' THEN e END) AS first_click_us,
+         MAX(CASE WHEN event_type = 'purchase' THEN e END) AS last_purch_us
+  FROM numbered GROUP BY user_id, sid
+),
+flagged AS (
+  SELECT CASE WHEN n_events = 1 THEN '1'
+              WHEN n_events <= 3 THEN '2-3'
+              WHEN n_events <= 7 THEN '4-7'
+              ELSE '8+' END AS size_bucket,
+         CASE WHEN first_click_us IS NOT NULL
+                   AND last_purch_us IS NOT NULL
+                   AND first_click_us <= last_purch_us
+              THEN 1 ELSE 0 END AS converted
+  FROM sessions
+)
+SELECT size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(CAST(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(18,12)) AS DOUBLE) AS conversion_rate
+FROM flagged GROUP BY size_bucket
+"""
+
+
+@query("session_funnel_pipeline", _SESSION_FUNNEL_ORACLE)
+def session_funnel_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end event analytics in ONE plan (the events-side analog of
+    `pretrain_mix`'s chained-stages contract): gap-sessionize -> per-
+    session click->purchase conversion (ordered: the click must precede
+    the last purchase IN the session) -> session-size-bucket rollup with
+    conversion rates. The oracle replays the whole chain, so a stage-
+    ordering bug (flag before sessionize, bucket before flag) cannot
+    hash-match. Shuffle profile: one user-keyed window + two bounded
+    aggregations; conversion uses min/max epoch comparisons, never a
+    per-session self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = F.unix_micros("ts")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        e.alias("e"),
+        F.when(
+            F.lag(e).over(w).isNull()
+            | ((e - F.lag(e).over(w)) >= SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("e", "new_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.withColumn("sid", F.sum("new_s").over(wc))
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.when(F.col("event_type") == "click", F.col("e"))).alias(
+            "first_click_us"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("e"))).alias(
+            "last_purch_us"
+        ),
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .when(F.col("n_events") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    converted = F.when(
+        F.col("first_click_us").isNotNull()
+        & F.col("last_purch_us").isNotNull()
+        & (F.col("first_click_us") <= F.col("last_purch_us")),
+        1,
+    ).otherwise(0)
+    flagged = sessions.select(
+        bucket.alias("size_bucket"), converted.alias("converted")
+    )
+    return flagged.groupBy("size_bucket").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        (
+            F.sum("converted").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+        .alias("conversion_rate"),
+    )
+
+
+_VALIDITY_ORACLE = """
+SELECT user_id, event_id, value,
+       epoch_us(ts) AS valid_from_us,
+       LEAD(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS valid_to_us
+FROM events
+"""
+
+
+@query("validity_intervals", _VALIDITY_ORACLE)
+def validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: each per-user observation becomes a validity
+    interval [its timestamp, the next observation's timestamp), open-ended
+    (NULL) for the current row — the dimension-table shape an as-of join
+    consumes (`asof_join_events` is the read side of this write side).
+    One keyed window, no self-join; at 100 TB each user's history sorts
+    within its hash partition."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        e.alias("valid_from_us"),
+        F.lead(e).over(w).alias("valid_to_us"),
+    )
+
+
+_TOP_MOVERS_ORACLE = f"""
+WITH halves AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'a' ELSE 'b' END
+           AS half,
+         value
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         {dsum_sql("CASE WHEN half = 'a' THEN value END", 4)} AS rev_a,
+         {dsum_sql("CASE WHEN half = 'b' THEN value END", 4)} AS rev_b,
+         CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM halves GROUP BY event_type
+)
+SELECT event_type, rev_a, rev_b,
+       CAST(CAST(COALESCE(rev_b, 0) - COALESCE(rev_a, 0)
+            AS DECIMAL(18,4)) AS DOUBLE) AS delta,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ABS(COALESCE(rev_b, 0) - COALESCE(rev_a, 0)) DESC,
+                  event_type
+       ) AS BIGINT) AS move_rank
+FROM agg
+"""
+
+
+@query("top_movers", _TOP_MOVERS_ORACLE)
+def top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period movers: first-half vs second-half revenue per
+    event type in ONE conditional-aggregation pass (never two scans or a
+    self-join), delta-ranked. The rank window runs over |event types|
+    rows — group-sized, not data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "a"
+    ).otherwise("b")
+    agg = ev.select("event_type", half.alias("half"), "value").groupBy(
+        "event_type"
+    ).agg(
+        dsum(F.when(F.col("half") == "a", F.col("value")), 4).alias("rev_a"),
+        dsum(F.when(F.col("half") == "b", F.col("value")), 4).alias("rev_b"),
+    )
+    delta = (
+        (F.coalesce(F.col("rev_b"), F.lit(0.0)) - F.coalesce(F.col("rev_a"), F.lit(0.0)))
+        .cast("decimal(18,4)")
+        .cast("double")
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(
+        F.abs(
+            F.coalesce(F.col("rev_b"), F.lit(0.0))
+            - F.coalesce(F.col("rev_a"), F.lit(0.0))
+        ).desc(),
+        "event_type",
+    )
+    return agg.select(
+        "event_type",
+        "rev_a",
+        "rev_b",
+        delta.alias("delta"),
+        F.row_number().over(wr).cast("bigint").alias("move_rank"),
     )
