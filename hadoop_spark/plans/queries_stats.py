@@ -397,3 +397,49 @@ def linreg_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             > (F.lit(3) * F.col("s")).cast("decimal(18,6)")
         ).alias("is_outlier"),
     )
+
+
+# ----------------------------------------------------------------------
+# pareto_frontier — per-group 2-D Pareto frontier over (value, recency):
+# the points not dominated by any other (higher value AND more recent).
+# Scalable shape: raw rows first collapse to the (group, value) -> max-ts
+# histogram (partial-aggregated, bounded by |distinct values| like
+# group_median), and the frontier scan is a cummax window over that
+# HISTOGRAM — never a window over raw data. All-integer comparisons.
+# ----------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH hist AS (
+  SELECT event_type, value, MAX(epoch_us(ts)) AS t_us
+  FROM events GROUP BY event_type, value
+),
+scanned AS (
+  SELECT event_type, value, t_us,
+         MAX(t_us) OVER (
+           PARTITION BY event_type ORDER BY value DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_prev_t
+  FROM hist
+)
+SELECT event_type, value, t_us
+FROM scanned
+WHERE best_prev_t IS NULL OR t_us > best_prev_t
+"""
+
+
+@query("pareto_frontier", _PARETO_ORACLE)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-dominated (value, recency) points per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy("event_type", "value").agg(
+        F.max(F.unix_micros("ts")).alias("t_us")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = hist.withColumn("best_prev_t", F.max("t_us").over(w))
+    return scanned.filter(
+        F.col("best_prev_t").isNull() | (F.col("t_us") > F.col("best_prev_t"))
+    ).select("event_type", "value", "t_us")
