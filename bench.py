@@ -78,6 +78,13 @@ BENCH_QUERIES = [
     "source_tv_divergence",
     "winsorized_stats",
     "bfs_hops",
+    # round-3c: chained event analytics, fit-then-score, diversity,
+    # frontier, windowed streaming sketch
+    "session_funnel_pipeline",
+    "linreg_residuals",
+    "token_gini",
+    "pareto_frontier",
+    "stream_windowed_kmv",
 ]
 
 

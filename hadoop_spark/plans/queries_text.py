@@ -564,3 +564,111 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TFIDF_TOP)
         .select("doc_id", "word", "tf", "score", "rnk")
     )
+
+
+_LIFT_TOPK = 20
+
+_LIFT_ORACLE = rf"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w <> '')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+freq AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM tokens GROUP BY doc_id, word
+),
+posts AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, word,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, word) AS rn
+    FROM freq
+  ) WHERE rn <= {_COOC_CAP}
+),
+df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS d FROM posts GROUP BY word),
+ndocs AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM posts
+),
+pairs AS (
+  SELECT a.word AS word_a, b.word AS word_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM posts a JOIN posts b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word
+  HAVING COUNT(*) >= {_COOC_MIN}
+),
+lifted AS (
+  SELECT p.word_a, p.word_b, p.n_ab,
+         CAST(CAST(
+           (CAST(p.n_ab AS DOUBLE) * CAST(nd.n AS DOUBLE))
+           / (CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE))
+         AS DECIMAL(18,9)) AS DOUBLE) AS lift
+  FROM pairs p
+  JOIN df da ON p.word_a = da.word
+  JOIN df db ON p.word_b = db.word
+  CROSS JOIN ndocs nd
+)
+SELECT word_a, word_b, n_ab, lift, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY lift DESC, word_a, word_b
+  ) AS rk FROM lifted
+) WHERE rk <= {_LIFT_TOPK}
+"""
+
+
+@query("word_lift", _LIFT_ORACLE)
+def word_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by LIFT — P(a,b) / (P(a)P(b)) over document
+    co-occurrence, the log-free PMI (same ranking as PMI since log is
+    monotone, but exact across engines: integer counts, one IEEE ratio).
+    Reuses the capped co-occurrence shape (`word_cooccurrence`); the final
+    top-{_LIFT_TOPK} rank runs over the support-cutoff pair table, which
+    the ≥{_COOC_MIN}-doc cutoff keeps bounded — the global window never
+    sees raw pairs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from pyspark.sql import Window
+
+    toks = shared(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            ).alias("word"),
+        )
+    )
+    freq = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    wtop = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("word"))
+    posts = shared(
+        freq.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 200)
+        .select("doc_id", "word")
+    )
+    dfreq = posts.groupBy("word").agg(F.count(F.lit(1)).alias("d"))
+    ndocs = posts.agg(F.countDistinct("doc_id").alias("n"))
+    a = posts.select(F.col("doc_id").alias("doc_id"), F.col("word").alias("word_a"))
+    b = posts.select(F.col("doc_id").alias("doc_id"), F.col("word").alias("word_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    da = dfreq.select(F.col("word").alias("word_a"), F.col("d").alias("da"))
+    db = dfreq.select(F.col("word").alias("word_b"), F.col("d").alias("db"))
+    lift = (
+        (F.col("n_ab").cast("double") * F.col("n").cast("double"))
+        / (F.col("da").cast("double") * F.col("db").cast("double"))
+    ).cast("decimal(18,9)").cast("double")
+    lifted = (
+        pairs.join(F.broadcast(da), "word_a")
+        .join(F.broadcast(db), "word_b")
+        .crossJoin(F.broadcast(ndocs))
+        .select("word_a", "word_b", "n_ab", lift.alias("lift"))
+    )
+    wr = Window.orderBy(F.desc("lift"), "word_a", "word_b")
+    return (
+        lifted.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= _LIFT_TOPK)
+        .select("word_a", "word_b", "n_ab", "lift", "rk")
+    )
