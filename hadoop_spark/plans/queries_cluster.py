@@ -614,3 +614,123 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2", "rnk"
         )
     )
+
+
+# ----------------------------------------------------------------------
+# cluster_purity — clustering quality evaluation: per k-means cell, the
+# majority-label share over the labeled embeddings (the counterpart of
+# ann_recall / ann_pq_recall / lsh_candidate_quality for the clustering
+# primitive: is the geometric assignment recovering the label structure?).
+# Assignment reuses the exact integer-L2 map-side argmin convention; the
+# purity rollup is two bounded aggregations over (cluster, label) counts.
+# ----------------------------------------------------------------------
+
+_PURITY_ORACLE = f"""
+WITH {_EMB_CTE},
+cents AS (
+  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM en WHERE vec_id < {_KM_K}
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY v.n2 + c.cn2 - 2 * {int_dot_sql('v.q', 'c.cq')}, c.cid
+           ) AS rn
+    FROM en v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+labeled AS (
+  SELECT a.cluster_id, e2.label FROM assign a
+  JOIN embeddings e2 ON a.vec_id = e2.vec_id
+),
+cl AS (
+  SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM labeled GROUP BY cluster_id, label
+),
+best AS (
+  SELECT cluster_id, label AS majority_label, c AS n_majority FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cluster_id ORDER BY c DESC, label
+    ) AS rn FROM cl
+  ) WHERE rn = 1
+),
+tot AS (
+  SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS n FROM cl GROUP BY cluster_id
+)
+SELECT t.cluster_id, t.n, b.majority_label, b.n_majority,
+       CAST(CAST(CAST(b.n_majority AS DOUBLE) / CAST(t.n AS DOUBLE)
+            AS DECIMAL(18,12)) AS DOUBLE) AS purity
+FROM tot t JOIN best b ON t.cluster_id = b.cluster_id
+"""
+
+
+@query("cluster_purity", _PURITY_ORACLE)
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-label purity per k-means cell (clustering quality eval)."""
+    emb = shared(
+        with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
+    )
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), "q", "n2")
+        .collect()
+    )
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "cluster_id bigint, n bigint, majority_label int,"
+            " n_majority bigint, purity double",
+        )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.cid)).alias("cid"),
+                F.array(*[F.lit(int(v)) for v in r.q]).alias("cq"),
+                F.lit(int(r.n2)).alias("cn2"),
+            )
+            for r in sorted(cent_rows, key=lambda r: r.cid)
+        ]
+    )
+
+    def d2_to(c):
+        return F.col("n2") + c["cn2"] - 2 * int_dot(F.col("q"), c["cq"])
+
+    best = F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(None).cast("bigint").alias("d2"),
+            F.lit(None).cast("int").alias("cid"),
+        ),
+        lambda acc, c: F.when(
+            acc["cid"].isNull() | (d2_to(c) < acc["d2"]),
+            F.struct(d2_to(c).alias("d2"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    labeled = emb.select(
+        best["cid"].cast("bigint").alias("cluster_id"), "label"
+    )
+    cl = labeled.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("cluster_id").orderBy(F.desc("c"), F.asc("label"))
+    bests = (
+        cl.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("c").alias("n_majority"),
+        )
+    )
+    tot = cl.groupBy("cluster_id").agg(F.sum("c").cast("long").alias("n"))
+    purity = (
+        (F.col("n_majority").cast("double") / F.col("n").cast("double"))
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return tot.join(bests, "cluster_id").select(
+        "cluster_id", "n", "majority_label", "n_majority", purity.alias("purity")
+    )
