@@ -47,20 +47,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The driver's correctness run checks the FIRST 50 registry entries per
+# round, so the window is rotated each round until every query has a green
+# driver row (rotation ledger: COVERAGE.md). Round 4's window = the red r3
+# row (source_profile, oracle typing fixed this round) + 49 queries that
+# have never had a driver row in r1-r3 (text-tail, cluster, ALL of stream,
+# ALL of mlprep, workloads head). The remaining never-checked queries are
+# scheduled for the r5 window.
+_R4_WINDOW = [
+    "source_profile",
+    "repetition_signals",
+    "source_cap_sample",
+    "tfidf_topterms",
+    "word_lift",
+    "kmeans_assign",
+    "ann_pq_adc",
+    "ann_pq_recall",
+    "ann_ivfpq_topk",
+    "cluster_purity",
+    "tumbling_window",
+    "sliding_window",
+    "session_window_agg",
+    "stream_dedup",
+    "late_events",
+    "stateful_running_agg",
+    "hierarchical_rollup",
+    "stream_stream_join",
+    "incremental_merge",
+    "batch_sessionize",
+    "time_weighted_avg",
+    "ohlc_bars",
+    "cohort_retention",
+    "funnel_counts",
+    "stream_static_enrich",
+    "stream_kmv_distinct",
+    "stream_windowed_kmv",
+    "session_funnel_pipeline",
+    "validity_intervals",
+    "top_movers",
+    "pivot_flag_status",
+    "heavy_hitters",
+    "train_test_split",
+    "gap_fill_events",
+    "numeric_profile",
+    "zscore_by_group",
+    "sequence_packing",
+    "decontaminate",
+    "stratified_sample",
+    "data_quality_audit",
+    "gap_fill_interp",
+    "numeric_histogram",
+    "pretrain_mix",
+    "mixture_sample",
+    "length_buckets",
+    "teragen_sort",
+    "teravalidate",
+    "pi_estimate",
+    "random_text_stats",
+    "xml_records",
+]
+
+
 def load_all() -> None:
     """Import every query module (side effect: registry population)."""
     global _LOADED
     if _LOADED:
         return
-    # Import order IS registration order, and the driver's correctness run
-    # checks the FIRST 50 registry entries per round. Rounds 1-2 verified the
-    # agg/core/dedup/io/tpch block (see CORRECTNESS_r01/r02 + COVERAGE.md), so
-    # round 3 rotates the never-driver-checked modules to the front:
-    # tpch2(16) + sort(8) + join(13) + similarity(4) + text(9) = exactly 50.
-    # stream/mlprep/workloads (37 queries) rotate into the window next round.
-    # Round-3 NEW queries live in modules imported after `queries_text`
-    # (or at the tails of later modules) so positions 1-50 stay exactly
-    # the 50 never-driver-checked r1/r2 queries.
     from hadoop_spark.plans import (  # noqa: F401
         queries_tpch2,
         queries_sort,
@@ -80,5 +132,17 @@ def load_all() -> None:
         queries_graph,
         queries_stats,
     )
+
+    # Deterministic window rotation: pull this round's 50-query window to
+    # the front of the registry (dict order IS driver order); everything
+    # else keeps its registration order behind it.
+    missing = [n for n in _R4_WINDOW if n not in QUERIES]
+    if missing:  # a renamed query must fail loudly, not silently shrink
+        raise RuntimeError(f"_R4_WINDOW names not registered: {missing}")
+    front = {n: QUERIES[n] for n in _R4_WINDOW}
+    rest = {n: f for n, f in QUERIES.items() if n not in front}
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(rest)
 
     _LOADED = True

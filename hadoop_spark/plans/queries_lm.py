@@ -119,6 +119,7 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 _LM_KEEP = 0.004  # keep-threshold on mean conditional probability
+_UGC_BCAST_MAX = 5_000_000  # |vocab| cap for broadcasting the unigram table
 
 _LM_ORACLE = rf"""
 WITH toks AS (
@@ -185,21 +186,30 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     ).select("doc_id", "g.w1", "g.bg")
     bgc = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
-    ugc = (
+    ugc = shared(
         toks.select(F.explode("w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    vocab = ugc.agg(F.count(F.lit(1)).alias("v"))
+    # The unigram table is vocab-sized but its JOIN KEY (w1) is Zipf-skewed
+    # on the gram side: without a broadcast the most frequent word's entire
+    # gram stream rides a handful of shuffle tasks. Vocabularies up to a
+    # few million terms broadcast comfortably; the guard collects ONE
+    # bounded scalar (|vocab|, needed for Laplace smoothing anyway) and
+    # falls back to the AQE-skew-covered shuffle join only above the cap.
+    n_vocab = ugc.agg(F.count(F.lit(1)).alias("v")).first()["v"]
+    ugc_side = F.broadcast(ugc) if n_vocab <= _UGC_BCAST_MAX else ugc
     p = (
-        ((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
+        (
+            (F.col("c12") + 1).cast("double")
+            / (F.col("c1") + F.lit(n_vocab)).cast("double")
+        )
         .cast("decimal(18,12)")
         .cast("double")
     )
     scored = (
         grams.join(bgc, "bg")
-        .join(ugc, F.col("w1") == F.col("w"))
-        .crossJoin(F.broadcast(vocab))
+        .join(ugc_side, F.col("w1") == F.col("w"))
         .select("doc_id", p.alias("p"))
     )
     mean_p = dsum(F.col("p"), 12) / F.count(F.lit(1)).cast("double")

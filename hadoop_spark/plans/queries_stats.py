@@ -336,7 +336,11 @@ WITH pts AS (
   FROM fits
 ), sigma AS (
   SELECT event_type, slope, icept,
-         SQRT((syy - icept * sy - slope * sxy) / CAST(n AS DOUBLE)) AS s
+         -- quantized-sum RSS can come out fractionally negative on a
+         -- near-perfect fit; DuckDB errors on SQRT(<0) while Spark
+         -- returns NaN — clamp on BOTH sides
+         SQRT(GREATEST(0.0, (syy - icept * sy - slope * sxy))
+              / CAST(n AS DOUBLE)) AS s
   FROM fits2
 )
 SELECT p.event_id,
@@ -379,10 +383,11 @@ def linreg_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "slope", icept.alias("icept"), "syy", "sxy", "sy"
     )
     s = F.sqrt(
-        (
+        F.greatest(
+            F.lit(0.0),
             F.col("syy")
             - F.col("icept") * F.col("sy")
-            - F.col("slope") * F.col("sxy")
+            - F.col("slope") * F.col("sxy"),
         )
         / F.col("n").cast("double")
     )

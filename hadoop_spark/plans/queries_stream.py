@@ -556,7 +556,7 @@ _KMV_STREAM_K = 64
 _KMV_STREAM_ORACLE = f"""
 WITH hashed AS (
   SELECT DISTINCT event_type, {portable_hash64_sql('user_id', salt='#kmv')} AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, h,
@@ -605,7 +605,7 @@ _KMV_WIN_ORACLE = f"""
 WITH hashed AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS win_start,
          {portable_hash64_sql('user_id', salt='#kmvw')} AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, win_start, h,

@@ -83,7 +83,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOURCE_PROFILE_ORACLE = f"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM({tx.ws_token_count_sql("text")}) AS total_tokens,
+       CAST(SUM({tx.ws_token_count_sql("text")}) AS BIGINT) AS total_tokens,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
 FROM documents WHERE text IS NOT NULL
@@ -640,7 +640,7 @@ def word_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wtop = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("word"))
     posts = shared(
         freq.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= 200)
+        .filter(F.col("rn") <= _COOC_CAP)
         .select("doc_id", "word")
     )
     dfreq = posts.groupBy("word").agg(F.count(F.lit(1)).alias("d"))
@@ -652,7 +652,7 @@ def word_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word_a") < F.col("word_b"))
         .groupBy("word_a", "word_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 10)
+        .filter(F.col("n_ab") >= _COOC_MIN)
     )
     da = dfreq.select(F.col("word").alias("word_a"), F.col("d").alias("da"))
     db = dfreq.select(F.col("word").alias("word_b"), F.col("d").alias("db"))

@@ -78,43 +78,83 @@ class FixedWidthReader(DataSourceReader):
                 yield tuple(out)
 
 
+class _FixedWidthCommit(WriterCommitMessage):
+    """Task attempt's pending (temp name, final name) pair."""
+
+    def __init__(self, tmp_name: str, final_name: str):
+        self.tmp_name = tmp_name
+        self.final_name = final_name
+
+
 class FixedWidthWriter(DataSourceWriter):
+    """RecordWriter + FileOutputCommitter parity
+    (`MR-CORE/.../FileOutputCommitter.java:51`): each task attempt writes a
+    dot-prefixed PENDING file (readers skip '_'/'.' prefixes, so a failed,
+    speculative, or in-flight attempt is never ingested); the job-level
+    ``commit()`` promotes exactly the committed attempts' files to their
+    final names and removes strays — and the ``overwrite`` delete of prior
+    output is deferred to commit time, so a failed job leaves existing data
+    intact. Single-filesystem rename, as with FileOutputCommitter (a real
+    cluster points ``path`` at a shared filesystem)."""
+
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.path = options["path"]
         self.fields = _parse_fields(options["fields"])
         self.schema = schema
-        if overwrite and os.path.isdir(self.path):
-            for f in os.listdir(self.path):
-                if not f.startswith(("_", ".")):
-                    os.remove(os.path.join(self.path, f))
+        self.overwrite = overwrite
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator):
-        # RecordWriter: one output file per task attempt, unique name so a
-        # retried attempt cannot clobber a committed one.
+        # RecordWriter: one pending file per task attempt, unique dot-name
+        # so a retried attempt cannot clobber another, and readers cannot
+        # see it before commit.
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
-        tmp = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.txt")
+        final_name = f"part-{pid:05d}-{uuid.uuid4().hex}.txt"
+        tmp_name = "." + final_name + ".pending"
         widths = dict(self.fields)
         names = [f.name for f in self.schema.fields]
-        with open(tmp, "w", encoding="utf-8") as fh:
+        with open(os.path.join(self.path, tmp_name), "w", encoding="utf-8") as fh:
             for row in iterator:
                 vals = [
                     ("" if v is None else str(v)).ljust(widths[n])[: widths[n]]
                     for n, v in zip(names, row)
                 ]
                 fh.write("".join(vals) + "\n")
-        return WriterCommitMessage()
+        return _FixedWidthCommit(tmp_name, final_name)
 
     def commit(self, messages):
-        # OutputCommitter.commitJob: nothing to move (unique names), so the
-        # job-level commit is a no-op marker.
+        # OutputCommitter.commitJob: delete prior output now (not at plan
+        # time), promote committed attempts' pending files, sweep strays
+        # left by failed/speculative attempts.
+        keep = {m.tmp_name: m.final_name for m in messages if m is not None}
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if not f.startswith(("_", ".")):
+                    os.remove(os.path.join(self.path, f))
+        for tmp_name, final_name in keep.items():
+            os.replace(
+                os.path.join(self.path, tmp_name),
+                os.path.join(self.path, final_name),
+            )
+        self._sweep_pending()
         return None
 
     def abort(self, messages):
+        # OutputCommitter.abortJob: drop every pending file; committed
+        # (non-dot) output from prior jobs is untouched.
+        self._sweep_pending()
         return None
+
+    def _sweep_pending(self) -> None:
+        for f in os.listdir(self.path):
+            if f.startswith(".") and f.endswith(".pending"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
 
 
 class FixedWidthDataSource(DataSource):

@@ -340,7 +340,10 @@ def stateful_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
 
     from hadoop_spark.functions.hashing import portable_hash64
 
-    hashed = events.select(
+    # NULL user_id hashes to NULL -> NaN in the Arrow batch -> int(NaN)
+    # raises inside update(), killing the streaming query; drop it JVM-side
+    # (the batch oracle mirrors with WHERE user_id IS NOT NULL)
+    hashed = events.filter(F.col("user_id").isNotNull()).select(
         "event_type", portable_hash64(F.col("user_id"), salt="#kmv").alias("h")
     )
     hspace = 1152921504606846975.0  # 16^15 - 1: the 60-bit hash range
@@ -392,7 +395,9 @@ def stateful_windowed_kmv(events: DataFrame, k: int = 64) -> DataFrame:
 
     from hadoop_spark.functions.hashing import portable_hash64
 
-    hashed = events.select(
+    # NULL user_id -> NULL hash -> int(NaN) crash in update(); see
+    # stateful_kmv_distinct
+    hashed = events.filter(F.col("user_id").isNotNull()).select(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("win_start"),
         portable_hash64(F.col("user_id"), salt="#kmvw").alias("h"),

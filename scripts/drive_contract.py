@@ -15,7 +15,9 @@ import time
 import duckdb
 from pyspark.sql import SparkSession
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+argv = [a for a in sys.argv[1:] if a != "--strict"]
+STRICT = "--strict" in sys.argv[1:]
+sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -51,9 +53,36 @@ def canon(rows, cols):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
+def canon_pandas(pdf):
+    """Dtype-SENSITIVE canonicalization through pandas — emulates the
+    driver's stricter hash path, where e.g. a DuckDB HUGEINT aggregate
+    lands as float64/object while Spark's BIGINT lands as int64 (the
+    source_profile r3 red row). Values carry a type tag so 148 != 148.0."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf[sorted(pdf.columns)]
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+            return "<NULL>"
+        if isinstance(v, (np.floating, float)):
+            f = float(v)
+            return "NaN" if math.isnan(f) else f"f:{f!r}"
+        if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+            return f"i:{int(v)}"
+        if isinstance(v, (np.bool_, bool)):
+            return f"b:{bool(v)}"
+        return f"{type(v).__name__}:{v}"
+
+    return sorted(
+        tuple(norm(v) for v in row) for row in pdf.itertuples(index=False, name=None)
+    )
+
+
 queries = e.queries()
 oracles = e.oracle_sql()
-name_filters = sys.argv[2:]
+name_filters = argv[1:]
 if name_filters:
     queries = {
         n: fn for n, fn in queries.items() if any(f in n for f in name_filters)
@@ -64,7 +93,7 @@ for name in sorted(queries):
     try:
         sdf = queries[name](spark, sf_dir)
         got_cols = sdf.columns
-        got = canon(sdf.collect(), got_cols)
+        got = canon_pandas(sdf.toPandas()) if STRICT else canon(sdf.collect(), got_cols)
     except Exception as ex:
         failed.append(name)
         print(f"FAIL {name}: spark error: {ex}")
@@ -75,7 +104,7 @@ for name in sorted(queries):
     try:
         res = con.sql(oracles[name])
         want_cols = res.columns
-        want = canon(res.fetchall(), want_cols)
+        want = canon_pandas(res.df()) if STRICT else canon(res.fetchall(), want_cols)
     except Exception as ex:
         failed.append(name)
         print(f"FAIL {name}: oracle error: {ex}")

@@ -101,3 +101,18 @@ def test_decode_features_skips_malformed_media(spark):
     out = decode_features(as_media(df, "doc_id", "payload", kind="image"))
     got = {r.doc_id: r.decoded for r in out.collect()}
     assert got == {1: True, 2: False}
+
+
+def test_image_patches_skips_truncated_body(spark):
+    """A truncated P6 (valid header, short body — what transform_media's
+    stub produces) must be SKIPPED by image_patches, never fail the task
+    (the ADVICE r3 IndexError repro)."""
+    from hadoop_spark.operators.multimodal import as_media, image_patches, make_ppm
+
+    whole = make_ppm(3)
+    truncated = whole[:-10]  # valid header, short pixel body
+    rows = [(1, whole), (2, truncated), (3, b"garbage")]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = image_patches(as_media(df, "doc_id", "payload", kind="image"))
+    got = {r.doc_id for r in out.collect()}
+    assert got == {1}

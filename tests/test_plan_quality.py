@@ -410,6 +410,20 @@ def test_bigram_lm_single_partition_only_for_scalar(spark):
     assert "Window.*SinglePartition" not in plan
 
 
+def test_bigram_lm_broadcasts_unigram_table(spark):
+    """The unigram join key (w1) is Zipf-skewed on the gram side: the
+    vocab-sized unigram table must ride a broadcast (guarded by
+    _UGC_BCAST_MAX), never force the gram stream through a hash shuffle
+    on the word key."""
+    plan = _plan(spark, "bigram_lm_score")
+    assert "BroadcastExchange" in plan, plan
+    # No exchange may hash-partition the GRAM stream on its word key (w1);
+    # legitimate shuffles are bg (bigram counts), doc_id (final agg) and
+    # w (the unigram aggregation itself — map-side combined, vocab-sized).
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-zA-Z0-9_#, ]*)", plan):
+        assert not re.search(r"\bw1#", m.group(1)), plan
+
+
 def test_anomaly_mad_scalable_median(spark):
     """Medians must come from the value-histogram rank selection, never a
     value-buffering percentile aggregate (reducer OOM with few huge

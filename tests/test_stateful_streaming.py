@@ -66,3 +66,30 @@ def test_kmv_state_is_batch_slicing_independent(spark, tmp_path):
         .parquet(split_dir)
     )
     assert drained(one, "t_kmv_one") == drained(many, "t_kmv_many")
+
+
+def test_kmv_state_tolerates_null_user_id(spark, tmp_path):
+    """A NULL user_id hashes to NULL -> NaN in the Arrow batch; before the
+    r4 fix int(NaN) raised inside update() and killed the streaming query.
+    NULLs must be dropped JVM-side and the estimate match the non-null
+    distinct count (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.streaming.windows import run_to_memory, stateful_kmv_distinct
+
+    rows = [("click", 1), ("click", None), ("click", 2), ("view", None)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id bigint")
+    src = str(tmp_path / "ev_null")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    got = run_to_memory(
+        stateful_kmv_distinct(stream), "t_kmv_null", output_mode="update"
+    )
+    final = {
+        r.event_type: r.est_distinct
+        for r in got.groupBy("event_type")
+        .agg(F.max("est_distinct").alias("est_distinct"))
+        .collect()
+    }
+    # 'view' has only NULL users -> no state row at all; 'click' counts 2
+    assert final == {"click": 2}
