@@ -96,10 +96,15 @@ def main() -> None:
     # Warmup: trigger JVM classloading + codegen on a trivial plan.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Two passes per query, report the min: pass 1 pays one-time costs
-    # (Janino codegen compile, Python-worker pool spin-up, JIT warmup) that
-    # a long-lived cluster amortizes across thousands of queries; the min
-    # is the steady-state throughput the 100 TB sizing math needs.
+    # Three passes per query, report the MEDIAN of passes 2-3 plus a
+    # single-elimination of pass 1 (i.e. median of all three, which with
+    # one warm-up-skewed pass = the midpoint of the two steady-state
+    # passes): pass 1 pays one-time costs (Janino codegen compile,
+    # Python-worker pool spin-up, JIT warmup) that a long-lived cluster
+    # amortizes across thousands of queries. Median (not min) so a single
+    # lucky run can't mask a regression and a single GC hiccup can't fake
+    # one — r3's phantom zorder_layout/wordcount "regressions" were
+    # exactly min-of-2 run-to-run noise (BENCH methodology note, r4).
     # Per-query error isolation: a bench harness must degrade, not die —
     # one broken query still yields timings for every other query, with the
     # failure recorded in an "errors" map.
@@ -113,7 +118,8 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
-        for it in range(2):
+        runs: list[float] = []
+        for it in range(3):
             # Cold, self-contained runs: earlier queries' (and the previous
             # pass's) shared() persists otherwise pile up and their
             # memory/GC pressure bleeds into later timings (caching WITHIN
@@ -128,12 +134,14 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                timings.pop(name, None)
+                runs = []
                 print(f"# {name}[{it}]: FAILED: {errors[name]}", file=sys.stderr)
                 break
             took = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, float("inf")), took)
+            runs.append(took)
             print(f"# {name}[{it}]: done in {took}s", file=sys.stderr)
+        if runs:
+            timings[name] = sorted(runs)[len(runs) // 2]
 
     out = {
         "metric": "headline_query_set_total",

@@ -187,13 +187,21 @@ FROM xml
 
 @query("xml_records", _XML_ORACLE)
 def xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """StreamXmlRecordReader parity: records framed by XML tags parsed back
-    into typed columns (`STREAMING/streaming/StreamXmlRecordReader.java`).
+    """StreamXmlRecordReader parity, split-aware
+    (`STREAMING/streaming/StreamXmlRecordReader.java`): documents are
+    WRITTEN as a contiguous `<doc>…</doc>` byte stream (concatenated
+    records, no newline framing — the hard case) and read back through
+    `sources/formats.read_xml_records`, which frames records with the
+    text source's end-tag delimiter (the LineRecordReader split contract,
+    so records straddling split boundaries are recovered exactly once).
+    The read runs with `maxPartitionBytes` forced down so even at sf0.01
+    the file fans out across MANY byte-range splits with records cut at
+    every boundary; parse is `from_xml` (JVM-side) and the oracle
+    cross-checks with pure regex extraction."""
+    import os
 
-    The reference scans byte streams for begin/end tag boundaries; here the
-    framing is a columnar roundtrip and the parse is `from_xml` (JVM-side,
-    codegen) — the oracle cross-checks with pure regex extraction.
-    """
+    from hadoop_spark.sources.formats import read_xml_records
+
     docs = load_table(spark, sf_dir, "documents")
     rec = F.concat(
         F.lit("<doc><id>"),
@@ -204,8 +212,35 @@ def xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("string"),
         F.lit("</chars></doc>"),
     ).alias("rec")
-    parsed = docs.select(rec).select(
-        F.from_xml(F.col("rec"), "id BIGINT, lang STRING, chars BIGINT").alias("x")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo, ".tmp", "io", tag, "xml_docs")
+    # one contiguous record stream per task file: records concatenated
+    # with no separator (lineSep="" is rejected, so pre-concatenate per
+    # partition via a groupBy on the partition id — 4 writer tasks)
+    (
+        docs.select(rec)
+        .repartition(4)
+        .select(F.spark_partition_id().alias("p"), F.col("rec"))
+        .groupBy("p")
+        .agg(F.concat_ws("", F.collect_list("rec")).alias("value"))
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4096")  # force many byte-range splits per file
+    try:
+        # eager localCheckpoint: the scan EXECUTES inside the conf window
+        # (split planning reads the conf at action time), so the returned
+        # frame really was assembled from many boundary-cut splits; rows
+        # stay on executors, nothing is collected
+        framed = read_xml_records(spark, path, tag="doc").localCheckpoint()
+    finally:
+        spark.conf.set(key, prev)
+    parsed = framed.select(
+        F.from_xml(F.col("record"), "id BIGINT, lang STRING, chars BIGINT").alias("x")
     )
     return parsed.select(
         F.col("x.id").alias("doc_id"),

@@ -251,6 +251,36 @@ def read_auto(spark: SparkSession, directory: str) -> DataFrame:
     return out
 
 
+def read_xml_records(spark: SparkSession, path: str, tag: str = "rec") -> DataFrame:
+    """StreamXmlRecordReader parity, SPLIT-AWARE (`STREAMING/streaming/
+    StreamXmlRecordReader.java` — the reference scans each byte-range split
+    for ``<tag>``…``</tag>`` frames, skipping a record that began before
+    the split and reading past the split end to finish the last one).
+
+    Spark-first: the text source with a custom record delimiter
+    (``lineSep = the END tag``) rides the exact LineRecordReader contract —
+    a non-first split skips forward to its first delimiter, every split
+    reads past its end to complete its final record — so records that
+    straddle split (or file-internal block) boundaries are recovered
+    exactly once with NO whole-file reads; a single giant one-line XML file
+    still fans out across tasks under
+    ``spark.sql.files.maxPartitionBytes``. Each delimited chunk is
+    ``[inter-record junk]<tag>body``; the begin-tag scan is one JVM regex.
+
+    Returns one row per record with the complete re-framed element in
+    ``record`` (``<tag>body</tag>``); compose with ``from_xml`` for typed
+    parsing.
+    """
+    raw = spark.read.option("lineSep", f"</{tag}>").text(path)
+    body = F.regexp_extract(F.col("value"), f"(?s)<{re.escape(tag)}>(.*)$", 1)
+    return (
+        raw.filter(F.col("value").contains(f"<{tag}>"))
+        .select(
+            F.concat(F.lit(f"<{tag}>"), body, F.lit(f"</{tag}>")).alias("record")
+        )
+    )
+
+
 def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,
