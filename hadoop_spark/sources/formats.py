@@ -330,11 +330,79 @@ def read_sequence_file(
     return rdd.toDF([key_col, value_col])
 
 
-def write_sequence_file(df: DataFrame, path: str) -> None:
+SEQFILE_COMPRESSION_TYPES = ("NONE", "RECORD", "BLOCK")
+
+
+def write_sequence_file(
+    df: DataFrame,
+    path: str,
+    compression_type: str = "NONE",
+    codec: str = "org.apache.hadoop.io.compress.DefaultCodec",
+) -> None:
     """SequenceFile writer for interop round-trips (`SequenceFile.java:835`
     Writer): first two columns become the (key, value) Writable pair via
-    Spark's reverse auto-conversion. Task-parallel, job-committed."""
-    df.rdd.map(lambda r: (r[0], r[1])).saveAsSequenceFile(path)
+    Spark's reverse auto-conversion. Task-parallel, job-committed.
+
+    ``compression_type`` mirrors `COMMON/io/SequenceFile.java:239-243`
+    (CompressionType NONE / RECORD / BLOCK) — the knob rides Hadoop's own
+    output conf (`mapreduce.output.fileoutputformat.compress.type`), so the
+    bytes on disk are produced by the same Writer class hierarchy the
+    reference uses (RecordCompressWriter / BlockCompressWriter) and any
+    reference reader consumes them unchanged."""
+    if compression_type not in SEQFILE_COMPRESSION_TYPES:
+        raise ValueError(
+            f"compression_type must be one of {SEQFILE_COMPRESSION_TYPES}, "
+            f"got {compression_type!r}"
+        )
+    rdd = df.rdd.map(lambda r: (r[0], r[1]))
+    if compression_type == "NONE":
+        rdd.saveAsSequenceFile(path)
+        return
+    conf = {
+        # modern + legacy keys: Configuration's deprecation map covers both
+        "mapreduce.output.fileoutputformat.compress": "true",
+        "mapreduce.output.fileoutputformat.compress.type": compression_type,
+        "mapreduce.output.fileoutputformat.compress.codec": codec,
+        "mapred.output.compress": "true",
+        "mapred.output.compression.type": compression_type,
+        "mapred.output.compression.codec": codec,
+    }
+    # NB: the compressionCodecClass kwarg is NOT used — Spark's
+    # saveAsHadoopFile(codec) path hard-sets compress.type=BLOCK, stomping
+    # a RECORD request; the conf keys alone configure both codec and type.
+    rdd.saveAsHadoopFile(
+        path,
+        "org.apache.hadoop.mapred.SequenceFileOutputFormat",
+        conf=conf,
+    )
+
+
+def read_seqfile_header(path: str) -> dict:
+    """Parse a SequenceFile header (`SequenceFile.java:1918` Reader.init):
+    magic+version, key/value class names (Text.writeString — VInt length,
+    one byte for class-name-sized strings), then the two compression
+    booleans (record-level, block-level). Lets tests and migration audits
+    verify the on-disk compression type without a JVM."""
+    with open(path, "rb") as fh:
+        blob = fh.read(512)
+    if blob[:3] != SEQFILE_MAGIC:
+        raise ValueError(f"{path} is not a SequenceFile")
+    pos = 4  # magic (3) + version byte
+    names = []
+    for _ in range(2):  # keyClassName, valueClassName
+        ln = blob[pos]
+        pos += 1
+        names.append(blob[pos : pos + ln].decode("utf-8"))
+        pos += ln
+    value_compressed = bool(blob[pos])
+    block_compressed = bool(blob[pos + 1])
+    ctype = "BLOCK" if block_compressed else ("RECORD" if value_compressed else "NONE")
+    return {
+        "version": blob[3],
+        "key_class": names[0],
+        "value_class": names[1],
+        "compression_type": ctype,
+    }
 
 
 def distcp(spark: SparkSession, src: str, dst: str, mode: str = "overwrite") -> int:

@@ -162,3 +162,41 @@ def test_read_auto_mixed_directory(spark, tmp_path):
     assert len(rows) == 12
     assert sum(1 for r in rows if r.key is None) == 2
     assert {r.value for r in rows if r.key is not None} == {f"v{i}" for i in range(10)}
+
+
+@pytest.mark.parametrize("ctype", ["NONE", "RECORD", "BLOCK"])
+def test_sequence_file_compression_types(spark, tmp_path, ctype):
+    """SequenceFile.java:239-243 CompressionType surface: NONE / RECORD /
+    BLOCK all round-trip through the reference's own Writer classes, and
+    the on-disk header flags record the requested type exactly."""
+    import glob as _glob
+
+    from hadoop_spark.sources.formats import (
+        read_seqfile_header,
+        read_sequence_file,
+        write_sequence_file,
+    )
+
+    out = str(tmp_path / f"seq_{ctype.lower()}")
+    kv = spark.range(500).select(
+        F.col("id").cast("string").alias("k"),
+        F.concat(F.lit("value-"), F.col("id").cast("string")).alias("v"),
+    )
+    write_sequence_file(kv.repartition(2), out, compression_type=ctype)
+    parts = sorted(p for p in _glob.glob(out + "/part-*") if not p.endswith(".crc"))
+    assert parts, "no part files written"
+    for p in parts:
+        hdr = read_seqfile_header(p)
+        assert hdr["compression_type"] == ctype
+        assert hdr["key_class"] == "org.apache.hadoop.io.Text"
+    back = read_sequence_file(spark, out)
+    got = {(r.key, r.value) for r in back.collect()}
+    assert got == {(str(i), f"value-{i}") for i in range(500)}
+
+
+def test_sequence_file_rejects_unknown_compression_type(spark, tmp_path):
+    from hadoop_spark.sources.formats import write_sequence_file
+
+    kv = spark.range(2).select(F.col("id").cast("string").alias("k"), F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="compression_type"):
+        write_sequence_file(kv, str(tmp_path / "x"), compression_type="ZIP")
