@@ -20,16 +20,15 @@ from __future__ import annotations
 
 import json
 import os
-import socket
 import subprocess
 import sys
 import time
 
 import pytest
 
+from tests.standalone_cluster import SPARK_CLASS, two_host_cluster as _cluster
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
-_SPARK_CLASS = os.path.join(_SPARK_HOME, "bin", "spark-class")
 
 _DRIVER = r"""
 import glob
@@ -96,61 +95,14 @@ spark.stop()
 """
 
 
-def _wait_port(port: int, timeout: float = 60.0) -> None:
-    deadline = time.time() + timeout
-    while time.time() < deadline:
-        with socket.socket() as s:
-            s.settimeout(1.0)
-            if s.connect_ex(("127.0.0.1", port)) == 0:
-                return
-        time.sleep(0.5)
-    raise TimeoutError(f"port {port} never opened")
-
-
 @pytest.fixture()
 def two_host_cluster(tmp_path):
     """Standalone master + two single-executor workers whose registered
     hostnames differ (localhost vs 127.0.0.1), yielding the master URL."""
-    if not os.path.exists(_SPARK_CLASS):
+    if not os.path.exists(SPARK_CLASS):
         pytest.skip("no Spark distribution for a standalone cluster")
-    port = 7091
-    env_base = {
-        **os.environ,
-        "SPARK_LOG_DIR": str(tmp_path / "logs"),
-        "SPARK_WORKER_DIR": str(tmp_path / "work"),
-        "SPARK_NO_DAEMONIZE": "1",
-        "PYSPARK_PYTHON": sys.executable,
-    }
-    procs = []
-    try:
-        procs.append(
-            subprocess.Popen(
-                [_SPARK_CLASS, "org.apache.spark.deploy.master.Master",
-                 "--host", "127.0.0.1", "--port", str(port), "--webui-port", "0"],
-                env={**env_base, "SPARK_LOCAL_HOSTNAME": "127.0.0.1"},
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            )
-        )
-        _wait_port(port)
-        for host in ("localhost", "127.0.0.1"):
-            procs.append(
-                subprocess.Popen(
-                    [_SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
-                     "--host", host, "--port", "0", "--webui-port", "0",
-                     "--cores", "2", "--memory", "1g", f"spark://127.0.0.1:{port}"],
-                    env={**env_base, "SPARK_LOCAL_HOSTNAME": host},
-                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                )
-            )
-        yield f"spark://127.0.0.1:{port}"
-    finally:
-        for p in reversed(procs):
-            p.terminate()
-        for p in procs:
-            try:
-                p.wait(timeout=20)
-            except subprocess.TimeoutExpired:
-                p.kill()
+    with _cluster(tmp_path, port=7091) as (master, _workers):
+        yield master
 
 
 def test_straggler_is_speculatively_rerun_exactly_once(tmp_path, two_host_cluster):
