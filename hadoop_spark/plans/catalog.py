@@ -131,6 +131,7 @@ def load_all() -> None:
         queries_lm,
         queries_graph,
         queries_stats,
+        queries_link,
     )
 
     # Deterministic window rotation: pull this round's 50-query window to

@@ -751,3 +751,134 @@ def token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
         gini.alias("gini"),
     )
+
+
+# ----------------------------------------------------------------------
+# bpe_learn_merges — the actual BPE training loop, not just its count
+# table (`bpe_pair_counts` above is one inner iteration's statistics):
+# K=4 greedy merge steps, each picking the corpus-weighted most frequent
+# adjacent symbol pair (ties -> lexicographically first) and applying the
+# merge to the whole vocabulary before the next count.
+#
+# Scale shape — the canonical bounded-iterate pattern: the corpus is
+# scanned ONCE into (word, count); every iteration after that runs over
+# the VOCABULARY (millions of rows at 100 TB, vs trillions of tokens),
+# and the only driver-side state is the single argmax pair per step
+# (1-row collect, the same bounded discipline as kmeans_assign's K
+# centroids). Merge application is a pure map (string replace), so each
+# step costs one vocab-sized aggregation shuffle — K shuffles total.
+#
+# Merge semantics (identical on both engines, documented): symbols are
+# space-separated; a merge replaces ' a b ' with ' ab ' by leftmost
+# non-overlapping scan, applied 3x so runs of up to 8 identical symbols
+# merge within one step (both engines' replace() is the same
+# leftmost-non-overlapping scan, so results are bit-identical).
+# ----------------------------------------------------------------------
+
+_BPE_STEPS = 4
+
+
+def _merge_sql(sym_expr: str, pair_expr: str) -> str:
+    """3x padded leftmost replace of `pair` inside the symbol string."""
+    out = f"' ' || {sym_expr} || ' '"
+    pat = f"' ' || {pair_expr} || ' '"
+    repl = f"' ' || replace({pair_expr}, ' ', '') || ' '"
+    for _ in range(3):
+        out = f"replace({out}, {pat}, {repl})"
+    return f"trim({out})"
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        r"""v0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, wc FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ) GROUP BY w
+  )
+)"""
+    ]
+    for i in range(_BPE_STEPS):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS w FROM (
+    SELECT unnest(list_transform(
+             range(2, len(string_split(sym, ' ')) + 1),
+             j -> string_split(sym, ' ')[j - 1] || ' ' || string_split(sym, ' ')[j]
+           )) AS pair, wc
+    FROM v{i}
+  ) GROUP BY pair
+)""" 
+        )
+        ctes.append(f"b{i} AS (SELECT pair, w FROM p{i} ORDER BY w DESC, pair LIMIT 1)")
+        if i + 1 < _BPE_STEPS:
+            ctes.append(
+                f"""v{i + 1} AS (
+  SELECT {_merge_sql('v.sym', 'b.pair')} AS sym, v.wc
+  FROM v{i} v, b{i} b
+)"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS step, pair, "
+        f"replace(pair, ' ', '') AS merged, w AS weight FROM b{i}"
+        for i in range(_BPE_STEPS)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def _adjacent_pairs(sym_col):
+    """Adjacent symbol pairs of a space-separated symbol string."""
+    arr = F.split(sym_col, " ")
+    n = F.size(arr)
+    return F.transform(
+        F.slice(arr, 1, n - 1),
+        lambda x, i: F.concat(x, F.lit(" "), F.get(arr, i + 1)),
+    )
+
+
+@query("bpe_learn_merges", _bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K greedy BPE merge steps over the corpus-weighted vocabulary."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from hadoop_spark.sources.tables import shared
+
+    vocab = shared(
+        fanout_small(docs)
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "wc"
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = vocab
+    for step in range(1, _BPE_STEPS + 1):
+        best = (
+            cur.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("pair"), "wc")
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("w"))
+            .orderBy(F.desc("w"), "pair")
+            .first()
+        )  # 1-row collect per step — bounded driver state by construction
+        if best is None:  # degenerate corpus: single-symbol words only
+            break
+        merged = best.pair.replace(" ", "")
+        merges.append((step, best.pair, merged, int(best.w)))
+        if step < _BPE_STEPS:
+            sym = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+            for _ in range(3):
+                sym = F.replace(
+                    sym, F.lit(f" {best.pair} "), F.lit(f" {merged} ")
+                )
+            cur = cur.select(F.trim(sym).alias("sym"), "wc")
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, weight long"
+    )
