@@ -85,6 +85,13 @@ BENCH_QUERIES = [
     "token_gini",
     "pareto_frontier",
     "stream_windowed_kmv",
+    # round-4: substring-dedup shingles, blocked ER, Markov transitions,
+    # a-priori basket rules
+    "repeated_substrings",
+    "fuzzy_match_names",
+    "event_transitions",
+    "assoc_rules",
+    "kmeans_iterate",
 ]
 
 

@@ -132,6 +132,7 @@ def load_all() -> None:
         queries_graph,
         queries_stats,
         queries_link,
+        queries_basket,
     )
 
     # Deterministic window rotation: pull this round's 50-query window to

@@ -734,3 +734,207 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(bests, "cluster_id").select(
         "cluster_id", "n", "majority_label", "n_majority", purity.alias("purity")
     )
+
+
+# --- iterative k-means (3 full Lloyd rounds, integer-exact) -------------
+
+_KMI_ROUNDS = 3
+
+# Integer-exact half-away-from-zero rounding of s/n (s, n BIGINT; n > 0):
+# no double quotient anywhere, so the unrolled 3-round oracle cannot drift
+# on a .5 boundary the way ROUND(CAST(s AS DOUBLE)/n) could.
+def _round_div_sql(s: str, n: str) -> str:
+    return (
+        f"CASE WHEN {s} >= 0 THEN (2 * {s} + {n}) // (2 * {n}) "
+        f"ELSE -((2 * -({s}) + {n}) // (2 * {n})) END"
+    )
+
+
+def _kmi_assign_cte(t: int) -> str:
+    dot = int_dot_sql("v.q", "c.cq")
+    return f"""
+assign{t} AS (
+  SELECT vec_id, cid AS cluster_id, q, d2 FROM (
+    SELECT v.vec_id, c.cid, v.q,
+           v.n2 + c.cn2 - 2 * {dot} AS d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY v.n2 + c.cn2 - 2 * {dot}, c.cid
+           ) AS rn
+    FROM en v CROSS JOIN cents{t - 1} c
+  ) WHERE rn = 1
+)"""
+
+
+def _kmi_means_cte(t: int) -> str:
+    return f"""
+means{t} AS (
+  SELECT cluster_id AS cid, dim, {_round_div_sql('s', 'n')} AS mean_q
+  FROM (
+    SELECT cluster_id, dim, CAST(SUM(val) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT cluster_id, generate_subscripts(q, 1) AS dim, unnest(q) AS val
+      FROM assign{t}
+    ) GROUP BY cluster_id, dim
+  )
+)"""
+
+
+def _kmi_cents_cte(t: int) -> str:
+    return f"""
+cents{t} AS (
+  SELECT cid, list(mean_q ORDER BY dim) AS cq,
+         CAST(SUM(mean_q * mean_q) AS BIGINT) AS cn2
+  FROM means{t} GROUP BY cid
+)"""
+
+
+_KMI_ORACLE = (
+    f"WITH {_EMB_CTE},\n"
+    f"cents0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM en WHERE vec_id < {_KM_K}),"
+    + ",".join(
+        _kmi_assign_cte(t) + ("," + _kmi_means_cte(t) + "," + _kmi_cents_cte(t) if t < _KMI_ROUNDS else "")
+        for t in range(1, _KMI_ROUNDS + 1)
+    )
+    + f""",
+{_kmi_means_cte(_KMI_ROUNDS).replace(f'means{_KMI_ROUNDS}', 'meansF', 1)},
+members AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids,
+         CAST(SUM(d2) AS BIGINT) AS inertia
+  FROM assign{_KMI_ROUNDS} GROUP BY cluster_id
+)
+SELECT m.cluster_id, m.n_members, m.sum_vec_ids, m.inertia,
+       CAST(SUM(ABS(f.mean_q)) AS BIGINT) AS centroid_l1_q,
+       CAST(SUM(f.dim * f.mean_q) AS BIGINT) AS centroid_dim_checksum
+FROM members m JOIN meansF f ON m.cluster_id = f.cid
+GROUP BY m.cluster_id, m.n_members, m.sum_vec_ids, m.inertia
+"""
+)
+
+
+def _round_div(s: int, n: int) -> int:
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((2 * -s + n) // (2 * n))
+
+
+@query("kmeans_iterate", _KMI_ORACLE)
+def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative k-means training loop: {R} Lloyd rounds over the
+    embedding table, each round = map-side exact integer-L2 assignment
+    against the current K-centroid literal + one per-(cluster,dim) mean
+    shuffle, with the K x dim centroid matrix COLLECTED between rounds
+    (bounded by construction — the same iterate-broadcast discipline as
+    `bpe_learn_merges`). Centroid means round half-away-from-zero in pure
+    integer arithmetic ((2|s|+n) // 2n), so Spark, Python, and the
+    unrolled-CTE DuckDB oracle agree bit-for-bit across all rounds — no
+    double quotient anywhere. Output pins per-cluster membership counts,
+    member-id sums, exact integer inertia (sum of squared distances), and
+    two checksums of the FINAL centroid matrix. Per round at 100 TB: one
+    scan + one agg shuffle; driver state is K x dim ints. An empty cluster
+    simply drops out of the next round's literal (same on both engines).
+
+    Reference parity: the iterate-until-converged driver loop of
+    `examples/kmeans`-style MapReduce jobs (JobControl chain, one job per
+    round — `lib/jobcontrol/JobControl.java:46`), with the centroid file
+    in DistributedCache replaced by a broadcast literal."""
+    emb = shared(with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings"))))
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), "q", "n2")
+        .collect()
+    )  # K rows — bounded
+    empty_schema = (
+        "cluster_id bigint, n_members bigint, sum_vec_ids bigint, "
+        "inertia bigint, centroid_l1_q bigint, centroid_dim_checksum bigint"
+    )
+    if not cent_rows:
+        return spark.createDataFrame([], empty_schema)
+    cents = sorted(
+        ((int(r.cid), [int(v) for v in r.q], int(r.n2)) for r in cent_rows)
+    )
+
+    def assign_against(cent_list):
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(v) for v in cq]).alias("cq"),
+                    F.lit(cn2).alias("cn2"),
+                )
+                for cid, cq, cn2 in cent_list
+            ]
+        )
+
+        def d2_to(c):
+            return F.col("n2") + c["cn2"] - 2 * int_dot(F.col("q"), c["cq"])
+
+        best = F.aggregate(
+            cent_arr,
+            F.struct(
+                F.lit(None).cast("bigint").alias("d2"),
+                F.lit(None).cast("bigint").alias("cid"),
+            ),
+            lambda acc, c: F.when(
+                acc["cid"].isNull() | (d2_to(c) < acc["d2"]),
+                F.struct(
+                    d2_to(c).cast("bigint").alias("d2"),
+                    c["cid"].cast("bigint").alias("cid"),
+                ),
+            ).otherwise(acc),
+        )
+        return emb.select(
+            "vec_id",
+            best["cid"].alias("cluster_id"),
+            "q",
+            best["d2"].alias("d2"),
+        )
+
+    def new_means(assign):  # -> {cid: {dim: mean_q}} via ONE bounded collect
+        rows = (
+            assign.select(
+                "cluster_id", F.posexplode("q").alias("pos", "val")
+            )
+            .groupBy("cluster_id", (F.col("pos") + 1).alias("dim"))
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # K x dim rows — bounded
+        means: dict[int, dict[int, int]] = {}
+        for r in rows:
+            means.setdefault(int(r.cluster_id), {})[int(r.dim)] = _round_div(
+                int(r.s), int(r.n)
+            )
+        return means
+
+    assign = assign_against(cents)
+    for _ in range(_KMI_ROUNDS - 1):
+        means = new_means(assign)
+        cents = sorted(
+            (cid, [m[d] for d in sorted(m)], sum(v * v for v in m.values()))
+            for cid, m in means.items()
+        )
+        assign = assign_against(cents)
+
+    final_means = new_means(assign)
+    checks = [
+        (
+            cid,
+            sum(abs(v) for v in m.values()),
+            sum(d * v for d, v in m.items()),
+        )
+        for cid, m in sorted(final_means.items())
+    ]
+    checks_df = spark.createDataFrame(
+        checks, "cluster_id bigint, centroid_l1_q bigint, centroid_dim_checksum bigint"
+    )
+    members = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("sum_vec_ids"),
+        F.sum("d2").alias("inertia"),
+    )
+    return members.join(F.broadcast(checks_df), "cluster_id").select(
+        "cluster_id", "n_members", "sum_vec_ids", "inertia",
+        "centroid_l1_q", "centroid_dim_checksum",
+    )

@@ -27,6 +27,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -46,6 +47,18 @@ def _parse_fields(spec: str) -> list[tuple[str, int]]:
 class _FileSplit(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _decode_file(path: str, fields: list):
+    """RecordReader body: decode one fixed-width file, yield typed rows."""
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            out, off = [], 0
+            for _, width in fields:
+                out.append(line[off : off + width].rstrip())
+                off += width
+            yield tuple(out)
 
 
 class FixedWidthReader(DataSourceReader):
@@ -68,14 +81,7 @@ class FixedWidthReader(DataSourceReader):
 
     def read(self, partition: _FileSplit):
         # RecordReader: decode one split, yield typed records.
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.rstrip("\n")
-                out, off = [], 0
-                for _, width in self.fields:
-                    out.append(line[off : off + width].rstrip())
-                    off += width
-                yield tuple(out)
+        yield from _decode_file(partition.path, self.fields)
 
 
 class _FixedWidthCommit(WriterCommitMessage):
@@ -157,6 +163,51 @@ class FixedWidthWriter(DataSourceWriter):
                     pass
 
 
+class FixedWidthStreamReader(DataSourceStreamReader):
+    """Streaming half of the pluggable format — the file-arrival tail that
+    Hadoop deployments script as "scan the landing dir, process new files,
+    move them on" (the FileStreamSource/Flume pattern). The offset is the
+    count of files consumed from the SORTED landing-dir listing, so the
+    source contract is append-only arrival with lexically increasing names
+    (the same contract Spark's built-in FileStreamSource tracks with its
+    seen-files log; a production variant would swap the offset for a
+    (name, mtime) watermark without touching the split/read path).
+
+    MicroBatchStream parity: ``initialOffset``/``latestOffset`` bound each
+    micro-batch, ``partitions(start, end)`` plans one split per NEW file
+    (``InputFormat.getSplits`` again, now per batch), ``read`` reuses the
+    batch RecordReader body, and exactly-once across restarts comes from
+    the engine replaying the checkpointed offset range against
+    deterministic file->offset mapping."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.fields = _parse_fields(options["fields"])
+
+    def _files(self) -> list:
+        return sorted(
+            f for f in os.listdir(self.path) if not f.startswith(("_", "."))
+        )
+
+    def initialOffset(self):
+        return {"files_done": 0}
+
+    def latestOffset(self):
+        return {"files_done": len(self._files())}
+
+    def partitions(self, start, end):
+        files = self._files()[start["files_done"] : end["files_done"]]
+        return [_FileSplit(os.path.join(self.path, f)) for f in files]
+
+    def read(self, partition: _FileSplit):
+        yield from _decode_file(partition.path, self.fields)
+
+    def commit(self, end):
+        # Offsets are positions in a stable listing; nothing to clean up.
+        # (A move-files-on-commit variant would archive consumed files here.)
+        pass
+
+
 class FixedWidthDataSource(DataSource):
     """`spark.read.format("fixedwidth").option("fields", "k:4,v:16")`."""
 
@@ -177,6 +228,9 @@ class FixedWidthDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return FixedWidthWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema):
+        return FixedWidthStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -446,3 +446,25 @@ def test_pq_encode_and_scan_are_map_side(spark):
     assert _shuffles(plan) <= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_kmeans_iterate_final_plan_is_map_side(spark):
+    """The returned plan of the iterative loop (final assignment + member
+    rollup + broadcast checksum join) must keep assignment map-side: no
+    Window over vectors, no shuffle beyond the member aggregation, and the
+    checksum literal joined by broadcast."""
+    plan = _plan(spark, "kmeans_iterate")
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert _shuffles(plan) <= 2, plan
+
+
+def test_assoc_rules_shuffle_budget(spark):
+    """A-priori rules: pairs must come map-side from basket arrays (no
+    fact-fact self-join anywhere), the fact-side shuffles are the basket
+    distinct, the basket-size window, the item count, the basket regroup,
+    and the pair count; every rule-closing join is broadcast."""
+    plan = _plan(spark, "assoc_rules")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert _shuffles(plan) <= 7, plan
