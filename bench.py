@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "event_transitions",
     "assoc_rules",
     "kmeans_iterate",
+    "temperature_mix",
+    "label_propagation",
+    "span_corruption_plan",
+    "char_ngram_profile",
 ]
 
 

@@ -1,15 +1,17 @@
 """Market-basket and behavioral analytics: a-priori association rules,
-marketing attribution, Benford forensic digit analysis, and the
-co-purchase graph degree profile.
+marketing attribution, Benford forensic digit analysis, the co-purchase
+graph degree profile, bounded-round label-propagation communities, and
+temperature-weighted source mixing.
 
 Frequent-itemset mining is the canonical MapReduce workload after
 wordcount (the reference ships the two-job pattern as chained
 `Mapper`/`Reducer` stages — `examples/AggregateWordCount.java:38` is the
 same count-prune-recount skeleton); attribution and Benford are the
-reporting queries a warehouse user runs daily. All four are pure
-DataFrame plans: the pair expansion is a-priori pruned BEFORE the
-self-join (the 100 TB survival trick), attribution is one window pass,
-Benford one group-by.
+reporting queries a warehouse user runs daily; temperature mixing is the
+standard LM corpus-balancing step. All are pure DataFrame plans: pair
+expansion is a-priori pruned and generated map-side from basket arrays
+(the 100 TB survival trick), attribution is one window pass, Benford one
+group-by, mixing one broadcast of a dimension-sized rate table.
 """
 
 from __future__ import annotations
@@ -334,4 +336,219 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         degree.groupBy("deg")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("deg")
+    )
+
+
+# --- temperature-weighted source mixing --------------------------------
+
+_TEMP_KEEP = 20_000  # global target size of the mixed corpus (rows)
+_TEMP_SQRT_SCALE = 1_000_000  # sqrt(n) quantized to BIGINT micro-units
+_TEMP_HASH_SPACE = float(2**60)  # portable_hash64 is 60-bit
+
+
+def _temperature_oracle() -> str:
+    from hadoop_spark.functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("doc_id", salt="tempmix")
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+), weighted AS (
+  SELECT source, n_total,
+         CAST(ROUND(SQRT(CAST(n_total AS DOUBLE)) * {_TEMP_SQRT_SCALE}) AS BIGINT)
+           AS sqrt_q
+  FROM counts
+), rated AS (
+  SELECT source, n_total, sqrt_q,
+         CAST(FLOOR(CAST(sqrt_q AS DOUBLE)
+                    / CAST((SELECT CAST(SUM(sqrt_q) AS BIGINT) FROM weighted) AS DOUBLE)
+                    * {_TEMP_KEEP}) AS BIGINT) AS n_target
+  FROM weighted
+), keep AS (
+  SELECT d.source,
+         CASE WHEN CAST({h} AS DOUBLE) / {_TEMP_HASH_SPACE!r}
+                   < LEAST(CAST(1 AS DOUBLE),
+                           CAST(r.n_target AS DOUBLE) / CAST(r.n_total AS DOUBLE))
+              THEN d.doc_id END AS kept_id
+  FROM documents d JOIN rated r ON d.source = r.source
+  WHERE d.text IS NOT NULL
+)
+SELECT r.source, r.n_total, r.sqrt_q, r.n_target,
+       CAST(COUNT(k.kept_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(k.kept_id), 0) AS BIGINT) AS kept_ids_sum
+FROM rated r JOIN keep k ON r.source = k.source
+GROUP BY r.source, r.n_total, r.sqrt_q, r.n_target
+"""
+
+
+@query("temperature_mix", _temperature_oracle())
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted data mixing (T=2, i.e. sqrt weighting) — the
+    standard multilingual/multi-source LM recipe: source s gets weight
+    sqrt(n_s)/sum(sqrt(n_t)), upsampling small sources relative to their
+    natural share, and keeps a deterministic hash-thresholded subset at
+    rate target_s/n_s. Engine-exactness: sqrt is IEEE-correctly-rounded
+    (identical on both engines), immediately quantized to BIGINT
+    micro-units so the cross-source normalizer is an EXACT integer sum
+    (float summation order never matters); targets are floors of a single
+    double expression over exact ints. Scale shape: the per-source rate
+    table is dimension-sized and broadcast, so the keep decision is
+    map-side over the corpus — no window, no per-source single-reducer
+    hotspot; the only corpus shuffles are the two source-keyed counts."""
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    weighted = counts.withColumn(
+        "sqrt_q",
+        F.round(F.sqrt(F.col("n_total").cast("double")) * _TEMP_SQRT_SCALE).cast(
+            "bigint"
+        ),
+    )
+    total = weighted.agg(F.sum("sqrt_q").cast("bigint").alias("tq"))
+    rated = (
+        weighted.crossJoin(F.broadcast(total))  # 1-row aggregate, bounded
+        .withColumn(
+            "n_target",
+            F.floor(
+                F.col("sqrt_q").cast("double")
+                / F.col("tq").cast("double")
+                * _TEMP_KEEP
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.col("n_target").cast("double") / F.col("n_total").cast("double"),
+            ),
+        )
+        .select("source", "n_total", "sqrt_q", "n_target", "rate")
+    )
+    u = portable_hash64("doc_id", salt="tempmix").cast("double") / F.lit(
+        _TEMP_HASH_SPACE
+    )
+    kept_id = F.when(u < F.col("rate"), F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(rated), "source")
+        .select("source", "n_total", "sqrt_q", "n_target", kept_id.alias("kept_id"))
+        .groupBy("source", "n_total", "sqrt_q", "n_target")
+        .agg(
+            F.count("kept_id").alias("n_kept"),
+            F.coalesce(F.sum("kept_id"), F.lit(0)).cast("bigint").alias("kept_ids_sum"),
+        )
+    )
+
+
+# --- bounded-round label propagation (communities) ---------------------
+
+_LP_ROUNDS = 3
+
+
+def _lp_round_cte(t: int) -> str:
+    return f"""
+lab{t} AS (
+  SELECT v.pk, LEAST(v.lab, COALESCE(MIN(w.lab), v.lab)) AS lab
+  FROM lab{t - 1} v
+  LEFT JOIN dedges e ON e.src = v.pk
+  LEFT JOIN lab{t - 1} w ON w.pk = e.dst
+  GROUP BY v.pk, v.lab
+)"""
+
+
+_LP_ORACLE = (
+    f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), sized AS (
+  SELECT ok, pk FROM (
+    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM items
+  ) WHERE bsz <= {_MAX_BASKET}
+), edges AS (
+  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+  FROM sized a JOIN sized b ON a.ok = b.ok AND a.pk < b.pk
+), dedges AS (
+  SELECT p1 AS src, p2 AS dst FROM edges
+  UNION ALL SELECT p2, p1 FROM edges
+), lab0 AS (
+  SELECT DISTINCT pk, pk AS lab FROM sized
+),"""
+    + ",".join(_lp_round_cte(t) for t in range(1, _LP_ROUNDS + 1))
+    + f"""
+SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(pk) AS BIGINT) AS member_ids_sum
+FROM lab{_LP_ROUNDS} GROUP BY lab
+"""
+)
+
+
+@query("label_propagation", _LP_ORACLE)
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation over the co-purchase graph,
+    bounded to {R} rounds — the bounded-step form of connected-components
+    / community detection (the unbounded variant is `dedup_components`;
+    bounding the rounds makes every intermediate SQL-expressible, so the
+    oracle replays the exact fixpoint prefix). Per round: one
+    neighbor-min aggregation keyed by dst + one least() merge — O(edges)
+    shuffle, the same per-iteration bound as `pagerank`; edges are built
+    map-side from capped basket arrays and persisted once. Labels after
+    round t equal min node-id within t hops, so the output is
+    deterministic regardless of partitioning."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    baskets = (
+        items.groupBy("ok")
+        .agg(F.array_sort(F.collect_list("pk")).alias("pks"))
+        .filter(F.size("pks") <= _MAX_BASKET)
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("pks"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("pks"), i + 2, F.size(F.col("pks"))),
+                            lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .distinct()
+    )
+    dedges = shared(
+        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+            edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+    )
+    # node set = every item in a surviving basket (isolated nodes keep
+    # their own label throughout) — mirrors the oracle's lab0 exactly
+    labels = (
+        baskets.select(F.explode("pks").alias("pk"))
+        .distinct()
+        .withColumn("lab", F.col("pk"))
+    )
+    for _ in range(_LP_ROUNDS):
+        neigh_min = (
+            dedges.join(labels.withColumnRenamed("pk", "dst"), "dst")
+            .groupBy(F.col("src").alias("pk"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        labels = (
+            labels.join(neigh_min, "pk", "left")
+            .select(
+                "pk",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+        )
+        labels = labels.localCheckpoint(eager=False)  # cut 3-round lineage
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("pk").cast("bigint").alias("member_ids_sum"),
     )

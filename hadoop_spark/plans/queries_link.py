@@ -104,16 +104,36 @@ FROM (
 """
 
 
+_FUZZY_K = 6  # levenshtein acceptance threshold
+_FUZZY_BAND = _FUZZY_K + 1  # length-band width: lev<=k implies |dlen|<=k,
+# so a match always lives in the probe's band or an adjacent one
+
+
 @query("fuzzy_match_names", _FUZZY_ORACLE)
 def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked Levenshtein entity resolution: a deterministically
     corrupted copy of part names (all 'e's dropped) is linked back to the
     clean catalog. Blocking key = first letter of each of the first two
-    words, so the pairwise edit-distance compare runs only inside blocks
-    (the standard ER recipe — never an all-pairs cross join); best match
-    per dirty record via a per-key top-1 window ordered (dist, pk). At
-    100 TB both sides shuffle once on the block key and the per-block
-    cross product is bounded by block size, not corpus size."""
+    words PLUS a name-length band of width k+1: since lev(a,b) <= k
+    implies |len(a)-len(b)| <= k, a dirty record only needs to probe its
+    own band and the two adjacent ones — the candidate set is PROVABLY
+    identical to letter-only blocking (the oracle still enumerates the
+    unbanded candidates), but each block's pairwise volume drops by the
+    number of occupied bands. Best match per dirty record via a per-key
+    top-1 window ordered (dist, pk). ER candidate volume is inherently
+    sum(|dirty_b| * |clean_b|); holding block sizes flat as the catalog
+    grows is exactly this move — refine the key (letters x length band)
+    until blocks are bounded, without losing a single true pair.
+
+    The clean side is additionally CANONICALIZED before matching: exact
+    duplicate names collapse to one row carrying their min partkey.
+    Because duplicates of a name share its distance, the global
+    (dist, pk) argmin is unchanged — but candidate volume becomes
+    |dirty| x |distinct names per block| instead of |dirty| x |rows per
+    block|, which is what keeps the scan linear when a catalog is full
+    of repeated names (the x10 scale probe replicates every name
+    verbatim: without canonicalization true near-matches inflate
+    quadratically — x113 measured; with it the probe is linear)."""
     part = load_table(spark, sf_dir, "part")
 
     def blocked(name_col):
@@ -121,19 +141,38 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             name_col.substr(1, 1), F.split(name_col, " ").getItem(1).substr(1, 1)
         )
 
-    clean = part.select(
-        F.col("p_partkey").alias("pk"),
-        F.col("p_name").alias("nm"),
-        blocked(F.col("p_name")).alias("blk"),
+    clean = (
+        part.groupBy(F.col("p_name").alias("nm"))
+        .agg(F.min("p_partkey").alias("pk"))
+        .select(
+            "pk",
+            "nm",
+            blocked(F.col("nm")).alias("blk"),
+            F.floor(F.length("nm") / _FUZZY_BAND).alias("band"),
+        )
     )
     dn = F.replace(F.col("p_name"), F.lit("e"), F.lit(""))
-    dirty = part.filter(F.col("p_partkey") % 3 == 0).select(
-        F.col("p_partkey").alias("dk"), dn.alias("dn"), blocked(dn).alias("blk")
+    dirty = (
+        part.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            F.col("p_partkey").alias("dk"),
+            dn.alias("dn"),
+            blocked(dn).alias("blk"),
+            F.floor(F.length(dn) / _FUZZY_BAND).alias("b0"),
+        )
+        .select(
+            "dk",
+            "dn",
+            "blk",
+            F.explode(
+                F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)
+            ).alias("band"),
+        )
     )
     cand = (
-        dirty.join(clean, "blk")
+        dirty.join(clean, ["blk", "band"])
         .withColumn("dist", F.levenshtein("dn", "nm"))
-        .filter(F.col("dist") <= 6)
+        .filter(F.col("dist") <= _FUZZY_K)
     )
     w = Window.partitionBy("dk").orderBy("dist", "pk")
     return (

@@ -949,3 +949,95 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("max_tokens"),
         (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias("padding_waste"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption planning: deterministically choose which token
+# spans each document masks, entirely map-side. Spans are non-overlapping
+# token triples; ~15% of tokens are masked by picking the k lowest-hash
+# triples (a pure function of (doc_id, span index) — scheduler- and
+# retry-independent, the MD5Filter discipline again).
+
+_SPAN_LEN = 3
+_SPAN_MASK_FRAC = 0.15
+
+
+def _span_oracle() -> str:
+    h = portable_hash64_sql("(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))", salt="span")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST({ws_token_count_sql("text")} AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+), base AS (
+  SELECT doc_id, n, n // {_SPAN_LEN} AS m,
+         LEAST((CAST(FLOOR({_SPAN_MASK_FRAC} * CAST(n AS DOUBLE)) AS BIGINT)
+                + {_SPAN_LEN - 1}) // {_SPAN_LEN},
+               n // {_SPAN_LEN}) AS k
+  FROM toks
+), spans AS (
+  SELECT doc_id, n, m, k, unnest(generate_series(0, m - 1)) AS j
+  FROM base WHERE k >= 1
+), scored AS (
+  SELECT doc_id, n, k, j, {h} AS hv,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY {h}, j) AS rn
+  FROM spans
+)
+SELECT doc_id, n AS n_tokens, k AS n_spans,
+       CAST(k * {_SPAN_LEN} AS BIGINT) AS n_masked,
+       CAST(SUM(j) AS BIGINT) AS span_idx_sum,
+       CAST(MIN(hv) AS BIGINT) AS span_h_min
+FROM scored WHERE rn <= k
+GROUP BY doc_id, n, k
+"""
+
+
+@query("span_corruption_plan", _span_oracle())
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption (T5 denoising) mask planning: each doc masks
+    ~{frac}% of its tokens as non-overlapping {L}-token spans, the spans
+    chosen as the k lowest md5-hash candidates of (doc_id, span index).
+    The whole plan is ONE map-side expression — candidate indices,
+    hashes, sort, and top-k all happen inside array functions on the row,
+    so the operator is shuffle-free at any corpus size (the oracle uses a
+    per-doc window instead; it only has to be correct, not scalable).
+    Output pins span count, masked-token count, and exact checksums of
+    the chosen span set (index sum + min hash)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n = ws_token_count(F.col("text"))
+    target = F.floor(F.lit(_SPAN_MASK_FRAC) * n.cast("double")).cast("bigint")
+    base = docs.select(
+        "doc_id", n.cast("bigint").alias("n")
+    ).withColumn("m", F.floor(F.col("n") / _SPAN_LEN).cast("bigint"))
+    base = base.withColumn(
+        "k",
+        F.least(
+            F.floor(
+                (F.floor(F.lit(_SPAN_MASK_FRAC) * F.col("n").cast("double")).cast("bigint")
+                 + F.lit(_SPAN_LEN - 1))
+                / _SPAN_LEN
+            ).cast("bigint"),
+            F.col("m"),
+        ),
+    ).filter(F.col("k") >= 1)
+    idxs = F.sequence(F.lit(0).cast("bigint"), F.col("m") - 1)
+    scored = F.transform(
+        idxs,
+        lambda j: F.struct(
+            portable_hash64(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), j.cast("string")),
+                salt="span",
+            ).alias("hv"),
+            j.alias("j"),
+        ),
+    )
+    chosen = F.slice(F.array_sort(scored), 1, F.col("k").cast("int"))
+    return base.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("k").alias("n_spans"),
+        (F.col("k") * _SPAN_LEN).cast("bigint").alias("n_masked"),
+        F.aggregate(
+            chosen, F.lit(0).cast("bigint"), lambda acc, x: acc + x["j"]
+        ).alias("span_idx_sum"),
+        F.element_at(chosen, 1)["hv"].alias("span_h_min"),
+    )

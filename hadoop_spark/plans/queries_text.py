@@ -672,3 +672,71 @@ def word_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _LIFT_TOPK)
         .select("word_a", "word_b", "n_ab", "lift", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-n-gram language profiles — the TRAINING counterpart of lang_id:
+# the per-language trigram frequency tables a profile-based identifier
+# (Cavnar-Trenkle) is built from. Wordcount-shaped shuffle on the
+# (lang, trigram) key; per-doc fan-out is capped by a prefix cut.
+
+_CNG_N = 3
+_CNG_PREFIX = 2000  # chars per doc that contribute to the profile
+_CNG_TOP = 10
+
+_CNG_ORACLE = f"""
+WITH cut AS (
+  SELECT lang, lower(substr(text, 1, {_CNG_PREFIX})) AS t
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+), grams AS (
+  SELECT lang,
+         unnest(list_transform(
+           generate_series(1, length(t) - {_CNG_N - 1}, 1),
+           p -> substr(t, p, {_CNG_N}))) AS g
+  FROM cut WHERE length(t) >= {_CNG_N}
+), counted AS (
+  SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grams GROUP BY lang, g
+)
+SELECT lang, g, n, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT lang, g, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rnk
+  FROM counted
+) WHERE rnk <= {_CNG_TOP}
+"""
+
+
+@query("char_ngram_profile", _CNG_ORACLE)
+def char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} character trigrams per language — the frequency profile a
+    Cavnar-Trenkle language identifier trains on (`lang_id` is the
+    scoring half). One map pass emits <= {P} grams per doc (prefix cut:
+    profile quality saturates long before full-document counting), the
+    only corpus shuffle groups by the uniform (lang, trigram) key, and
+    the top-k window runs over the bounded per-language gram table
+    (alphabet^3 rows at most), never over the corpus. Ties break on the
+    gram string, so ranking is total and engine-independent."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    cut = docs.select(
+        "lang", F.lower(F.substring("text", 1, _CNG_PREFIX)).alias("t")
+    ).filter(F.length("t") >= _CNG_N)
+    grams = cut.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - (_CNG_N - 1)),
+                lambda p: F.col("t").substr(p, F.lit(_CNG_N)),
+            )
+        ).alias("g"),
+    )
+    counted = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("g"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _CNG_TOP)
+        .select("lang", "g", "n", "rnk")
+    )

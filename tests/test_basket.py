@@ -62,3 +62,28 @@ def test_assoc_rules_broadcasts_dimensions(spark):
     df = QUERIES["assoc_rules"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_temperature_mix_upsamples_small_sources(spark):
+    """The point of T=2 mixing: smaller sources keep a HIGHER fraction of
+    their docs than larger sources (monotone rate inversion), and no
+    target exceeds what sqrt-weighting allocates."""
+    rows = QUERIES["temperature_mix"](spark, SF_DIR).collect()
+    assert rows
+    by_size = sorted(rows, key=lambda r: r.n_total)
+    rates = [r.n_target / r.n_total for r in by_size]
+    assert all(a >= b - 1e-12 for a, b in zip(rates, rates[1:]))
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_total
+
+
+def test_label_propagation_labels_are_min_members(spark):
+    """After any number of min-label rounds each community's label is the
+    minimum id among its members, and communities partition the nodes."""
+    rows = QUERIES["label_propagation"](spark, SF_DIR).collect()
+    seen_nodes = sum(r.n_nodes for r in rows)
+    assert len({r.community for r in rows}) == len(rows)
+    for r in rows:
+        # label <= every member id => label * n <= sum of member ids
+        assert r.community * r.n_nodes <= r.member_ids_sum
+    assert seen_nodes > 0

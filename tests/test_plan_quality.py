@@ -468,3 +468,18 @@ def test_assoc_rules_shuffle_budget(spark):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert _shuffles(plan) <= 7, plan
+
+
+def test_span_corruption_plan_is_map_only(spark):
+    """Span selection happens inside row-local array expressions: the
+    whole operator must be shuffle-free."""
+    plan = _plan(spark, "span_corruption_plan")
+    assert _shuffles(plan) == 0, plan
+    assert "Exchange" not in plan or "rangepartitioning" not in plan, plan
+
+
+def test_char_ngram_profile_window_only_on_gram_table(spark):
+    """Gram counting is the only corpus shuffle; the top-k window runs on
+    the bounded per-language gram table (one more small exchange)."""
+    plan = _plan(spark, "char_ngram_profile")
+    assert _shuffles(plan) <= 2, plan
