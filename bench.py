@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "label_propagation",
     "span_corruption_plan",
     "char_ngram_profile",
+    "doc_sim_sparse",
 ]
 
 

@@ -863,3 +863,93 @@ def top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.alias("delta"),
         F.row_number().over(wr).cast("bigint").alias("move_rank"),
     )
+
+
+_VHIST_BINS = 20
+_VHIST_WIDTH = 25.0
+
+_VHIST_STREAM_ORACLE = f"""
+SELECT event_type,
+       CAST(LEAST({_VHIST_BINS - 1},
+                  GREATEST(0, CAST(FLOOR(value / {_VHIST_WIDTH}) AS INTEGER)))
+            AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("stream_value_histogram", _VHIST_STREAM_ORACLE)
+def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key equi-width value histogram via keyed state
+    (element-wise count-vector addition — slicing-independent), drained
+    and checked bit-for-bit against the batch GROUP BY. Empty bins are
+    dropped on both sides (a bin that never saw a row has no batch
+    row either)."""
+    from hadoop_spark.streaming.windows import (
+        load_events_stream,
+        run_to_memory,
+        stateful_value_histogram,
+    )
+
+    stream = stateful_value_histogram(
+        load_events_stream(spark, sf_dir), lo=0.0, width=_VHIST_WIDTH, nbins=_VHIST_BINS
+    )
+    got = run_to_memory(stream, "q_stream_value_histogram", output_mode="update")
+    return (
+        got.groupBy("event_type", "bin")
+        .agg(F.max("n").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+
+
+_ROLL_WIN_S = 3600
+
+_ROLLING_ORACLE = f"""
+WITH sec AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE user_id IS NOT NULL
+), rolled AS (
+  SELECT user_id, t,
+         CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY t
+           RANGE BETWEEN {_ROLL_WIN_S} PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS c
+  FROM sec
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(c) AS BIGINT) AS peak_1h,
+       CAST(MIN(CASE WHEN c = mc THEN t END) AS BIGINT) AS peak_at_s
+FROM (SELECT *, MAX(c) OVER (PARTITION BY user_id) AS mc FROM rolled)
+GROUP BY user_id
+"""
+
+
+@query("rolling_1h_count", _ROLLING_ORACLE)
+def rolling_1h_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak hourly activity per user via a RANGE-frame window (interval
+    frames — the window surface ROWS frames cannot express: the frame is
+    "all events within the trailing 3600 s", however many rows that is;
+    equal timestamps enter the frame together on both engines, so the
+    count is deterministic without a tiebreak). One user-keyed window
+    pass + one per-user rollup; epoch seconds are exact BIGINTs."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sec = events.select(
+        "user_id", (F.unix_micros("ts") / 1_000_000).cast("bigint").alias("t")
+    )
+    from pyspark.sql import Window as W
+
+    wr = (
+        W.partitionBy("user_id").orderBy("t").rangeBetween(-_ROLL_WIN_S, 0)
+    )
+    rolled = sec.withColumn("c", F.count(F.lit(1)).over(wr))
+    wm = W.partitionBy("user_id")
+    return (
+        rolled.withColumn("mc", F.max("c").over(wm))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("c").alias("peak_1h"),
+            F.min(F.when(F.col("c") == F.col("mc"), F.col("t"))).alias("peak_at_s"),
+        )
+    )

@@ -740,3 +740,102 @@ def char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _CNG_TOP)
         .select("lang", "g", "n", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise document similarity via the inverted index — the classic IR/
+# MapReduce workload (Elsayed, Lin & Oard, "Pairwise Document Similarity
+# in Large Collections with MapReduce": postings self-join per term,
+# high-df terms dropped so posting lists stay bounded). Weights are fully
+# integer: idf is a log2 BUCKET computed as the binary digit count of df
+# (LENGTH(BIN(df)) — exact on both engines, no transcendentals, and small
+# enough that pairwise products can never overflow BIGINT).
+
+_DSIM_TOP_TERMS = 8  # per-doc postings emitted (by weight)
+_DSIM_DF_MAX = 200  # posting-list bound: terms in more docs are dropped
+_DSIM_IDF_BITS = 24  # idf bucket = max(1, BITS - digit_count(df))
+_DSIM_TOP_PAIRS = 50
+
+_DSIM_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+), weighted AS (
+  SELECT t.doc_id, t.w,
+         t.tf * GREATEST(1, {_DSIM_IDF_BITS} - length(bin(d.df))) AS wt
+  FROM tf t JOIN df d ON t.w = d.w
+  WHERE d.df <= {_DSIM_DF_MAX}
+), postings AS (
+  SELECT doc_id, w, wt FROM (
+    SELECT doc_id, w, wt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wt DESC, w) AS rn
+    FROM weighted
+  ) WHERE rn <= {_DSIM_TOP_TERMS}
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(SUM(a.wt * b.wt) AS BIGINT) AS sim_q,
+         CAST(COUNT(*) AS BIGINT) AS shared_terms
+  FROM postings a JOIN postings b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, sim_q, shared_terms
+FROM pairs ORDER BY sim_q DESC, d1, d2 LIMIT {_DSIM_TOP_PAIRS}
+"""
+
+
+@query("doc_sim_sparse", _DSIM_ORACLE)
+def doc_sim_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{P} most similar document pairs by sparse tf-idf dot product,
+    computed through the inverted index: per-doc top-{T} weighted terms
+    become postings, the self-join runs PER TERM (never doc x doc), and
+    terms appearing in more than {D} docs are dropped first — the
+    high-df cutoff is what bounds every posting list, so per-term pair
+    fan-out is <= D^2 regardless of corpus size (add banding inside hot
+    terms to tighten further at 100 TB). idf is an integer log2 bucket
+    (binary digit count of df), so weights, products, and sums are exact
+    BIGINTs on both engines and can never overflow. Ranking ties break
+    on (d1, d2). Reference parity: the two-job postings -> pair-sum
+    pipeline of the pairwise-similarity MapReduce literature and
+    `examples/` inverted-index + join chaining."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.greatest(F.lit(1), F.lit(_DSIM_IDF_BITS) - F.length(F.bin("df")))
+    weighted = (
+        tf.join(df.filter(F.col("df") <= _DSIM_DF_MAX), "w")
+        .select("doc_id", "w", (F.col("tf") * idf).alias("wt"))
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("wt"), F.asc("w"))
+    postings = shared(
+        weighted.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _DSIM_TOP_TERMS)
+        .select("doc_id", "w", "wt")
+    )
+    pairs = (
+        postings.alias("a")
+        .join(postings.alias("b"), "w")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(
+            F.sum(F.col("a.wt") * F.col("b.wt")).cast("bigint").alias("sim_q"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    return pairs.orderBy(F.desc("sim_q"), "d1", "d2").limit(_DSIM_TOP_PAIRS)

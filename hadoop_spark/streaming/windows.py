@@ -433,3 +433,53 @@ def stateful_windowed_kmv(events: DataFrame, k: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_value_histogram(
+    events: DataFrame, lo: float = 0.0, width: float = 25.0, nbins: int = 20
+) -> DataFrame:
+    """Streaming equi-width histogram per key held in keyed state — the
+    monitoring primitive behind latency/value dashboards. Bin assignment
+    is a JVM expression BEFORE the state operator; state is one
+    fixed-length count vector per key and the merge is element-wise
+    addition — commutative and associative, so micro-batch slicing and
+    replay cannot change the drained result and the batch GROUP BY oracle
+    matches bit-for-bit. Per-bin counts are monotone nondecreasing across
+    updates, so the drained final state is the per-(key, bin) max.
+
+    Scale: state is `nbins` longs per key; the per-batch work is one
+    vectorized bincount over pre-binned rows."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    binned = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.least(
+            F.lit(nbins - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col("value") - lo) / width).cast("int")
+            ),
+        ).alias("bin"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        counts = list(state.get[0]) if state.exists else [0] * nbins
+        for pdf in pdfs:
+            for b in pdf["bin"].tolist():
+                counts[int(b)] += 1
+        state.update((counts,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * nbins,
+                "bin": list(range(nbins)),
+                "n": counts,
+            }
+        )
+
+    return binned.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, bin int, n bigint",
+        stateStructType="counts array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

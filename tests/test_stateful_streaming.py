@@ -93,3 +93,38 @@ def test_kmv_state_tolerates_null_user_id(spark, tmp_path):
     }
     # 'view' has only NULL users -> no state row at all; 'click' counts 2
     assert final == {"click": 2}
+
+
+def test_histogram_state_is_batch_slicing_independent(spark, tmp_path):
+    """The streaming histogram's element-wise count-vector addition must
+    drain identically whether the stream arrives as 1 batch or 4."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.streaming.windows import (
+        run_to_memory,
+        stateful_value_histogram,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    split_dir = str(tmp_path / "ev_split_h")
+    ev.repartition(4).write.mode("overwrite").parquet(split_dir)
+
+    def drained(stream_df, name):
+        got = run_to_memory(
+            stateful_value_histogram(stream_df), name, output_mode="update"
+        )
+        return sorted(
+            tuple(r)
+            for r in got.groupBy("event_type", "bin")
+            .agg(F.max("n").alias("n"))
+            .filter(F.col("n") > 0)
+            .collect()
+        )
+
+    one = spark.readStream.schema(ev.schema).parquet(split_dir)
+    many = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    assert drained(one, "t_vhist_one") == drained(many, "t_vhist_many")
