@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "span_corruption_plan",
     "char_ngram_profile",
     "doc_sim_sparse",
+    "bpe_encode",
 ]
 
 

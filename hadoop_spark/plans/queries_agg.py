@@ -462,3 +462,47 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.groupBy(
         F.col("dc.depth").alias("depth"), F.col("dc.cell").alias("cell")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- calendar-dimension rollup -----------------------------------------
+# Exercises the date-function surface (extract year/quarter/month,
+# day-of-week) whose conventions differ per engine: Spark's dayofweek is
+# 1=Sunday while DuckDB's isodow is 1=Monday, so the weekend flag is
+# written against each engine's own convention and pinned equal by the
+# oracle. Revenue sums quantize to DECIMAL per the repo's float rule.
+
+_CAL_ORACLE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mth,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN EXTRACT(isodow FROM o_orderdate) IN (6, 7)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+@query("calendar_revenue", _CAL_ORACLE)
+def calendar_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by calendar hierarchy (year/quarter/month) with a weekend
+    order count — the date-dimension rollup every warehouse report runs.
+    Engine-exact across conventions: weekday is computed per engine's own
+    numbering (Spark weekday 0=Mon..6=Sun vs DuckDB isodow 1=Mon..7=Sun)
+    and the revenue sum is decimal-quantized. One shuffle over a bounded
+    (year x quarter x month) key space."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekend = F.when(F.weekday("o_orderdate") >= 5, 1).otherwise(0)
+    return orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mth"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(weekend).cast("bigint").alias("n_weekend"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("string")
+        .cast("double")
+        .alias("revenue"),
+    )

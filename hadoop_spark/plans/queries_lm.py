@@ -882,3 +882,156 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, weight long"
     )
+
+
+# ----------------------------------------------------------------------
+# bpe_encode — the second half of the tokenizer loop: ENCODE the corpus
+# with the merges bpe_learn_merges trains. Encoding happens at the
+# vocabulary level (apply merges to each DISTINCT (source, word) once,
+# then weight by the word's count), so the merge-application cost is
+# vocab-sized regardless of corpus token count — the same reason BPE
+# training itself scales. Char-level token count needs no chain at all:
+# it is word length. Output is the per-source compression ledger.
+# ----------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    # learn chain over the global vocab — identical to _bpe_oracle
+    ctes = [
+        r"""v0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, wc FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ) GROUP BY w
+  )
+)"""
+    ]
+    for i in range(_BPE_STEPS):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS w FROM (
+    SELECT unnest(list_transform(
+             range(2, len(string_split(sym, ' ')) + 1),
+             j -> string_split(sym, ' ')[j - 1] || ' ' || string_split(sym, ' ')[j]
+           )) AS pair, wc
+    FROM v{i}
+  ) GROUP BY pair
+)"""
+        )
+        ctes.append(f"b{i} AS (SELECT pair, w FROM p{i} ORDER BY w DESC, pair LIMIT 1)")
+        if i + 1 < _BPE_STEPS:
+            ctes.append(
+                f"""v{i + 1} AS (
+  SELECT {_merge_sql('v.sym', 'b.pair')} AS sym, v.wc
+  FROM v{i} v, b{i} b
+)"""
+            )
+    # per-source vocab with every learned merge applied (LEFT join: a
+    # degenerate corpus with no learnable pair encodes unchanged)
+    ctes.append(
+        r"""s0 AS (
+  SELECT source, w, wc, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym FROM (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ) GROUP BY source, w
+  )
+)"""
+    )
+    for i in range(_BPE_STEPS):
+        ctes.append(
+            f"""s{i + 1} AS (
+  SELECT s.source, s.w, s.wc,
+         CASE WHEN b.pair IS NULL THEN s.sym
+              ELSE {_merge_sql('s.sym', 'b.pair')} END AS sym
+  FROM s{i} s LEFT JOIN b{i} b ON TRUE
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT source,
+       CAST(SUM(wc) AS BIGINT) AS n_word_occurrences,
+       CAST(SUM(wc * length(w)) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(wc * len(string_split(sym, ' '))) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(wc * length(w)) AS DOUBLE)
+         / CAST(SUM(wc * len(string_split(sym, ' '))) AS DOUBLE) AS compression
+FROM s{_BPE_STEPS}
+GROUP BY source
+"""
+    )
+
+
+@query("bpe_encode", _bpe_encode_oracle())
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained BPE merges and report the
+    per-source compression ledger (word occurrences, char-level tokens,
+    BPE tokens, compression ratio). Merges are learned exactly as in
+    `bpe_learn_merges` (K bounded 1-row argmax collects over the global
+    vocabulary); encoding applies them as chained literal replaces over
+    the per-(source, word) vocabulary — map-side, vocab-sized work, with
+    counts folded back by multiplication, so no token-level row stream
+    ever exists. The ratio is one IEEE division of exact BIGINTs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from hadoop_spark.sources.tables import shared
+
+    words = shared(
+        fanout_small(docs)
+        .select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    vocab = words.groupBy("w").agg(F.sum("wc").cast("long").alias("wc")).select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "wc"
+    )
+    merges: list[str] = []
+    cur = vocab
+    for step in range(_BPE_STEPS):
+        best = (
+            cur.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("pair"), "wc")
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("cw"))
+            .orderBy(F.desc("cw"), "pair")
+            .first()
+        )  # 1-row collect per step — bounded driver state
+        if best is None:
+            break
+        merges.append(best.pair)
+        if step + 1 < _BPE_STEPS:
+            sym = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+            merged = best.pair.replace(" ", "")
+            for _ in range(3):
+                sym = F.replace(sym, F.lit(f" {best.pair} "), F.lit(f" {merged} "))
+            cur = cur.select(F.trim(sym).alias("sym"), "wc")
+    sym = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" ")
+    )
+    for pair in merges:
+        merged = pair.replace(" ", "")
+        for _ in range(3):
+            sym = F.replace(sym, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    encoded = words.select(
+        "source",
+        "wc",
+        F.length("w").cast("bigint").alias("n_char"),
+        F.size(F.split(F.trim(sym), " ")).cast("bigint").alias("n_bpe"),
+    )
+    return encoded.groupBy("source").agg(
+        F.sum("wc").alias("n_word_occurrences"),
+        F.sum(F.col("wc") * F.col("n_char")).alias("n_char_tokens"),
+        F.sum(F.col("wc") * F.col("n_bpe")).alias("n_bpe_tokens"),
+        (
+            F.sum(F.col("wc") * F.col("n_char")).cast("double")
+            / F.sum(F.col("wc") * F.col("n_bpe")).cast("double")
+        ).alias("compression"),
+    )
