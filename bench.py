@@ -98,6 +98,13 @@ BENCH_QUERIES = [
     "char_ngram_profile",
     "doc_sim_sparse",
     "bpe_encode",
+    # round-4b: runtime Bloom join pruning, map-side skip-gram pairs,
+    # histogram window functions, int8 vector quantization
+    "bloom_filter_join",
+    "skipgram_pairs",
+    "rank_profile",
+    "revenue_deciles",
+    "embedding_int8_quantize",
 ]
 
 

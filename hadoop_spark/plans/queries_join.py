@@ -436,3 +436,91 @@ def map_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.element_at(region_map, F.col("n_regionkey")).alias("region_name"),
     )
+
+
+# ----------------------------------------------------------------------
+# bloom_filter_join — hand-rolled Bloom-filter runtime join pruning.
+# Spark's own runtime filters (`spark.sql.optimizer.runtime.bloomFilter.
+# enabled`) inject exactly this shape; building it explicitly makes the
+# technique available when the optimizer declines (e.g. a non-equi
+# pre-aggregated build side) and keeps the plan auditable. The build side
+# (urgent orders) aggregates its key set down to a FIXED 8 KiB bit array
+# (1024 longs — the DistributedCache side-data pattern: the collect is
+# bounded by the filter size, never by the data), the probe side tests
+# membership MAP-SIDE before any shuffle, and the real equi-join then
+# removes the Bloom false positives, so the result is exact while the
+# shuffle carries ~selectivity× fewer probe rows. At 100 TB: the fact
+# scan feeds a codegen'd bitmask test, and only surviving lineitems pay
+# shuffle I/O — the classic semi-join reduction from the MapReduce-join
+# literature, Spark-first.
+# ----------------------------------------------------------------------
+
+_BLOOM_M = 1 << 16  # bits
+_BLOOM_WORDS = _BLOOM_M // 64
+
+_BLOOM_ORACLE = """
+SELECT l.l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_linestatus
+"""
+
+
+@query("bloom_filter_join", _BLOOM_ORACLE)
+def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.hashing import portable_hash64
+    from hadoop_spark.functions.numeric import dsum
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = orders.select("o_orderkey")
+    # Build: key -> two bit positions -> OR-fold into 1024 words. The
+    # aggregation is distributed (partial bit_or map-side); only the
+    # constant-size word table is collected.
+    pos = keys.select(
+        F.explode(
+            F.array(
+                portable_hash64(F.col("o_orderkey"), "bf0") % _BLOOM_M,
+                portable_hash64(F.col("o_orderkey"), "bf1") % _BLOOM_M,
+            )
+        ).alias("pos")
+    )
+    words_df = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            (F.col("pos") % 64).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("mask"))
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in words_df.collect():
+        words[r["word"]] = r["mask"]
+    bloom = F.array(*[F.lit(w) for w in words])
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h0 = portable_hash64(F.col("l_orderkey"), "bf0") % _BLOOM_M
+    h1 = portable_hash64(F.col("l_orderkey"), "bf1") % _BLOOM_M
+
+    # Membership test as a pure codegen'd expression: extract the word,
+    # shift by the bit index, AND 1 — both hashes must hit.
+    word0 = F.element_at(bloom, (h0 / 64).cast("int") + 1)
+    word1 = F.element_at(bloom, (h1 / 64).cast("int") + 1)
+    bit0 = (h0 % 64).cast("int")
+    bit1 = (h1 % 64).cast("int")
+    pruned = li.withColumn("_b0w", word0).withColumn("_b0b", bit0).withColumn(
+        "_b1w", word1
+    ).withColumn("_b1b", bit1).filter(
+        F.expr("(shiftright(_b0w, _b0b) & 1L) = 1L")
+        & F.expr("(shiftright(_b1w, _b1b) & 1L) = 1L")
+    ).drop("_b0w", "_b0b", "_b1w", "_b1b")
+
+    joined = pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+    return joined.groupBy(F.col("l_linestatus")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )

@@ -1035,3 +1035,74 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("wc") * F.col("n_bpe")).cast("double")
         ).alias("compression"),
     )
+
+
+# ----------------------------------------------------------------------
+# skipgram_pairs — word2vec/GloVe training-pair extraction: for every
+# token, its contexts at distance 1 and 2 (symmetric window), counted
+# corpus-wide. The pair stream is generated MAP-SIDE from the token
+# array (arrays_zip of the array with its own 1- and 2-shifted slices —
+# no posexplode + per-doc window shuffle, no self-join on position), so
+# the only shuffle is the final (center, ctx) count aggregation, which
+# partial-aggregates map-side. At 100 TB this is the canonical two-stage
+# shape: linear scan fan-out (≤ 2 pairs/token/direction) into a combiner
+# — the exact WordCount.java:34 lineage with a compound key.
+# ----------------------------------------------------------------------
+
+_SKIPGRAM_TOPN = 300
+
+_SKIPGRAM_ORACLE = rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+zp AS (
+  SELECT unnest(list_zip(w, w[2:])) AS p FROM toks
+  UNION ALL
+  SELECT unnest(list_zip(w, w[3:])) AS p FROM toks
+),
+pr AS (
+  SELECT p[1] AS center, p[2] AS ctx FROM zp WHERE p[2] IS NOT NULL
+  UNION ALL
+  SELECT p[2] AS center, p[1] AS ctx FROM zp WHERE p[2] IS NOT NULL
+)
+SELECT center, ctx, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pr GROUP BY center, ctx
+ORDER BY cnt DESC, center, ctx LIMIT {_SKIPGRAM_TOPN}
+"""
+
+
+@query("skipgram_pairs", _SKIPGRAM_ORACLE)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric window-2 skip-gram (center, context) counts, top-N."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+        ).alias("w")
+    )
+    zipped = toks.select(
+        F.explode(
+            F.concat(
+                F.arrays_zip(
+                    F.col("w").alias("a"),
+                    F.slice(F.col("w"), 2, F.size("w")).alias("b"),
+                ),
+                F.arrays_zip(
+                    F.col("w").alias("a"),
+                    F.slice(F.col("w"), 3, F.size("w")).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).filter(F.col("p.b").isNotNull())
+    pairs = zipped.select(
+        F.col("p.a").alias("center"), F.col("p.b").alias("ctx")
+    ).unionAll(
+        zipped.select(F.col("p.b").alias("center"), F.col("p.a").alias("ctx"))
+    )
+    return (
+        pairs.groupBy("center", "ctx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "center", "ctx")
+        .limit(_SKIPGRAM_TOPN)
+    )

@@ -313,3 +313,146 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(IVF_TOP_K).cast("bigint").alias("k"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# embedding_dim_stats — per-dimension profile of the embedding column
+# (n / min / max / decimal-exact mean): the feature-normalization stats
+# every vector pipeline computes before quantization or whitening.
+# posexplode fans each vector into (dim, x) pairs map-side (x64 rows,
+# the columnar pivot of the array layout) and ONE partial-aggregated
+# groupBy(dim) shuffle — 64 output rows regardless of corpus size.
+# FLOAT → DOUBLE casts are exact, min/max are order-independent, and the
+# mean goes through `dsum` quantization, so the profile is bit-identical
+# at any parallelism.
+# ----------------------------------------------------------------------
+
+_DIM = 64  # embedding dimensionality (model constant, asserted in tests)
+
+from hadoop_spark.functions.numeric import dsum_sql as _dsum_sql  # noqa: E402
+
+_DIM_STATS_ORACLE = f"""
+WITH d AS (
+  SELECT j - 1 AS dim, CAST(embedding[CAST(j AS INT)] AS DOUBLE) AS x
+  FROM embeddings, range(1, {_DIM + 1}) r(j)
+  WHERE j <= len(embedding)
+)
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(x) AS lo,
+       MAX(x) AS hi,
+       ({_dsum_sql("x", 8)} / CAST(COUNT(*) AS DOUBLE)) AS mean
+FROM d GROUP BY dim
+"""
+
+
+@query("embedding_dim_stats", _DIM_STATS_ORACLE)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.numeric import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        dsum(F.col("x"), 8).alias("mean_sum"),
+    ).select(
+        "dim",
+        "n",
+        "lo",
+        "hi",
+        (F.col("mean_sum") / F.col("n").cast("double")).alias("mean"),
+    )
+
+
+# ----------------------------------------------------------------------
+# embedding_int8_quantize — symmetric per-dimension int8 quantization,
+# the storage/bandwidth prep step before shipping vectors to an ANN
+# index (4× smaller than float32; the PQ stack in queries_cluster
+# compresses further). Per-dim scale = absmax (one 64-row aggregate,
+# collected under the same bounded-side-data rule as the PQ codebook),
+# then code_i = clamp(floor(x_i / absmax_d * 127 + 0.5), ±127) computed
+# MAP-SIDE via a transform() over the array with the scales as a literal
+# — zero shuffles after the stats pass. Every arithmetic op is IEEE
+# double (÷, ×, +, floor), so codes are bit-identical across engines —
+# verified by the oracle recomputing the scales and codes itself from
+# scratch. Output: per-vector code checksums + saturation count (the
+# quantization-quality report).
+# ----------------------------------------------------------------------
+
+_INT8_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, j - 1 AS dim, CAST(embedding[CAST(j AS INT)] AS DOUBLE) AS x
+  FROM embeddings, range(1, {_DIM + 1}) r(j)
+  WHERE j <= len(embedding)
+),
+scales AS (
+  SELECT dim, MAX(ABS(x)) AS amax FROM d GROUP BY dim
+),
+codes AS (
+  SELECT d.vec_id,
+         CAST(GREATEST(-127, LEAST(127,
+           CASE WHEN s.amax = 0 THEN 0
+                ELSE FLOOR(d.x / s.amax * 127 + 0.5) END)) AS BIGINT) AS code
+  FROM d JOIN scales s ON d.dim = s.dim
+)
+SELECT vec_id,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(SUM(ABS(code)) AS BIGINT) AS code_l1,
+       CAST(SUM(CASE WHEN ABS(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
+FROM codes GROUP BY vec_id
+"""
+
+
+@query("embedding_int8_quantize", _INT8_ORACLE)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "xf"))
+        .groupBy("dim")
+        .agg(F.max(F.abs(F.col("xf").cast("double"))).alias("amax"))
+        .collect()
+    )
+    amax = [0.0] * _DIM
+    for r in stats:
+        amax[r["dim"]] = r["amax"]
+    scales = F.array(*[F.lit(a) for a in amax])
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.when(F.element_at(scales, i + 1) == 0.0, F.lit(0)).otherwise(
+                    F.floor(
+                        x.cast("double")
+                        / F.element_at(scales, i + 1)
+                        * 127
+                        + 0.5
+                    )
+                ).cast("int"),
+            ),
+        ).cast("bigint"),
+    )
+    rows = emb.select("vec_id", codes.alias("code"))
+    return rows.select(
+        "vec_id",
+        F.aggregate(
+            "code", F.lit(0).cast("bigint"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+        F.aggregate(
+            "code", F.lit(0).cast("bigint"), lambda acc, c: acc + F.abs(c)
+        ).alias("code_l1"),
+        F.aggregate(
+            "code",
+            F.lit(0).cast("bigint"),
+            lambda acc, c: acc
+            + F.when(F.abs(c) == 127, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ).alias("n_sat"),
+    )

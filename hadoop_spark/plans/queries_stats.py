@@ -448,3 +448,132 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scanned.filter(
         F.col("best_prev_t").isNull() | (F.col("t_us") > F.col("best_prev_t"))
     ).select("event_type", "value", "t_us")
+
+
+# ----------------------------------------------------------------------
+# rank_profile — exact per-group percent_rank / cume_dist WITHOUT a
+# whole-group window. A naive `percent_rank() OVER (PARTITION BY grp
+# ORDER BY v)` puts each group's entire row set through one window
+# partition — 5 priority groups at 100 TB means 5 tasks doing all the
+# work. The scalable form recovers the same numbers from the VALUE
+# HISTOGRAM: rank(first row with value v) = cum(v) - c(v) + 1 and
+# cume_dist numerator = cum(v), so the window runs over histogram-sized
+# data (distinct values per group) and every raw row is tagged by a
+# broadcast join — same discipline as `group_median`. The final division
+# is one IEEE double op over integers, bit-identical in any engine; the
+# oracle uses DuckDB's NATIVE percent_rank()/cume_dist() so the
+# histogram reconstruction is verified against the SQL-standard window
+# semantics themselves.
+# ----------------------------------------------------------------------
+
+_RANK_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       bucket,
+       CAST(percent_rank() OVER w AS DOUBLE) AS pr,
+       CAST(cume_dist() OVER w AS DOUBLE) AS cd
+FROM (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY bucket)
+"""
+
+
+@query("rank_profile", _RANK_ORACLE)
+def rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per priority via histogram rank algebra."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bucket"),
+    )
+    hist = orders.groupBy("o_orderpriority", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = hist.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("o_orderpriority").orderBy("bucket")
+        ),
+    )
+    ranks = cum.join(F.broadcast(tot), "o_orderpriority").select(
+        "o_orderpriority",
+        "bucket",
+        (F.col("cum") - F.col("c") + 1).alias("rnk"),
+        F.col("cum").alias("cume"),
+        "n",
+    )
+    # Tag every raw row map-side: the rank table is histogram-sized.
+    tagged = orders.join(F.broadcast(ranks), ["o_orderpriority", "bucket"])
+    pr = F.when(F.col("n") > 1, (F.col("rnk") - 1).cast("double") / (F.col("n") - 1).cast("double")).otherwise(F.lit(0.0))
+    cd = F.col("cume").cast("double") / F.col("n").cast("double")
+    return tagged.select(
+        "o_orderkey", "o_orderpriority", "bucket", pr.alias("pr"), cd.alias("cd")
+    )
+
+
+# ----------------------------------------------------------------------
+# revenue_deciles — equi-DEPTH histogram per group: 9 exact nearest-rank
+# cut points from ONE value-histogram shuffle (`group_quantiles`), rows
+# assigned to their decile MAP-SIDE against the broadcast boundary
+# table, then per-decile occupancy + exact revenue mass. The
+# equi-width histogram (`numeric_histogram`) bins by value; this bins by
+# POPULATION — the form batch planners (and feature bucketizers) want.
+# Degenerate value distributions collapse deciles honestly: a value
+# spanning multiple cut points lands in the decile of the LAST boundary
+# below it, so occupancy can exceed n/10 — mirrored exactly in SQL.
+# ----------------------------------------------------------------------
+
+_DECILE_QS = {f"d{i}": i / 10.0 for i in range(1, 10)}
+
+
+def _decile_oracle() -> str:
+    cuts_cond = " + ".join(
+        f"(CASE WHEN o.bucket > q.d{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+    return f"""
+WITH src AS (
+  SELECT o_orderpriority, CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket,
+         o_totalprice
+  FROM orders
+),
+{group_quantiles_sql("src", "o_orderpriority", "bucket", _DECILE_QS, "q")}
+SELECT o.o_orderpriority,
+       CAST(1 + {cuts_cond} AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o.bucket) AS BIGINT) AS lo_bucket,
+       CAST(MAX(o.bucket) AS BIGINT) AS hi_bucket,
+       {dsum_sql('o.o_totalprice')} AS revenue
+FROM src o JOIN q ON o.o_orderpriority = q.o_orderpriority
+GROUP BY 1, 2
+"""
+
+
+@query("revenue_deciles", _decile_oracle())
+def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile occupancy + revenue mass per order priority."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bucket"),
+        "o_totalprice",
+    )
+    cuts = group_quantiles(src, "o_orderpriority", "bucket", _DECILE_QS)
+    tagged = src.join(F.broadcast(cuts), "o_orderpriority")
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(
+            F.col("bucket") > F.col(f"d{i}"), 1
+        ).otherwise(0)
+    return tagged.groupBy(
+        "o_orderpriority", decile.cast("bigint").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("bucket").alias("lo_bucket"),
+        F.max("bucket").alias("hi_bucket"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )

@@ -483,3 +483,58 @@ def test_char_ngram_profile_window_only_on_gram_table(spark):
     the bounded per-language gram table (one more small exchange)."""
     plan = _plan(spark, "char_ngram_profile")
     assert _shuffles(plan) <= 2, plan
+
+
+def test_bloom_filter_join_prunes_probe_before_shuffle(spark):
+    """The Bloom membership test (shiftright + bitmask over the literal
+    word array) must sit in a Filter on the LINEITEM side below the join,
+    so pruned probe rows never pay shuffle I/O; the verifying equi-join
+    then removes false positives."""
+    plan = _plan(spark, "bloom_filter_join")
+    assert "shiftright" in plan, plan
+    # the bit test is codegen'd (no Python evaluation anywhere)
+    assert "BatchEvalPython" not in plan, plan
+    join_pos = plan.find("Join")
+    filt_pos = plan.find("shiftright")
+    assert join_pos != -1 and filt_pos != -1
+    # executedPlan prints top-down: the probe-side filter appears BELOW
+    # (after) the join operator that consumes it.
+    assert filt_pos > join_pos, plan
+
+
+def test_skipgram_pairs_generates_pairs_map_side(spark):
+    """Pair generation is arrays_zip over the token array — NO posexplode
+    + per-doc window, NO position self-join: the plan must contain zero
+    Join/Window operators and only the count aggregation + top-k
+    exchanges."""
+    plan = _plan(spark, "skipgram_pairs")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert _shuffles(plan) <= 2, plan
+
+
+def test_rank_profile_windows_only_histogram(spark):
+    """percent_rank/cume_dist are recovered from the value histogram: the
+    one Window operator runs over aggregated (group, bucket) rows, and
+    raw orders are tagged via broadcast — never range-shuffled whole."""
+    plan = _plan(spark, "rank_profile")
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # Raw rows shuffle ONLY into (bucket-histogram) partial aggregations —
+    # the cum and n branches each re-aggregate the scan (4 exchanges, all
+    # carrying histogram-sized or per-group data, never raw orders).
+    assert _shuffles(plan) <= 4, plan
+    # every Exchange key set includes the bucket or group key of an
+    # upstream HashAggregate — no rangepartitioning of raw rows
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_embedding_int8_quantize_is_map_side(spark):
+    """After the bounded stats collect, quantization + per-vector
+    checksums are pure array expressions: zero shuffles, zero joins,
+    zero Python."""
+    plan = _plan(spark, "embedding_int8_quantize")
+    assert _shuffles(plan) == 0, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
