@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     "rank_profile",
     "revenue_deciles",
     "embedding_int8_quantize",
+    "predicate_sweep",
+    "novelty_ngrams",
+    "stream_ohlc",
+    "bm25_scores",
+    "interarrival_profile",
 ]
 
 

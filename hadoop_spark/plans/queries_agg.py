@@ -506,3 +506,82 @@ def calendar_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ----------------------------------------------------------------------
+# predicate_sweep — a "what-if" parameter grid evaluated in ONE scan.
+# The naive form of TPC-H Q6 parameter exploration re-runs the query per
+# (discount, quantity) candidate — at 100 TB that is G full passes over
+# the fact table. The Spark-first form evaluates the whole grid as G
+# conditional aggregates in a single map-partial-aggregated pass (the
+# fact table is read ONCE; each cell is a CASE WHEN inside the same
+# HashAggregate), then unpivots the 1-row result to (param_d, param_q,
+# n_lines, revenue) rows with stack() — driver-sized data from there.
+# Exact: counts are integers, revenue is decimal-quantized, and the
+# discount-band comparisons are IEEE double compares of stored values
+# against repr-exact literals, identical in both engines.
+# ----------------------------------------------------------------------
+
+_SWEEP_DS = ["0.02", "0.04", "0.06", "0.08"]
+_SWEEP_QS = [24, 25]
+
+
+def _sweep_oracle() -> str:
+    from hadoop_spark.functions.numeric import dsum_sql
+
+    cells = []
+    for d in _SWEEP_DS:
+        for q in _SWEEP_QS:
+            cond = (
+                f"l_discount BETWEEN CAST({d} AS DOUBLE) - 0.01"
+                f" AND CAST({d} AS DOUBLE) + 0.01"
+                f" AND l_quantity < {q}"
+            )
+            rev = dsum_sql(f"CASE WHEN {cond} THEN l_extendedprice * l_discount ELSE NULL END")
+            cells.append(
+                f"SELECT CAST({d} AS DOUBLE) AS param_d, CAST({q} AS BIGINT) AS param_q,\n"
+                f"  CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_lines,\n"
+                f"  COALESCE({rev}, CAST(0 AS DOUBLE)) AS revenue\n"
+                "FROM lineitem"
+            )
+    return "\nUNION ALL\n".join(cells)
+
+
+@query("predicate_sweep", _sweep_oracle())
+def predicate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.numeric import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    names = []
+    for d in _SWEEP_DS:
+        for q in _SWEEP_QS:
+            dv = float(d)
+            cond = (
+                (F.col("l_discount") >= F.lit(dv) - 0.01)
+                & (F.col("l_discount") <= F.lit(dv) + 0.01)
+                & (F.col("l_quantity") < q)
+            )
+            tag = f"{d.replace('.', '_')}_{q}"
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n_{tag}")
+            )
+            aggs.append(
+                F.coalesce(
+                    dsum(
+                        F.when(
+                            cond, F.col("l_extendedprice") * F.col("l_discount")
+                        ).otherwise(F.lit(None))
+                    ),
+                    F.lit(0.0),
+                ).alias(f"r_{tag}")
+            )
+            names.append((dv, q, tag))
+    onerow = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({dv!r} AS DOUBLE), CAST({q} AS BIGINT), n_{tag}, r_{tag}"
+        for dv, q, tag in names
+    )
+    return onerow.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (param_d, param_q, n_lines, revenue)"
+    )

@@ -1041,3 +1041,73 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("span_idx_sum"),
         F.element_at(chosen, 1)["hv"].alias("span_h_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# novelty_ngrams — per-document novelty: the fraction of a doc's distinct
+# word-8-grams that appear FIRST in that doc (corpus order = doc_id).
+# This is the doc-level scoring view of n-gram dedup: a crawl curation
+# run keeps high-novelty docs and drops boilerplate-heavy ones. Scale
+# shape: the shuffle key is the 60-bit portable hash of the gram (8
+# bytes, never the gram text), first-owner is ONE keyed window min, the
+# per-doc rollup is one more bounded aggregation; cost is linear in
+# total distinct gram occurrences, the same contract as `decontaminate`
+# / `dedup_paragraph`. The ratio is one IEEE division of exact integers.
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         {portable_hash64_sql(f"unnest({_ngram_sql('w', _DECON_N)})")} AS gh
+  FROM toks WHERE len(w) >= {_DECON_N}
+),
+owned AS (
+  SELECT doc_id, gh, MIN(doc_id) OVER (PARTITION BY gh) AS first_doc
+  FROM grams
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       (CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE)) AS novelty
+FROM owned GROUP BY doc_id
+"""
+
+
+@query("novelty_ngrams", _NOVELTY_ORACLE)
+def novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct 8-grams first seen in that doc."""
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w"),
+    ).filter(F.size("w") >= _DECON_N)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _DECON_N),
+                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, _DECON_N)),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", portable_hash64(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    owned = grams.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("gh"))
+    )
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return owned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.cast("bigint").alias("n_novel"),
+        (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias("novelty"),
+    )

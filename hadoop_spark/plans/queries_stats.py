@@ -577,3 +577,99 @@ def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("bucket").alias("hi_bucket"),
         dsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+# ----------------------------------------------------------------------
+# debounce_events — drop rapid-fire duplicate signals: an event is noise
+# if the SAME (user, event_type) fired within the previous 60 s. The
+# one-keyed-window form (lag over user/type ordered by event time) is
+# deliberate: the greedy "60 s after the last KEPT event" variant is a
+# sequential recurrence with no parallel form, while lag-vs-previous is
+# order-exact, one shuffle, and what dedup/debounce stages actually
+# deploy. Integer microsecond arithmetic end-to-end. Output is the
+# cleaned stream (kept rows only) — the filter composes in front of any
+# downstream query.
+# ----------------------------------------------------------------------
+
+_DEBOUNCE_ORACLE = """
+SELECT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS prev_ts
+  FROM events
+)
+WHERE prev_ts IS NULL
+   OR CAST(epoch_us(ts) AS BIGINT) - CAST(epoch_us(prev_ts) AS BIGINT)
+      >= 60 * 1000000
+"""
+
+
+@query("debounce_events", _DEBOUNCE_ORACLE)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep events ≥60 s after the previous same-(user, type) event."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.lag("ts").over(w)).alias("prev_us"),
+    )
+    return lagged.filter(
+        F.col("prev_us").isNull()
+        | (F.col("ts_us") - F.col("prev_us") >= 60 * 1_000_000)
+    ).select("event_id", "user_id", "event_type", "ts_us")
+
+
+# ----------------------------------------------------------------------
+# interarrival_profile — burstiness analysis: the distribution of gaps
+# between consecutive same-(user, event_type) events, bucketed on a log2
+# scale (bucket = binary digit count of the µs gap — exact integers, the
+# repo's log-free convention). The shape a capacity planner reads to
+# size session timeouts and state TTLs. One keyed lag window + one
+# bounded (type, bucket ≤ 64) aggregation; gaps never leave integer
+# arithmetic.
+# ----------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT)
+         - CAST(epoch_us(lag(ts) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id
+           )) AS BIGINT) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(length(bin(gap_us)) AS BIGINT) AS gap_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("interarrival_profile", _INTERARRIVAL_ORACLE)
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucketed inter-arrival gap histogram per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy(
+        "event_type",
+        F.length(F.bin("gap_us")).cast("bigint").alias("gap_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

@@ -953,3 +953,98 @@ def rolling_1h_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("c") == F.col("mc"), F.col("t"))).alias("peak_at_s"),
         )
     )
+
+
+_OHLC_STREAM_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type,
+         (epoch_us(ts) // {_HOUR_US}) AS bar,
+         epoch_us(ts) * 4096 + event_id % 4096 AS k,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT event_type, bar,
+       arg_min(v_micro, k) AS open_micro,
+       CAST(MAX(v_micro) AS BIGINT) AS high_micro,
+       CAST(MIN(v_micro) AS BIGINT) AS low_micro,
+       arg_max(v_micro, k) AS close_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM ev GROUP BY event_type, bar
+"""
+
+
+@query("stream_ohlc", _OHLC_STREAM_ORACLE)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles computed BY THE STREAMING ENGINE (update-mode window
+    aggregation over struct-ordered min/max — commutative, so micro-batch
+    slicing cannot change the result), drained and checked against the
+    batch arg_min/arg_max oracle bit-for-bit. The streaming twin of
+    `ohlc_bars`."""
+    from hadoop_spark.streaming.windows import (
+        load_events_stream,
+        run_to_memory,
+        streaming_ohlc,
+    )
+
+    stream = streaming_ohlc(load_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "q_stream_ohlc", output_mode="update")
+    final = got.groupBy("event_type", "bar").agg(
+        F.max_by(
+            F.struct("open_micro", "high_micro", "low_micro", "close_micro", "n_ticks"),
+            "n_ticks",
+        ).alias("s")
+    )
+    return final.select(
+        "event_type",
+        "bar",
+        F.col("s.open_micro").alias("open_micro"),
+        F.col("s.high_micro").alias("high_micro"),
+        F.col("s.low_micro").alias("low_micro"),
+        F.col("s.close_micro").alias("close_micro"),
+        F.col("s.n_ticks").alias("n_ticks"),
+    )
+
+
+_CAPPED_K = 8
+
+_CAPPED_SAMPLE_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type, date_trunc('hour', ts) AS win_start, event_id,
+         {portable_hash64_sql('event_id', salt='#caps')} AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, win_start, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, win_start ORDER BY h, event_id
+         ) AS rn
+  FROM hashed
+)
+SELECT event_type, CAST(epoch_us(win_start) AS BIGINT) AS win_us, event_id
+FROM ranked WHERE rn <= {_CAPPED_K}
+"""
+
+
+@query("stream_capped_sample", _CAPPED_SAMPLE_ORACLE)
+def stream_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-(event_type, hour) K-row sample maintained as
+    streaming keyed state (min-K by portable hash — the replayable,
+    slicing-independent form of windowed reservoir sampling). Drained
+    final states are exploded to the kept event ids and hash-checked
+    against the batch min-K oracle."""
+    from hadoop_spark.streaming.windows import (
+        load_events_stream,
+        run_to_memory,
+        stateful_capped_sample,
+    )
+
+    stream = stateful_capped_sample(load_events_stream(spark, sf_dir), k=_CAPPED_K)
+    got = run_to_memory(stream, "q_stream_capped_sample", output_mode="update")
+    final = got.groupBy("event_type", "win_start").agg(
+        F.max_by("ids", "n_total").alias("ids")
+    )
+    return final.select(
+        "event_type",
+        F.unix_micros("win_start").alias("win_us"),
+        F.explode("ids").alias("event_id"),
+    )

@@ -839,3 +839,119 @@ def doc_sim_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.orderBy(F.desc("sim_q"), "d1", "d2").limit(_DSIM_TOP_PAIRS)
+
+
+# ----------------------------------------------------------------------
+# bm25_scores — ad-hoc retrieval over the corpus: BM25 ranking of every
+# document against a fixed multi-term query. The scale shape is the
+# retrieval textbook one: the corpus-wide work is (a) one tiny
+# tf aggregation over ONLY the query terms (the isin filter runs in the
+# scan — at 100 TB the shuffle carries a few rows per matching doc, not
+# the vocabulary), (b) two bounded side tables (per-term df; the 1-row
+# corpus length stats), both broadcast. Determinism: idf is the integer
+# log2 bucket (same convention as doc_sim_sparse), tf/length inputs are
+# exact integers, the per-term contribution is a fixed IEEE expression
+# quantized to DECIMAL(18,8) BEFORE the per-doc sum — so the 3-term
+# addition is exact and order-independent in both engines.
+# ----------------------------------------------------------------------
+
+_BM25_TERMS = ["filter", "scan", "vector"]
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+_BM25_IDF_BITS = 24
+_BM25_TOPN = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM lens
+),
+tf AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+  WHERE t IN ({terms})
+  GROUP BY doc_id, t
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(
+           GREATEST(1, {_BM25_IDF_BITS} - length(bin(df.df)))
+           * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+           / (CAST(tf.tf AS DOUBLE) + {_BM25_K1}
+              * (1.0 - {_BM25_B} + {_BM25_B}
+                 * (CAST(l.dl AS DOUBLE)
+                    / (CAST(c.total_len AS DOUBLE) / CAST(c.n_docs AS DOUBLE)))))
+           AS DECIMAL(18,8)) AS s
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN lens l ON tf.doc_id = l.doc_id
+  CROSS JOIN corpus c
+)
+SELECT doc_id,
+       CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {_BM25_TOPN}
+"""
+
+
+@query("bm25_scores", _bm25_oracle())
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{N} docs for a fixed 3-term query, engine-exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w"),
+    )
+    lens = toks.select("doc_id", F.size("w").cast("bigint").alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    k1 = float(_BM25_K1)
+    b = float(_BM25_B)
+    idf = F.greatest(
+        F.lit(1), F.lit(_BM25_IDF_BITS) - F.length(F.bin("df"))
+    ).cast("bigint")
+    avg_len = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avg_len)
+    contrib = (
+        idf.cast("double")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (F.col("tf").cast("double") + F.lit(k1) * norm)
+    ).cast("decimal(18,8)")
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", contrib.alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s").cast("double").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_TOPN)
+    )

@@ -483,3 +483,87 @@ def stateful_value_histogram(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ohlc(events: DataFrame) -> DataFrame:
+    """OHLC candles per (event_type, hourly bar) as a STREAMING
+    aggregation: open/close are min/max over a composite (time, id,
+    value) struct — lexicographic struct comparison is a total order, so
+    the aggregate is commutative/associative and micro-batch slicing
+    cannot change the drained result (the same argument as the KMV
+    set-union). All values are micro-quantized BIGINTs before the state
+    operator; state per key is five scalars.
+
+    Update-mode emissions are monotone in n_ticks, so the drain keeps
+    each key's last (max-n_ticks) row — see `stream_ohlc` in
+    plans/queries_stream.py.
+    """
+    hour_us = 3_600_000_000
+    ev = events.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / hour_us).cast("bigint").alias("bar"),
+        (F.unix_micros("ts") * 4096 + F.col("event_id") % 4096).alias("k"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+    )
+    return ev.groupBy("event_type", "bar").agg(
+        F.min(F.struct("k", "v_micro")).getField("v_micro").alias("open_micro"),
+        F.max("v_micro").alias("high_micro"),
+        F.min("v_micro").alias("low_micro"),
+        F.max(F.struct("k", "v_micro")).getField("v_micro").alias("close_micro"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+def stateful_capped_sample(events: DataFrame, k: int = 8) -> DataFrame:
+    """Deterministic K-row sample per (event_type, hour window) over the
+    stream: keep the K events whose 60-bit portable hash of event_id is
+    SMALLEST (min-K). Like the KMV sketch, min-K union is commutative and
+    idempotent, so the kept set is a pure function of the data — the
+    bounded-state streaming form of per-window reservoir sampling, but
+    replayable and batch-slicing-independent (a true reservoir depends on
+    arrival order). State: K (hash, id) pairs per open window.
+
+    Emitted rows carry n_total (strictly increasing per key), so the
+    drain selects each key's final emission and explodes the kept ids.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    hashed = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("win_start"),
+        F.col("event_id").alias("eid"),
+        portable_hash64(F.col("event_id"), salt="#caps").alias("h"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hs, ids, n_total = list(state.get[0]), list(state.get[1]), int(state.get[2])
+        else:
+            hs, ids, n_total = [], [], 0
+        pairs = dict(zip(ids, hs))
+        for pdf in pdfs:
+            n_total += len(pdf)
+            for eid, h in zip(pdf["eid"].tolist(), pdf["h"].tolist()):
+                pairs[int(eid)] = int(h)
+        best = sorted(((h, eid) for eid, h in pairs.items()))[:k]
+        state.update(([h for h, _ in best], [eid for _, eid in best], n_total))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "win_start": [key[1]],
+                "n_total": [n_total],
+                "ids": [[eid for _, eid in best]],
+            }
+        )
+
+    return hashed.groupBy("event_type", "win_start").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, win_start timestamp,"
+        " n_total bigint, ids array<bigint>",
+        stateStructType="hs array<bigint>, ids array<bigint>, n_total bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -538,3 +538,23 @@ def test_embedding_int8_quantize_is_map_side(spark):
     assert _shuffles(plan) == 0, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_predicate_sweep_scans_fact_table_once(spark):
+    """The whole parameter grid must ride ONE pass over lineitem: a
+    single FileScan, one partial/final aggregate pair, no joins."""
+    plan = _plan(spark, "predicate_sweep")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert _shuffles(plan) <= 1, plan
+
+
+def test_novelty_ngrams_shuffles_hash_not_text(spark):
+    """The dedup shuffle key is the 60-bit gram hash: every Exchange key
+    is gh/doc_id — the gram STRING must not survive into any exchange."""
+    plan = _plan(spark, "novelty_ngrams")
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "g#" not in m.group(1), m.group(0)
+    assert _shuffles(plan) <= 4, plan

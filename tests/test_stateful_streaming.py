@@ -128,3 +128,73 @@ def test_histogram_state_is_batch_slicing_independent(spark, tmp_path):
         .parquet(split_dir)
     )
     assert drained(one, "t_vhist_one") == drained(many, "t_vhist_many")
+
+
+def test_capped_sample_is_batch_slicing_independent(spark, tmp_path):
+    """min-K-by-hash state must drain to the SAME kept ids however the
+    stream is sliced: 1 batch vs 4 file-batches. (A true reservoir
+    sample would fail this — it depends on arrival order.)"""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.streaming.windows import run_to_memory, stateful_capped_sample
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "ts")
+    split_dir = str(tmp_path / "ev_caps_split")
+    ev.repartition(4).write.mode("overwrite").parquet(split_dir)
+
+    def drained(stream_df, name):
+        got = run_to_memory(
+            stateful_capped_sample(stream_df, k=4), name, output_mode="update"
+        )
+        final = got.groupBy("event_type", "win_start").agg(
+            F.max_by("ids", "n_total").alias("ids")
+        )
+        return sorted(
+            (r.event_type, r.win_start, tuple(r.ids)) for r in final.collect()
+        )
+
+    one = spark.readStream.schema(ev.schema).parquet(split_dir)
+    many = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    assert drained(one, "t_caps_one") == drained(many, "t_caps_many")
+
+
+def test_streaming_ohlc_is_batch_slicing_independent(spark, tmp_path):
+    """Struct-ordered min/max aggregation must drain identical candles for
+    1-batch and 4-batch slicings of the same events."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark.streaming.windows import run_to_memory, streaming_ohlc
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    split_dir = str(tmp_path / "ev_ohlc_split")
+    ev.repartition(4).write.mode("overwrite").parquet(split_dir)
+
+    def drained(stream_df, name):
+        got = run_to_memory(streaming_ohlc(stream_df), name, output_mode="update")
+        final = (
+            got.groupBy("event_type", "bar")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "open_micro", "high_micro", "low_micro", "close_micro", "n_ticks"
+                    ),
+                    "n_ticks",
+                ).alias("s")
+            )
+            .select("event_type", "bar", "s.*")
+        )
+        return sorted(tuple(r) for r in final.collect())
+
+    one = spark.readStream.schema(ev.schema).parquet(split_dir)
+    many = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    assert drained(one, "t_ohlc_one") == drained(many, "t_ohlc_many")
