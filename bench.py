@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     "stream_ohlc",
     "bm25_scores",
     "interarrival_profile",
+    "label_centroids",
+    "ann_hard_negatives",
+    "event_trigrams",
+    "quantile_normalize",
+    "conversion_latency",
+    "join_size_estimate",
 ]
 
 

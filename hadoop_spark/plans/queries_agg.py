@@ -585,3 +585,56 @@ def predicate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return onerow.selectExpr(
         f"stack({len(names)}, {stack_args}) AS (param_d, param_q, n_lines, revenue)"
     )
+
+
+# ----------------------------------------------------------------------
+# join_size_estimate — the join-planning primitive: before running a
+# 100 TB join, compute its EXACT output cardinality from the two sides'
+# key histograms (|A ⋈ B| = Σ_k cA(k)·cB(k)) plus the skew diagnostics
+# that decide the strategy (max per-key product = the biggest single-key
+# task; a hot key here means salting / AQE skew-split BEFORE the real
+# join burns a day). Cost: one count-aggregate per side + a join ON THE
+# HISTOGRAMS (key-cardinality-sized, not data-sized) — the measure-first
+# discipline `heavy_hitters` applies to one table, extended to a join.
+# ----------------------------------------------------------------------
+
+_JOIN_EST_ORACLE = """
+WITH ca AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1
+),
+cb AS (
+  SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM customer GROUP BY 1
+),
+prod AS (
+  SELECT ca.k, ca.c * cb.c AS p FROM ca JOIN cb ON ca.k = cb.k
+)
+SELECT CAST(SUM(p) AS BIGINT) AS join_rows,
+       CAST(COUNT(*) AS BIGINT) AS matched_keys,
+       CAST(MAX(p) AS BIGINT) AS max_key_rows,
+       CAST((SELECT COUNT(*) FROM ca) AS BIGINT) AS left_keys,
+       CAST((SELECT COUNT(*) FROM cb) AS BIGINT) AS right_keys
+FROM prod
+"""
+
+
+@query("join_size_estimate", _JOIN_EST_ORACLE)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    prod = ca.join(cb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("p")
+    )
+    stats = prod.agg(
+        F.sum("p").cast("bigint").alias("join_rows"),
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.max("p").cast("bigint").alias("max_key_rows"),
+    )
+    la = ca.agg(F.count(F.lit(1)).alias("left_keys"))
+    lb = cb.agg(F.count(F.lit(1)).alias("right_keys"))
+    return stats.crossJoin(F.broadcast(la)).crossJoin(F.broadcast(lb))

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_spark.functions.numeric import dsum, dsum_sql
 from hadoop_spark.operators.similarity import int_dot, int_dot_sql, quantize_sql, with_quantized
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import fanout_small, load_table, shared
@@ -937,4 +938,49 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.join(F.broadcast(checks_df), "cluster_id").select(
         "cluster_id", "n_members", "sum_vec_ids", "inertia",
         "centroid_l1_q", "centroid_dim_checksum",
+    )
+
+
+# ----------------------------------------------------------------------
+# label_centroids — per-class centroid + dispersion over the embedding
+# table: the class-prototype pass behind nearest-class-mean classifiers
+# and dataset-drift checks. posexplode fans vectors into (label, dim, x)
+# map-side; ONE partial-aggregated shuffle produces the (label × dim)
+# mean matrix (bounded: classes × 64 rows) with decimal-exact sums, and
+# per-dim min/max give the class's coordinate spread. The same shape as
+# `embedding_dim_stats`, keyed by class.
+# ----------------------------------------------------------------------
+
+_CENTROID_DIM = 64
+
+_CENTROID_ORACLE = f"""
+WITH d AS (
+  SELECT label, j - 1 AS dim, CAST(embedding[CAST(j AS INT)] AS DOUBLE) AS x
+  FROM embeddings, range(1, {_CENTROID_DIM + 1}) r(j)
+  WHERE j <= len(embedding)
+)
+SELECT label, dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ({dsum_sql("x", 8)} / CAST(COUNT(*) AS DOUBLE)) AS mean,
+       MIN(x) AS lo,
+       MAX(x) AS hi
+FROM d GROUP BY label, dim
+"""
+
+
+@query("label_centroids", _CENTROID_ORACLE)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    return d.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum(F.col("x"), 8) / F.count(F.lit(1)).cast("double")).alias("mean"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
     )

@@ -1106,3 +1106,52 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "center", "ctx")
         .limit(_SKIPGRAM_TOPN)
     )
+
+
+# ----------------------------------------------------------------------
+# tokenizer_fertility — tokens-per-word by language: the fertility metric
+# tokenizer evaluations report (a high BPE/whitespace ratio means the
+# vocabulary splits that language's words into many pieces — a training
+# cost and quality signal). Both token counts are map-side JVM
+# expressions over each document (`functions/text.py`), so the whole
+# query is one bounded per-language aggregation; the ratio is one IEEE
+# division of exact BIGINTs.
+# ----------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({{ws}}) AS BIGINT) AS ws_tokens,
+       CAST(SUM({{bpe}}) AS BIGINT) AS bpe_tokens,
+       (CAST(SUM({{bpe}}) AS DOUBLE) / CAST(SUM({{ws}}) AS DOUBLE)) AS fertility
+FROM documents WHERE text IS NOT NULL
+GROUP BY lang
+"""
+
+
+def _fertility_oracle() -> str:
+    from hadoop_spark.functions.text import bpe_token_count_sql, ws_token_count_sql
+
+    return _FERTILITY_ORACLE.format(
+        ws=ws_token_count_sql("text"), bpe=bpe_token_count_sql("text")
+    )
+
+
+@query("tokenizer_fertility", _fertility_oracle())
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.text import bpe_token_count, ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per_doc = docs.select(
+        "lang",
+        ws_token_count(F.col("text")).alias("wst"),
+        bpe_token_count(F.col("text")).alias("bpet"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("wst").cast("bigint").alias("ws_tokens"),
+        F.sum("bpet").cast("bigint").alias("bpe_tokens"),
+        (
+            F.sum("bpet").cast("double") / F.sum("wst").cast("double")
+        ).alias("fertility"),
+    )

@@ -1111,3 +1111,36 @@ def novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("bigint").alias("n_novel"),
         (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cv_folds — k-fold cross-validation assignment: fold membership is a pure
+# function of (doc_id, salt) via the portable hash (the train_test_split
+# discipline generalized to k folds), so folds are identical across
+# runs/retries/cluster sizes and any fold's complement is a reproducible
+# training set. Map-side assignment + one bounded (fold × lang) aggregate
+# proves balance; no data movement beyond the report.
+
+_CV_K = 5
+
+_CV_ORACLE = f"""
+SELECT {portable_hash64_sql('doc_id', salt='#cv')} % {_CV_K} AS fold,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@query("cv_folds", _CV_ORACLE)
+def cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {_CV_K}-fold assignment + per-(fold, lang) balance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        (portable_hash64(F.col("doc_id"), salt="#cv") % _CV_K).alias("fold"),
+        "lang",
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )

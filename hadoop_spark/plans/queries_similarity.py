@@ -456,3 +456,68 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("n_sat"),
     )
+
+
+# ----------------------------------------------------------------------
+# ann_hard_negatives — contrastive-training data mining: for each query
+# vector, the top-K most similar vectors with a DIFFERENT label (the
+# "hard negatives" an embedding trainer pairs against positives). Same
+# plan spine as ann_cosine_topk — tiny query set broadcast against the
+# corpus, integer-quantized cosine, per-query partial top-k — plus the
+# label-inequality predicate evaluated map-side in the same stage, so
+# mining negatives costs exactly one corpus pass at any scale.
+# ----------------------------------------------------------------------
+
+_HARDNEG_K = 5
+
+_HARDNEG_ORACLE = f"""
+WITH {_EMB_CTE},
+lab AS (SELECT vec_id, label FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         lv.label AS neg_label,
+         {cos_q_sql(int_dot_sql('q.q', 'v.q'), 'q.n2', 'v.n2')} AS cos_q
+  FROM en q
+  JOIN lab lq ON lq.vec_id = q.vec_id
+  JOIN en v ON v.vec_id <> q.vec_id
+  JOIN lab lv ON lv.vec_id = v.vec_id
+  WHERE q.vec_id < {N_QUERIES} AND lv.label <> lq.label
+)
+SELECT query_id, neighbor_id, neg_label, cos_q, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_HARDNEG_K}
+"""
+
+
+@query("ann_hard_negatives", _HARDNEG_ORACLE)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+        F.col("label").alias("q_label"),
+    )
+    scored = emb.join(
+        F.broadcast(qs),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("q_label")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        cos_q(int_dot(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")).alias(
+            "cos_q"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _HARDNEG_K)
+        .select("query_id", "neighbor_id", "neg_label", "cos_q", "rnk")
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import dsum, dsum_sql
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table
+from hadoop_spark.sources.tables import load_table, shared
 
 # ----------------------------------------------------------------------
 # ewma_smooth — 8-tap exponential moving average per user. The infinite-
@@ -672,4 +672,225 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+# ----------------------------------------------------------------------
+# event_trigrams — sequential pattern mining: the most frequent 3-step
+# event-type paths per user timeline (the order-3 extension of
+# `event_transitions`' Markov pairs). Trigram generation is two lead()
+# taps on ONE keyed window (per-user event-time order — the secondary-
+# sort shape), then a combiner-style count on the bounded type³ key
+# space; top paths ranked with a deterministic tie-break.
+# ----------------------------------------------------------------------
+
+_TRIGRAM_TOPN = 30
+
+_TRIGRAM_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY cnt DESC, e1, e2, e3 LIMIT {_TRIGRAM_TOPN}
+"""
+
+
+@query("event_trigrams", _TRIGRAM_ORACLE)
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {_TRIGRAM_TOPN} 3-step event-type paths across user timelines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "e1", "e2", "e3")
+        .limit(_TRIGRAM_TOPN)
+    )
+
+
+# ----------------------------------------------------------------------
+# quantile_normalize — map each event_type's value distribution onto the
+# GLOBAL value distribution (the batch-effect correction / feature
+# alignment transform): a value at within-group quantile p is replaced
+# by the global value at the same p (nearest-rank). Everything runs on
+# HISTOGRAMS, which are DOMAIN-sized (value quantized to cents: ≤ ~50 k
+# buckets regardless of row count), never data-sized:
+#   1. per-(group, bucket) counts + within-group cumulative rank  — one
+#      partial-aggregated shuffle + per-group window;
+#   2. target global rank gr = ceil(cum·N / n_g), exact integer ceil;
+#   3. the "smallest global bucket with gcum ≥ gr" lookup is a merge of
+#      the two sorted histograms: union + ONE descending-key window
+#      carrying last_value(global bucket) — a single-partition window,
+#      legal here because its input is domain-bounded by construction
+#      (the same argument as the PQ codebook collect, kept distributed).
+# Output is the (group, bucket → normalized bucket) mapping table — the
+# artifact a pipeline broadcast-joins onto raw rows to apply.
+# ----------------------------------------------------------------------
+
+_QN_ORACLE = """
+WITH vb AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vb FROM events
+),
+gh AS (
+  SELECT event_type, vb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vb GROUP BY event_type, vb
+),
+gcd AS (
+  SELECT event_type, vb, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY vb) AS cum
+  FROM gh
+),
+tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_g FROM gh GROUP BY event_type),
+ghist AS (
+  SELECT vb AS gvb, CAST(COUNT(*) AS BIGINT) AS gc FROM vb GROUP BY vb
+),
+globcum AS (
+  SELECT gvb, SUM(gc) OVER (ORDER BY gvb) AS gcum FROM ghist
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM vb),
+targets AS (
+  SELECT g.event_type, g.vb, g.cum,
+         (g.cum * n.n_all + t.n_g - 1) // t.n_g AS gr
+  FROM gcd g JOIN tot t ON g.event_type = t.event_type CROSS JOIN n
+)
+SELECT tg.event_type, tg.vb,
+       CAST(MIN(CASE WHEN gl.gcum >= tg.gr THEN gl.gvb END) AS BIGINT)
+         AS mapped_vb
+FROM targets tg CROSS JOIN globcum gl
+GROUP BY tg.event_type, tg.vb
+"""
+
+
+@query("quantile_normalize", _QN_ORACLE)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("vb")
+    )
+    # one scan: every downstream histogram (group, global, totals) reads
+    # the cached (event_type, vb) projection
+    gh = shared(ev.groupBy("event_type", "vb").agg(F.count(F.lit(1)).alias("c")))
+    cum = gh.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("event_type").orderBy("vb"))
+    )
+    tot = gh.groupBy("event_type").agg(F.sum("c").cast("long").alias("n_g"))
+    glob = gh.groupBy("vb").agg(F.sum("c").alias("gc")).select(
+        F.col("vb").alias("gvb"), "gc"
+    )
+    globcum = glob.withColumn(
+        "gcum", F.sum("gc").over(Window.orderBy("gvb"))
+    ).select("gvb", "gcum")
+    n_all = gh.agg(F.sum("c").cast("long").alias("n_all"))
+    targets = (
+        cum.join(F.broadcast(tot), "event_type")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "event_type",
+            "vb",
+            # exact integer ceil(cum·N / n_g): (cum·N + n_g − 1) div n_g
+            F.expr("(cum * n_all + n_g - 1) div n_g").cast("long").alias("gr"),
+        )
+    )
+    # Merge the sorted histograms: A rows carry (k=gcum, gvb); B rows carry
+    # (k=gr, group bucket). Scanning keys DESCENDING, the last A bucket
+    # seen is the SMALLEST gcum ≥ the current B row's gr — the nearest-
+    # rank lookup. tag orders A before B at equal keys so gcum == gr hits.
+    a = globcum.select(
+        F.col("gcum").alias("k"),
+        F.lit(0).alias("tag"),
+        F.col("gvb").alias("gvb"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("vb"),
+    )
+    b = targets.select(
+        F.col("gr").alias("k"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("gvb"),
+        "event_type",
+        "vb",
+    )
+    w = (
+        Window.orderBy(F.desc("k"), F.asc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = a.unionByName(b).withColumn(
+        "mapped_vb", F.last("gvb", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_type", "vb", F.col("mapped_vb").cast("bigint").alias("mapped_vb")
+    )
+
+
+# ----------------------------------------------------------------------
+# conversion_latency — the click→purchase time-to-convert distribution:
+# each purchase matched to the user's latest prior click (the as-of
+# union-window idiom from operators/join.py — one keyed shuffle, never a
+# range-join explosion), latencies bucketed on the log2 scale. The
+# funnel-health report behind attribution windows: "how long do
+# conversions actually take" decides the stream-stream join's state TTL.
+# ----------------------------------------------------------------------
+
+_CONV_LATENCY_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_us(ts)
+),
+matched AS (
+  SELECT p.user_id, p.ts_us - c.ts_us AS lat_us
+  FROM purchases p
+  ASOF JOIN clicks c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+)
+SELECT CAST(length(bin(lat_us)) AS BIGINT) AS lat_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(lat_us) AS BIGINT) AS min_lat_us,
+       CAST(MAX(lat_us) AS BIGINT) AS max_lat_us
+FROM matched GROUP BY 1
+"""
+
+
+@query("conversion_latency", _CONV_LATENCY_ORACLE)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucketed click→purchase latency histogram (inner as-of)."""
+    from hadoop_spark.operators.join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
+        .distinct()
+    )
+    matched = asof_join(
+        purchases,
+        clicks.withColumn("click_ts_us", F.col("ts_us")),
+        key="user_id",
+        time_col="ts_us",
+        value_cols=["click_ts_us"],
+    )
+    lat = matched.filter(F.col("click_ts_us").isNotNull()).select(
+        (F.col("ts_us") - F.col("click_ts_us")).alias("lat_us")
+    )
+    return lat.groupBy(
+        F.length(F.bin("lat_us")).cast("bigint").alias("lat_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lat_us").alias("min_lat_us"),
+        F.max("lat_us").alias("max_lat_us"),
     )

@@ -955,3 +955,47 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BM25_TOPN)
     )
+
+
+# ----------------------------------------------------------------------
+# langid_confusion — classifier evaluation at corpus scale: the
+# (labeled lang × predicted lang) confusion matrix for the n-gram
+# language identifier, with per-cell counts and the row-relative rate.
+# Pure map-side prediction (the same JVM expression `lang_id` serves)
+# into one bounded (langs²) aggregation — evaluating a classifier over
+# 100 TB costs exactly one pass. The rate is one IEEE division of exact
+# counts (row total via a window over the bounded matrix).
+# ----------------------------------------------------------------------
+
+_CONFUSION_ORACLE = f"""
+WITH pred AS (
+  SELECT lang AS labeled_lang, {tx.lang_id_sql("text")} AS pred_lang
+  FROM documents WHERE text IS NOT NULL
+),
+cells AS (
+  SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, pred_lang, n,
+       (CAST(n AS DOUBLE)
+        / CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS DOUBLE)) AS rate
+FROM cells
+"""
+
+
+@query("langid_confusion", _CONFUSION_ORACLE)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cells = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        tx.lang_id(F.col("text")).alias("pred_lang"),
+    ).groupBy("labeled_lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    row_total = F.sum("n").over(W.partitionBy("labeled_lang"))
+    return cells.select(
+        "labeled_lang",
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / row_total.cast("double")).alias("rate"),
+    )

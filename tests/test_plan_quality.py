@@ -558,3 +558,55 @@ def test_novelty_ngrams_shuffles_hash_not_text(spark):
     for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "g#" not in m.group(1), m.group(0)
     assert _shuffles(plan) <= 4, plan
+
+
+def test_parquet_footer_aggregate_pushdown(spark):
+    """COUNT/MIN/MAX over a raw parquet table can answer from file-footer
+    statistics without scanning data pages — the metadata-only shortcut a
+    100 TB profiling pass should take. Requires the V2 parquet source;
+    bracketed so the shared session's other plans keep the default path."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        "spark.sql.sources.useV1SourceList": spark.conf.get(
+            "spark.sql.sources.useV1SourceList"
+        ),
+        "spark.sql.parquet.aggregatePushdown": spark.conf.get(
+            "spark.sql.parquet.aggregatePushdown", "false"
+        ),
+    }
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("lo"),
+            F.max("l_orderkey").alias("hi"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan, plan
+        row = agg.collect()[0]
+        want = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").agg(
+            F.count(F.lit(1)), F.min("l_orderkey"), F.max("l_orderkey")
+        ).collect()[0]
+        assert tuple(row) == tuple(want)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_quantile_normalize_single_partition_only_histograms(spark):
+    """The merge window's single-partition exchange is legal ONLY because
+    its input is domain-sized: every SinglePartition exchange must sit
+    above a HashAggregate (histogram) — raw event rows must reach only
+    hash-keyed exchanges."""
+    plan = _plan(spark, "quantile_normalize")
+    # the global-cum window, the merge window, and the 1-row n_all
+    # aggregate — all over histogram-sized (domain-bounded) inputs
+    assert plan.count("Exchange SinglePartition") <= 3, plan
+    # raw events are scanned ONCE into the cached (event_type, vb)
+    # histogram; every printed FileScan sits inside that cached subtree
+    # (InMemoryRelation prints its build plan once per reference)
+    assert "InMemoryRelation" in plan, plan
+    assert plan.count("FileScan parquet") <= plan.count("InMemoryRelation"), plan
