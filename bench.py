@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "quantile_normalize",
     "conversion_latency",
     "join_size_estimate",
+    "trending_parts",
+    "snapshot_diff",
 ]
 
 

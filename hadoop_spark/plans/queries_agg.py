@@ -638,3 +638,60 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     la = ca.agg(F.count(F.lit(1)).alias("left_keys"))
     lb = cb.agg(F.count(F.lit(1)).alias("right_keys"))
     return stats.crossJoin(F.broadcast(la)).crossJoin(F.broadcast(lb))
+
+
+# ----------------------------------------------------------------------
+# trending_parts — per-period top-k: the 5 highest-volume parts per
+# order month. The two-level shape that scales: raw lineitems partial-
+# aggregate to (month, part) totals first (one combiner shuffle), and
+# the rank window runs over THAT bounded aggregate — partitioned by
+# month, so no month's ranking rides a data-sized partition and no
+# global sort happens anywhere. Integer quantities, deterministic
+# part-key tie-break.
+# ----------------------------------------------------------------------
+
+_TRENDING_K = 5
+
+_TRENDING_ORACLE = f"""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+         l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT ym, l_partkey, qty, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY ym ORDER BY qty DESC, l_partkey
+  ) AS rnk FROM monthly
+)
+WHERE rnk <= {_TRENDING_K}
+"""
+
+
+@query("trending_parts", _TRENDING_ORACLE)
+def trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym"),
+    )
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("ym", "l_partkey")
+        .agg(F.sum("q").cast("bigint").alias("qty"))
+    )
+    w = W.partitionBy("ym").orderBy(F.desc("qty"), F.asc("l_partkey"))
+    return (
+        monthly.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TRENDING_K)
+        .select("ym", "l_partkey", "qty", "rnk")
+    )

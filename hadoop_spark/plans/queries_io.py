@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from hadoop_spark.functions.hashing import portable_hash64_sql
 from hadoop_spark.operators.multimodal import as_media, extract_features
 from hadoop_spark.operators.pipe import pipe, pipe_typedbytes
 from hadoop_spark.plans.catalog import query
@@ -898,3 +899,97 @@ def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_sq").cast("double") / F.col("n_samples").cast("double")
         ).alias("rms"),
     )
+
+
+# ----------------------------------------------------------------------
+# snapshot_diff — dataset diffing between two table snapshots: classify
+# every key as added / removed / changed / same by comparing row
+# fingerprints through ONE full-outer key join (the DistCp -update idea
+# lifted from files to ROWS). Fingerprints are the 60-bit portable hash
+# of the canonicalized row payload, computed map-side, so the shuffle
+# carries (key, 8-byte hash) — never row bodies — and the diff of two
+# 100 TB snapshots costs one co-partitioned join. Snapshot B is derived
+# deterministically here (clicks' values bumped, a 3% hash-slice of
+# rows dropped, a shifted slice re-keyed as inserts) so the oracle can
+# replay it exactly.
+# ----------------------------------------------------------------------
+
+_DIFF_ORACLE = f"""
+WITH a AS (
+  SELECT event_id AS k,
+         {portable_hash64_sql("concat(event_type, '|', CAST(ROUND(value * 1000) AS BIGINT), '|', user_id)")} AS h
+  FROM events
+),
+b_src AS (
+  SELECT event_id, event_type, user_id,
+         CASE WHEN event_type = 'click' THEN value + 1.0 ELSE value END AS value
+  FROM events
+  WHERE {portable_hash64_sql('event_id', salt='#del')} % 100 >= 3
+),
+b_ins AS (
+  SELECT event_id + 10000000 AS event_id, event_type, user_id, value
+  FROM events WHERE {portable_hash64_sql('event_id', salt='#ins')} % 100 < 2
+),
+b AS (
+  SELECT event_id AS k,
+         {portable_hash64_sql("concat(event_type, '|', CAST(ROUND(value * 1000) AS BIGINT), '|', user_id)")} AS h
+  FROM (SELECT * FROM b_src UNION ALL SELECT * FROM b_ins)
+),
+j AS (
+  SELECT a.k AS ak, b.k AS bk, a.h AS ah, b.h AS bh
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT CASE WHEN ak IS NULL THEN 'added'
+            WHEN bk IS NULL THEN 'removed'
+            WHEN ah = bh THEN 'same'
+            ELSE 'changed' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY 1
+"""
+
+
+@query("snapshot_diff", _DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+
+    def fingerprint(df):
+        payload = F.concat(
+            F.col("event_type"),
+            F.lit("|"),
+            F.round(F.col("value") * 1000).cast("bigint").cast("string"),
+            F.lit("|"),
+            F.col("user_id").cast("string"),
+        )
+        return df.select(
+            F.col("event_id").alias("k"), portable_hash64(payload).alias("h")
+        )
+
+    a = fingerprint(ev)
+    b_src = ev.filter(
+        portable_hash64(F.col("event_id"), salt="#del") % 100 >= 3
+    ).withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    b_ins = ev.filter(
+        portable_hash64(F.col("event_id"), salt="#ins") % 100 < 2
+    ).withColumn("event_id", F.col("event_id") + 10_000_000)
+    b = fingerprint(b_src.unionByName(b_ins))
+    j = a.withColumnRenamed("k", "ak").withColumnRenamed("h", "ah").join(
+        b.withColumnRenamed("k", "bk").withColumnRenamed("h", "bh"),
+        F.col("ak") == F.col("bk"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("ak").isNull(), "added")
+        .when(F.col("bk").isNull(), "removed")
+        .when(F.col("ah") == F.col("bh"), "same")
+        .otherwise("changed")
+    )
+    return j.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))

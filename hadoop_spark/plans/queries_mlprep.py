@@ -1144,3 +1144,55 @@ def cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gdpr_delete — right-to-erasure propagation: given a deletion list of
+# user ids, produce the scrub report for the event log (what survives,
+# what is purged, per event type) with the deletion set applied as a
+# BROADCAST anti-join — the fact table streams map-side against the
+# (always comparatively tiny) deletion list, never shuffles on user_id.
+# The deletion list itself is hash-derived here (2% of users) so the
+# oracle replays it; in production it is `spark.read` of the requests
+# table + the same two anti/semi aggregates writing the purged copy.
+
+_GDPR_ORACLE = f"""
+WITH del AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL
+    AND {portable_hash64_sql('user_id', salt='#gdpr')} % 100 < 2
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged
+FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+GROUP BY e.event_type
+"""
+
+
+@query("gdpr_delete", _GDPR_ORACLE)
+def gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    deletions = (
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & (portable_hash64(F.col("user_id"), salt="#gdpr") % 100 < 2)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    marked = ev.join(
+        F.broadcast(deletions.withColumn("_del", F.lit(1))), "user_id", "left"
+    )
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("_del").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_del").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purged"),
+    )
