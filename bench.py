@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     "join_size_estimate",
     "trending_parts",
     "snapshot_diff",
+    "concurrent_sessions",
+    "audience_overlap",
+    "source_overlap",
+    "length_percentiles",
 ]
 
 

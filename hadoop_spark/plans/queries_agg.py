@@ -695,3 +695,137 @@ def trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TRENDING_K)
         .select("ym", "l_partkey", "qty", "rnk")
     )
+
+
+# ----------------------------------------------------------------------
+# freshness_report — data-freshness SLO check: per event type, how stale
+# is the newest record relative to the whole feed's watermark, and how
+# much of the last day arrived. The two aggregates both partial-combine
+# map-side; the global watermark is a 1-row broadcast — the pattern for
+# "is this 100 TB feed healthy" without a second scan. All integer µs.
+# ----------------------------------------------------------------------
+
+_FRESHNESS_ORACLE = """
+WITH per_type AS (
+  SELECT event_type,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM events GROUP BY event_type
+),
+wm AS (SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS watermark_us FROM events),
+last_day AS (
+  SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_last_day
+  FROM events e CROSS JOIN wm
+  WHERE epoch_us(e.ts) > wm.watermark_us - 86400000000
+  GROUP BY e.event_type
+)
+SELECT p.event_type, p.n_total, p.max_ts_us,
+       wm.watermark_us - p.max_ts_us AS lag_us,
+       COALESCE(l.n_last_day, 0) AS n_last_day
+FROM per_type p CROSS JOIN wm
+LEFT JOIN last_day l ON p.event_type = l.event_type
+"""
+
+
+@query("freshness_report", _FRESHNESS_ORACLE)
+def freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.sources.tables import shared
+
+    ev = shared(
+        load_table(spark, sf_dir, "events").select(
+            "event_type", F.unix_micros("ts").alias("t")
+        )
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.max("t").alias("max_ts_us"), F.count(F.lit(1)).alias("n_total")
+    )
+    wm = ev.agg(F.max("t").alias("watermark_us"))
+    last_day = (
+        ev.crossJoin(F.broadcast(wm))
+        .filter(F.col("t") > F.col("watermark_us") - 86_400_000_000)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_last_day"))
+    )
+    return (
+        per_type.crossJoin(F.broadcast(wm))
+        .join(last_day, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            "max_ts_us",
+            (F.col("watermark_us") - F.col("max_ts_us")).alias("lag_us"),
+            F.coalesce(F.col("n_last_day"), F.lit(0).cast("bigint")).alias(
+                "n_last_day"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# audience_overlap — pairwise Jaccard overlap of the user bases of each
+# event-type pair (the audience/segment overlap matrix). The user sets
+# never materialize: distinct (type, user) pairs self-join ON USER (each
+# user contributes |their types|² ≤ 25 pairs — bounded fan-out), pair
+# intersections aggregate to the types² matrix, and union sizes come
+# from the same distinct-pair table. Jaccard is one IEEE division of
+# exact BIGINTs.
+# ----------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.t1, i.t2, i.n_both, s1.n AS n1, s2.n AS n2,
+       (CAST(i.n_both AS DOUBLE)
+        / CAST(s1.n + s2.n - i.n_both AS DOUBLE)) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.t1 = s1.event_type
+JOIN sizes s2 ON i.t2 = s2.event_type
+"""
+
+
+@query("audience_overlap", _OVERLAP_ORACLE)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.sources.tables import shared
+
+    tu = shared(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("event_type").alias("t1"), "user_id")
+    b = tu.select(F.col("event_type").alias("t2"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    s1 = sizes.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            "n1",
+            "n2",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

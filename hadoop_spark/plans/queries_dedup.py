@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_spark.functions.hashing import portable_hash64
+from hadoop_spark.functions.hashing import portable_hash64, portable_hash64_sql
 from hadoop_spark.functions.text import fingerprint, fingerprint_sql
 from hadoop_spark.operators.dedup import (
     connected_components,
@@ -464,4 +464,67 @@ def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         recall.alias("recall"),
         precision.alias("precision"),
+    )
+
+
+# ----------------------------------------------------------------------
+# source_overlap — cross-source duplication matrix: for every pair of
+# sources, how many document pairs share OPENING BOILERPLATE (the same
+# first-8-token prefix — the weak key that actually collides across
+# mirrors and template farms) (who is
+# mirroring whom — the first question a corpus curation run asks after
+# `dedup_exact` reports a high dup rate). Docs collapse to per-
+# (fingerprint, source) counts first, so the pair expansion runs on
+# fingerprint groups (distinct sources per group ≤ |sources|, a model
+# constant) — cross-source pair counts are exact products of BIGINTs,
+# and nothing data-sized is ever joined against itself.
+# ----------------------------------------------------------------------
+
+_OVL_PFX = 8  # opening-boilerplate key: first 8 normalized tokens
+
+_SRC_OVERLAP_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+fps AS (
+  SELECT {portable_hash64_sql(f"array_to_string(w[1:{_OVL_PFX}], ' ')")} AS fp,
+         source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE len(w) >= {_OVL_PFX}
+  GROUP BY 1, 2
+)
+SELECT a.source AS src1, b.source AS src2,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+       CAST(SUM(a.c * b.c) AS BIGINT) AS n_dup_pairs
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@query("source_overlap", _SRC_OVERLAP_ORACLE)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "source",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w"),
+    ).filter(F.size("w") >= _OVL_PFX)
+    fps = toks.select(
+        portable_hash64(
+            F.concat_ws(" ", F.slice("w", 1, _OVL_PFX))
+        ).alias("fp"),
+        "source",
+    ).groupBy("fp", "source").agg(F.count(F.lit(1)).alias("c"))
+    a = fps.select("fp", F.col("source").alias("src1"), F.col("c").alias("c1"))
+    b = fps.select("fp", F.col("source").alias("src2"), F.col("c").alias("c2"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fps"),
+            F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("n_dup_pairs"),
+        )
     )

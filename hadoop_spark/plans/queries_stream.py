@@ -1048,3 +1048,86 @@ def stream_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("win_start").alias("win_us"),
         F.explode("ids").alias("event_id"),
     )
+
+
+# ----------------------------------------------------------------------
+# concurrent_sessions — interval-coverage analytics: for every hour, how
+# many (user) sessions were ACTIVE during it — the load curve a capacity
+# planner reads. The classic global sweep-line (sort ALL +1/-1 deltas,
+# running sum) is a single-partition scan of data-sized input; the
+# scalable decomposition EXPLODES each session into the hours it covers
+# (fan-out bounded by session duration / hour — sessions are gap-bounded
+# so this is small and data-independent) and counts per hour: one keyed
+# window for sessionization (reused partitioning), one bounded (hours)
+# aggregation, no global sort anywhere.
+# ----------------------------------------------------------------------
+
+_CONCURRENT_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+),
+marked AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > {_SESSIONIZE_GAP_US}
+              OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id,
+         t
+  FROM marked
+),
+bounds AS (
+  SELECT user_id, session_id,
+         MIN(t) // 3600000000 AS h0, MAX(t) // 3600000000 AS h1
+  FROM sess GROUP BY user_id, session_id
+),
+covered AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM bounds
+)
+SELECT CAST(hour AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM covered GROUP BY hour
+"""
+
+
+@query("concurrent_sessions", _CONCURRENT_ORACLE)
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("t") - F.lag("t").over(w) > _SESSIONIZE_GAP_US)
+            | F.lag("t").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.floor(F.min("t") / 3_600_000_000).alias("h0"),
+        F.floor(F.max("t") / 3_600_000_000).alias("h1"),
+    )
+    covered = bounds.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    return covered.groupBy(F.col("hour").cast("bigint").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -999,3 +999,37 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / row_total.cast("double")).alias("rate"),
     )
+
+
+# ----------------------------------------------------------------------
+# length_percentiles — p10/p50/p90 token length per source, via the
+# exact value-histogram nearest-rank machinery (`operators/stats.
+# group_quantiles`): ONE histogram shuffle bounded by distinct lengths
+# serves all three cut points — the length-distribution report that
+# drives packing budgets and truncation limits per corpus source.
+# ----------------------------------------------------------------------
+
+from hadoop_spark.operators.stats import (  # noqa: E402
+    group_quantiles as _gq,
+    group_quantiles_sql as _gq_sql,
+)
+
+_LEN_QS = {"p10": 0.10, "p50": 0.50, "p90": 0.90}
+
+_LEN_PCT_ORACLE = f"""
+WITH src AS (
+  SELECT source, {tx.ws_token_count_sql("text")} AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+{_gq_sql("src", "source", "n_tokens", _LEN_QS, "q")}
+SELECT source, p10, p50, p90 FROM q
+"""
+
+
+@query("length_percentiles", _LEN_PCT_ORACLE)
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    src = docs.select(
+        "source", tx.ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return _gq(src, "source", "n_tokens", _LEN_QS)

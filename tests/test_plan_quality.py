@@ -610,3 +610,28 @@ def test_quantile_normalize_single_partition_only_histograms(spark):
     # (InMemoryRelation prints its build plan once per reference)
     assert "InMemoryRelation" in plan, plan
     assert plan.count("FileScan parquet") <= plan.count("InMemoryRelation"), plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Strategy hints are the manual override when the optimizer's
+    estimate is wrong at 100 TB: broadcast() forces a BroadcastHashJoin,
+    hint('shuffle_hash') forces ShuffledHashJoin (build-side hash beats
+    sort-merge when one side is modest but over the broadcast threshold),
+    hint('merge') forces SortMergeJoin."""
+    from hadoop_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p1 = plan_of(li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey))
+    assert "BroadcastHashJoin" in p1, p1
+    p2 = plan_of(
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    )
+    assert "ShuffledHashJoin" in p2, p2
+    p3 = plan_of(li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey))
+    assert "SortMergeJoin" in p3, p3

@@ -1,0 +1,97 @@
+"""Invariant tests for the round-4b operators — properties that must hold
+by construction, independent of the oracle hash checks:
+
+- quantile_normalize: the mapping is monotone per group and maps into the
+  global bucket domain;
+- rank_profile: percent_rank/cume_dist bounds and monotonicity;
+- snapshot_diff: the four statuses partition the key universe |A ∪ B|;
+- bloom_filter_join: result equals the plain join (no false negatives,
+  false positives removed by the verify join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_spark.plans import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def test_quantile_normalize_monotone_and_in_domain(spark):
+    out = QUERIES["quantile_normalize"](spark, SF_DIR)
+    rows = out.collect()
+    by_group: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        assert r.mapped_vb is not None
+        by_group.setdefault(r.event_type, []).append((r.vb, r.mapped_vb))
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    domain = {
+        r[0]
+        for r in src.select(
+            F.round(F.col("value") * 100).cast("bigint")
+        ).distinct().collect()
+    }
+    for g, pairs in by_group.items():
+        pairs.sort()
+        mapped = [m for _, m in pairs]
+        assert mapped == sorted(mapped), f"non-monotone mapping for {g}"
+        assert set(mapped) <= domain, f"mapped bucket outside global domain for {g}"
+
+
+def test_rank_profile_bounds_and_monotonicity(spark):
+    out = QUERIES["rank_profile"](spark, SF_DIR).collect()
+    by_group: dict[str, list[tuple[int, float, float]]] = {}
+    for r in out:
+        assert 0.0 <= r.pr <= 1.0
+        assert 0.0 < r.cd <= 1.0
+        by_group.setdefault(r.o_orderpriority, []).append((r.bucket, r.pr, r.cd))
+    for g, triples in by_group.items():
+        triples.sort()
+        prs = [p for _, p, _ in triples]
+        cds = [c for _, _, c in triples]
+        assert prs == sorted(prs), g
+        assert cds == sorted(cds), g
+
+
+def test_snapshot_diff_partitions_key_universe(spark):
+    out = {r.status: r.n for r in QUERIES["snapshot_diff"](spark, SF_DIR).collect()}
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # statuses partition |A ∪ B|: every A key is same/changed/removed;
+    # added keys are B-only (re-keyed inserts, disjoint by construction)
+    assert out.get("same", 0) + out.get("changed", 0) + out.get("removed", 0) == n_events
+    assert out.get("added", 0) > 0 and out.get("removed", 0) > 0
+
+
+def test_bloom_filter_join_equals_plain_join(spark):
+    got = {
+        tuple(r)
+        for r in QUERIES["bloom_filter_join"](spark, SF_DIR).collect()
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    from hadoop_spark.functions.numeric import dsum
+
+    want = {
+        tuple(r)
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_concurrent_sessions_user_bound(spark):
+    out = QUERIES["concurrent_sessions"](spark, SF_DIR).collect()
+    assert out, "no coverage rows"
+    for r in out:
+        assert 1 <= r.n_users <= r.n_sessions
