@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "audience_overlap",
     "source_overlap",
     "length_percentiles",
+    "hll_sketch",
+    "lag_features",
 ]
 
 

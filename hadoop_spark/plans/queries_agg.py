@@ -829,3 +829,103 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# hll_sketch — HyperLogLog from first principles with an EXACT
+# cross-engine contract (the mergeable-sketch trio: KMV `kmv_distinct_
+# sketch`, count-min `countmin_sketch`, and now HLL). Registers are the
+# classic m=64 split of the 60-bit portable hash (6 register bits, 54
+# value bits); rho = leading-zero rank via binary digit count — all
+# integers. The harmonic denominator Σ 2^-Mj is kept EXACT by scaling to
+# the common denominator 2^55: numerator = Σ 2^(55-Mj) is a BIGINT
+# (≤ 64·2^55 < 2^62), absent registers contribute 2^55 each, and the
+# final estimate is ONE IEEE division — so the sketch hash-matches the
+# oracle bit-for-bit, while register maxima stay mergeable (max is
+# commutative/idempotent — the property that makes HLL a one-pass
+# distributed sketch at 100 TB). The output is the RAW estimate plus the
+# exact sketch state; the standard small-range LinearCounting correction
+# (m·ln(m/zeros)) is a client-side step — ln() is transcendental, hence
+# outside the cross-engine exactness contract (accuracy asserted in
+# tests/test_round4b_properties.py with the correction applied).
+# ----------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_ALPHA = "0.709"  # alpha_64, the standard bias constant
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {portable_hash64_sql('user_id', salt='#hll')} AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+split AS (
+  SELECT event_type, hv % {_HLL_M} AS reg, hv // {_HLL_M} AS w FROM h
+),
+rho AS (
+  SELECT event_type, reg,
+         CASE WHEN w = 0 THEN 55
+              ELSE 55 - length(bin(w)) END AS r
+  FROM split
+),
+regs AS (
+  SELECT event_type, reg, MAX(r) AS mj FROM rho GROUP BY event_type, reg
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_regs_hit,
+         CAST(SUM(CAST(2 AS BIGINT) ** (55 - mj)) AS BIGINT) AS num_hit
+  FROM regs GROUP BY event_type
+)
+SELECT event_type, n_regs_hit,
+       CAST(num_hit + ({_HLL_M} - n_regs_hit)
+            * (CAST(2 AS BIGINT) ** 55) AS BIGINT) AS denom_num,
+       ({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+        * CAST(CAST(2 AS BIGINT) ** 55 AS DOUBLE)
+        / CAST(num_hit + ({_HLL_M} - n_regs_hit)
+               * (CAST(2 AS BIGINT) ** 55) AS DOUBLE)) AS est_distinct
+FROM agg
+"""
+
+
+@query("hll_sketch", _HLL_ORACLE)
+def hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = ev.select(
+        "event_type", portable_hash64(F.col("user_id"), salt="#hll").alias("hv")
+    ).distinct()
+    split = h.select(
+        "event_type",
+        (F.col("hv") % _HLL_M).alias("reg"),
+        F.expr(f"hv div {_HLL_M}").alias("w"),
+    )
+    rho = split.select(
+        "event_type",
+        "reg",
+        F.when(F.col("w") == 0, 55)
+        .otherwise(F.lit(55) - F.length(F.bin("w")))
+        .alias("r"),
+    )
+    regs = rho.groupBy("event_type", "reg").agg(F.max("r").alias("mj"))
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_regs_hit"),
+        F.sum(F.expr("shiftleft(1L, int(55 - mj))")).cast("bigint").alias("num_hit"),
+    )
+    two55 = F.shiftleft(F.lit(1).cast("bigint"), 55)
+    denom_num = (
+        F.col("num_hit") + (F.lit(_HLL_M) - F.col("n_regs_hit")) * two55
+    ).cast("bigint")
+    est = (
+        F.lit(float(_HLL_ALPHA))
+        * F.lit(_HLL_M * _HLL_M)
+        * two55.cast("double")
+        / denom_num.cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "n_regs_hit",
+        denom_num.alias("denom_num"),
+        est.alias("est_distinct"),
+    )

@@ -1196,3 +1196,47 @@ def gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_purged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lag_features — ML feature engineering over event history: for every
+# event, the previous 3 values and integer time deltas for the same
+# (user, event_type) — the standard autoregressive feature block a
+# training pipeline materializes before model fitting. ONE keyed window
+# serves all six features (Catalyst collapses the lag taps into a single
+# Window operator over a single shuffle); values micro-quantized so the
+# feature vector is bit-exact across engines.
+
+_LAGF_ORACLE = """
+SELECT event_id, user_id, event_type,
+       CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro,
+       lag_v1, lag_v2, lag_v3, dt1_us, dt2_us
+FROM (
+  SELECT event_id, user_id, event_type, value,
+         lag(CAST(ROUND(value * 1000000) AS BIGINT), 1) OVER w AS lag_v1,
+         lag(CAST(ROUND(value * 1000000) AS BIGINT), 2) OVER w AS lag_v2,
+         lag(CAST(ROUND(value * 1000000) AS BIGINT), 3) OVER w AS lag_v3,
+         CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS BIGINT) AS dt1_us,
+         CAST(epoch_us(ts) - epoch_us(lag(ts, 2) OVER w) AS BIGINT) AS dt2_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+"""
+
+
+@query("lag_features", _LAGF_ORACLE)
+def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    vm = F.round(F.col("value") * 1_000_000).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        vm.alias("v_micro"),
+        F.lag(vm, 1).over(w).alias("lag_v1"),
+        F.lag(vm, 2).over(w).alias("lag_v2"),
+        F.lag(vm, 3).over(w).alias("lag_v3"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))).alias("dt1_us"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 2).over(w))).alias("dt2_us"),
+    )

@@ -621,7 +621,7 @@ per_key AS (
   FROM ranked WHERE rn <= {_KMV_STREAM_K}
   GROUP BY event_type, win_start
 )
-SELECT event_type, win_start,
+SELECT event_type, CAST(epoch_us(win_start) AS BIGINT) AS win_us,
        CAST(CASE WHEN n_seen < {_KMV_STREAM_K} THEN n_seen
                  ELSE CAST(FLOOR(({_KMV_STREAM_K} - 1)
                       * 1152921504606846975.0 / kth) AS BIGINT)
@@ -646,7 +646,10 @@ def stream_windowed_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_events_stream(spark, sf_dir), k=_KMV_STREAM_K
     )
     got = run_to_memory(stream, "q_stream_windowed_kmv", output_mode="update")
-    return got.groupBy("event_type", "win_start").agg(
+    # win_start leaves as epoch µs: a raw TIMESTAMP column renders in the
+    # OS timezone on plain collect() (TimestampType.fromInternal uses the
+    # local clock), which broke the TZ-swept contract — integers don't.
+    return got.groupBy("event_type", F.unix_micros("win_start").alias("win_us")).agg(
         F.max("est_distinct").alias("est_distinct")
     )
 

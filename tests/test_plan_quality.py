@@ -635,3 +635,30 @@ def test_join_strategy_hints_are_honored(spark):
     assert "ShuffledHashJoin" in p2, p2
     p3 = plan_of(li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey))
     assert "SortMergeJoin" in p3, p3
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact table written partitionBy(key) joined to a FILTERED dim must
+    scan only the partitions the dim filter selects — Spark's dynamic
+    partition pruning (the runtime form of partition pruning that makes
+    star joins on a 100 TB partitioned lake read 1/Nth of the data). The
+    probe scan's plan must carry a dynamicpruning PartitionFilter."""
+    from hadoop_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "event_type string, grp int"
+    )
+    # defeat the broadcast-only shortcut being optimized away: DPP fires
+    # for broadcast joins via reused exchange — assert the filter exists
+    joined = fact.join(dim.filter(F.col("grp") == 1), "event_type").groupBy(
+        "event_type"
+    ).count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {r.event_type for r in joined.collect()}
+    assert got == {"click"}

@@ -95,3 +95,31 @@ def test_concurrent_sessions_user_bound(spark):
     assert out, "no coverage rows"
     for r in out:
         assert 1 <= r.n_users <= r.n_sessions
+
+
+def test_hll_estimate_within_sketch_error(spark):
+    """m=64 HLL has ~13% standard error. The query's contract fields are
+    the exact sketch state (register-hit count + exact harmonic
+    numerator); the CLIENT-side small-range correction (LinearCounting
+    when zero registers remain, the standard HLL recipe — ln() is applied
+    here, outside the cross-engine contract) must land within 3σ (±40%)
+    of the exact distinct count."""
+    import math
+
+    m = 64
+    rows = QUERIES["hll_sketch"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        n = exact[r.event_type]
+        est = r.est_distinct
+        zeros = m - r.n_regs_hit
+        if est <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        assert abs(est - n) / n < 0.40, (r.event_type, est, n)
