@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     "length_percentiles",
     "hll_sketch",
     "lag_features",
+    "activity_heatmap",
+    "user_growth",
+    "video_frame_sample",
+    "login_streaks",
 ]
 
 

@@ -54,6 +54,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # have never had a driver row in r1-r3 (text-tail, cluster, ALL of stream,
 # ALL of mlprep, workloads head). The remaining never-checked queries are
 # scheduled for the r5 window.
+#
+# ROUND-5 PLAN (next session: replace _R4_WINDOW with _R5_WINDOW): take
+# the 50 ledger rows marked "r5 scheduled" in COVERAGE.md (io tails,
+# graph, lm, stats, cluster remainders, r4-first-half additions); the
+# ~41 r4b additions (ledger: "r6 scheduled") fill round 6's window.
 _R4_WINDOW = [
     "source_profile",
     "repetition_signals",

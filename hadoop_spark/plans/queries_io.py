@@ -993,3 +993,50 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
     )
     return j.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ----------------------------------------------------------------------
+# video_frame_sample — the video half of the multimodal surface: every
+# payload (an opaque binary column; here the deterministic text-bytes
+# stand-in, a real codec drops in via `register_transform`) explodes
+# into every-4th fixed-width frame through `operators/multimodal.
+# frame_sample` — Arrow-batched mapInPandas, 1→N binary-in/binary-out,
+# frames shard with their payloads. The oracle replays the byte
+# arithmetic with VARCHAR slicing (the corpus is ASCII, so byte and
+# character offsets coincide — asserted by the md5 contract itself).
+# ----------------------------------------------------------------------
+
+_FRAME_BYTES = 16
+_FRAME_EVERY = 4
+
+_FRAME_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, text AS b FROM documents WHERE text IS NOT NULL
+),
+n AS (
+  SELECT doc_id, b,
+         GREATEST(1, length(b) // {_FRAME_BYTES}) AS nf
+  FROM m
+),
+f AS (
+  SELECT doc_id, b,
+         unnest(range(0, CAST(nf AS BIGINT), {_FRAME_EVERY})) AS fi
+  FROM n
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       md5(substring(b, CAST(fi * {_FRAME_BYTES} + 1 AS INT), {_FRAME_BYTES}))
+         AS frame_md5
+FROM f
+"""
+
+
+@query("video_frame_sample", _FRAME_ORACLE)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("media"))
+    frames = frame_sample(media, every_n=_FRAME_EVERY)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
+    )

@@ -489,8 +489,10 @@ def rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bucket"),
     )
-    hist = orders.groupBy("o_orderpriority", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
+    hist = shared(
+        orders.groupBy("o_orderpriority", "bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
     tot = hist.groupBy("o_orderpriority").agg(
         F.sum("c").cast("long").alias("n")
@@ -894,3 +896,50 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lat_us").alias("min_lat_us"),
         F.max("lat_us").alias("max_lat_us"),
     )
+
+
+# ----------------------------------------------------------------------
+# login_streaks — gaps-and-islands: each user's LONGEST run of
+# consecutive active days, reported as the corpus-wide streak-length
+# histogram. The islands trick (day − row_number is constant within a
+# consecutive run) needs only one keyed window over the per-(user, day)
+# distinct table, then two bounded aggregations — no self-joins, no
+# recursion; the engagement metric every growth dashboard carries.
+# ----------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE user_id IS NOT NULL
+),
+isl AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM ud
+),
+runs AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY user_id, grp
+),
+best AS (
+  SELECT user_id, MAX(run_len) AS best_streak FROM runs GROUP BY user_id
+)
+SELECT CAST(best_streak AS BIGINT) AS streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM best GROUP BY best_streak
+"""
+
+
+@query("login_streaks", _STREAK_ORACLE)
+def login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = ev.select(
+        "user_id", F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.withColumn("grp", F.col("day") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    best = runs.groupBy("user_id").agg(F.max("run_len").alias("best_streak"))
+    return best.groupBy(
+        F.col("best_streak").cast("bigint").alias("streak_days")
+    ).agg(F.count(F.lit(1)).alias("n_users"))

@@ -1134,3 +1134,78 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ----------------------------------------------------------------------
+# activity_heatmap — the (day-of-week × hour-of-day) activity matrix.
+# Day-of-week comes from pure integer epoch arithmetic ((days + 4) % 7:
+# 1970-01-01 was a Thursday; 0 = Sunday) rather than either engine's
+# date-part convention, so the cell keys are engine-independent by
+# construction; one bounded (7 × 24) aggregation.
+# ----------------------------------------------------------------------
+
+_HEATMAP_ORACLE = f"""
+WITH t AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+         value
+  FROM events
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql("value")} AS sum_value
+FROM t GROUP BY dow, hod
+"""
+
+
+@query("activity_heatmap", _HEATMAP_ORACLE)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = F.unix_micros("ts")
+    return ev.groupBy(
+        ((F.floor(e / 86_400_000_000) + 4) % 7).cast("bigint").alias("dow"),
+        F.floor((e % 86_400_000_000) / 3_600_000_000).cast("bigint").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+# ----------------------------------------------------------------------
+# user_growth — the cumulative-adoption curve: per day, how many users
+# were seen for the FIRST time, and the running total. First-seen day is
+# one per-user min; the cumulative sum windows over the DAY-count-sized
+# aggregate (not user-sized, not event-sized) — at any scale the window
+# input is |days| rows, so the single-partition frame is domain-bounded
+# (the quantile_normalize argument).
+# ----------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+daily AS (
+  SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY d0
+)
+SELECT CAST(day AS BIGINT) AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+@query("user_growth", _GROWTH_ORACLE)
+def user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    first_seen = ev.groupBy("user_id").agg(
+        F.floor(F.min(F.unix_micros("ts")) / 86_400_000_000).alias("d0")
+    )
+    daily = first_seen.groupBy(F.col("d0").cast("bigint").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    return daily.withColumn(
+        "cum_users", F.sum("new_users").over(Window.orderBy("day")).cast("bigint")
+    )

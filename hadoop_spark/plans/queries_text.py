@@ -921,11 +921,20 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
     )
+    # dl rides through the tf aggregation (per-doc constant -> max), so
+    # scoring never joins the data-sized length table back in
     tf = (
-        toks.select("doc_id", F.explode("w").alias("term"))
+        toks.select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("dl0"),
+            F.explode("w").alias("term"),
+        )
         .filter(F.col("term").isin(_BM25_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.max("dl0").alias("dl"),
+        )
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     k1 = float(_BM25_K1)
@@ -942,7 +951,6 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(18,8)")
     scored = (
         tf.join(F.broadcast(df), "term")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select("doc_id", contrib.alias("s"))
     )

@@ -662,3 +662,14 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     got = {r.event_type for r in joined.collect()}
     assert got == {"click"}
+
+
+def test_bm25_no_data_sized_join(spark):
+    """BM25 scoring must not join the data-sized length table back in:
+    dl rides through the query-term tf aggregation, df and corpus stats
+    are broadcast — the only non-broadcast shuffle is the tiny tf agg
+    (plus the final top-k)."""
+    plan = _plan(spark, "bm25_scores")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row corpus stats
