@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "user_growth",
     "video_frame_sample",
     "login_streaks",
+    "ann_lsh_topk",
 ]
 
 

@@ -521,3 +521,165 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _HARDNEG_K)
         .select("query_id", "neighbor_id", "neg_label", "cos_q", "rnk")
     )
+
+
+# ----------------------------------------------------------------------
+# ann_lsh_topk — the LSH-bucketed ANN variant (sign-random-projection):
+# 8 fixed hyperplanes (integer weights derived from md5 at build time —
+# embedded as LITERALS in both engines) hash every vector to an 8-bit
+# bucket MAP-SIDE (integer dot signs, no shuffle); each query probes its
+# own bucket plus the 8 one-bit-flip neighbors (multiprobe) and rescores
+# only those candidates with the exact integer cosine. Complements the
+# IVF family: no training/centroid pass at all — the bucket function is
+# data-independent, so the index is a pure projection (writable
+# partitionBy(bucket) exactly like the IVF index). All arithmetic exact:
+# |q|≤1e7, |w|≤1000, 64 dims ⇒ |dot| < 6.4e11 < 2^53.
+# ----------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+_LSH_PLANES = 8
+_LSH_TOP_K = 5
+_LSH_W = [
+    [
+        (int(_hashlib.md5(f"lsh{j}_{d}".encode()).hexdigest()[:8], 16) % 2001)
+        - 1000
+        for d in range(64)
+    ]
+    for j in range(_LSH_PLANES)
+]
+
+
+def _lsh_bucket_sql(qcol: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN CAST(list_dot_product({qcol}, "
+        f"{_LSH_W[j]}) AS BIGINT) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_PLANES)
+    )
+    return f"({bits})"
+
+
+_LSH_ORACLE = f"""
+WITH {_EMB_CTE},
+bk AS (
+  SELECT vec_id, q, n2, {_lsh_bucket_sql('q')} AS bucket FROM en
+),
+probes AS (
+  SELECT vec_id AS query_id, xor(bucket, flip) AS pbucket
+  FROM bk, (SELECT unnest([0{"".join(f", {1 << j}" for j in range(_LSH_PLANES))}]) AS flip)
+  WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, v.vec_id AS neighbor_id
+  FROM probes p JOIN bk v ON v.bucket = p.pbucket
+  WHERE v.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_q, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT cand.query_id, cand.neighbor_id,
+         {cos_q_sql(int_dot_sql('q.q', 'v.q'), 'q.n2', 'v.n2')} AS cos_q,
+         ROW_NUMBER() OVER (
+           PARTITION BY cand.query_id
+           ORDER BY {cos_q_sql(int_dot_sql('q.q', 'v.q'), 'q.n2', 'v.n2')} DESC,
+                    cand.neighbor_id
+         ) AS rnk
+  FROM cand
+  JOIN en q ON q.vec_id = cand.query_id
+  JOIN en v ON v.vec_id = cand.neighbor_id
+)
+WHERE rnk <= {_LSH_TOP_K}
+"""
+
+
+@query("ann_lsh_topk", _LSH_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = shared(with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings"))))
+
+    bucket = F.lit(0)
+    for j in range(_LSH_PLANES):
+        w = F.array(*[F.lit(x).cast("bigint") for x in _LSH_W[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("q"), w, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    bk = emb.withColumn("bucket", bucket.cast("bigint"))
+
+    flips = F.array(
+        F.lit(0), *[F.lit(1 << j) for j in range(_LSH_PLANES)]
+    )
+    probes = (
+        bk.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(flips).alias("flip"),
+            "bucket",
+        )
+        .select(
+            "query_id",
+            F.col("bucket").bitwiseXOR(F.col("flip")).alias("pbucket"),
+        )
+    )
+    cand = (
+        probes.join(
+            bk.select(F.col("vec_id").alias("neighbor_id"), F.col("bucket").alias("pbucket")),
+            "pbucket",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qsides = bk.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    vsides = bk.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("vq"), F.col("n2").alias("vn2")
+    )
+    scored = (
+        cand.join(F.broadcast(qsides), "query_id")
+        .join(vsides, "neighbor_id")
+        .withColumn(
+            "cos_q",
+            cos_q(int_dot(F.col("qq"), F.col("vq")), F.col("qn2"), F.col("vn2")),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rnk") <= _LSH_TOP_K)
+        .select("query_id", "neighbor_id", "cos_q", "rnk")
+    )
+
+
+_LSH_RECALL_ORACLE = f"""
+WITH brute AS ({_BRUTE_ORACLE}),
+lsh AS ({_LSH_ORACLE})
+SELECT l.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST({_LSH_TOP_K} AS BIGINT) AS k
+FROM lsh l
+JOIN brute b ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+WHERE b.rnk <= {_LSH_TOP_K}
+GROUP BY l.query_id
+"""
+
+
+@query("ann_lsh_recall", _LSH_RECALL_ORACLE)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{_LSH_TOP_K} of the sign-LSH multiprobe path vs the exact
+    ranking — the planes/probes sizing measurement, completing the eval
+    set (ann_recall for IVF, ann_pq_recall for PQ, lsh_candidate_quality
+    for minhash banding)."""
+    brute = ann_cosine_topk(spark, sf_dir).filter(F.col("rnk") <= _LSH_TOP_K)
+    lsh = ann_lsh_topk(spark, sf_dir)
+    return (
+        lsh.join(
+            brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.lit(_LSH_TOP_K).cast("bigint").alias("k"),
+        )
+    )

@@ -123,3 +123,35 @@ def test_hll_estimate_within_sketch_error(spark):
         if est <= 2.5 * m and zeros > 0:
             est = m * math.log(m / zeros)
         assert abs(est - n) / n < 0.40, (r.event_type, est, n)
+
+
+def test_user_growth_accumulates_to_total(spark):
+    rows = sorted(
+        QUERIES["user_growth"](spark, SF_DIR).collect(), key=lambda r: r.day
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    total = (
+        ev.filter(F.col("user_id").isNotNull()).select("user_id").distinct().count()
+    )
+    running = 0
+    for r in rows:
+        running += r.new_users
+        assert r.cum_users == running
+    assert running == total
+
+
+def test_login_streaks_cover_all_users(spark):
+    rows = QUERIES["login_streaks"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    total = (
+        ev.filter(F.col("user_id").isNotNull()).select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == total
+    assert all(r.streak_days >= 1 for r in rows)
+
+
+def test_activity_heatmap_accounts_every_event(spark):
+    rows = QUERIES["activity_heatmap"](spark, SF_DIR).collect()
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n for r in rows) == n_events
+    assert all(0 <= r.dow <= 6 and 0 <= r.hod <= 23 for r in rows)
