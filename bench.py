@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "video_frame_sample",
     "login_streaks",
     "ann_lsh_topk",
+    "dedup_containment",
 ]
 
 

@@ -528,3 +528,84 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("n_dup_pairs"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# dedup_containment — ASYMMETRIC near-dup: containment(A→B) =
+# |A∩B| / |A| over trigram shingle sets. Symmetric Jaccard misses the
+# quote/inclusion case (a short doc embedded verbatim inside a long
+# one barely moves the union); containment is the measure excerpt
+# detection actually needs. Same inverted-index spine as
+# `dedup_ngram_jaccard` — posting-list self-join, cost ∝ total shingle
+# occurrences — but each ordered pair divides by ITS OWN set size, so
+# one intersection count serves both directions. Threshold 0.5: at
+# least half of the smaller doc appears in the other.
+# ----------------------------------------------------------------------
+
+_CONTAIN_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+posts AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+pair_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh2),
+scored AS (
+  SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM pair_inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+)
+SELECT id_a, id_b,
+       CAST(inter AS BIGINT) AS inter,
+       (CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE)) AS contain_a,
+       (CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE)) AS contain_b
+FROM scored
+WHERE CAST(inter AS DOUBLE) / CAST(LEAST(sz_a, sz_b) AS DOUBLE) >= 0.5
+"""
+
+
+@query("dedup_containment", _CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout_small(load_table(spark, sf_dir, "documents"))
+    sh = shared(
+        docs.select("doc_id", trigram_shingles(tokens(F.col("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    posts = sh.select("doc_id", F.explode("sh").alias("s"))
+    pair_inter = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
+    scored = (
+        pair_inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+    )
+    return scored.filter(
+        F.col("inter").cast("double")
+        / F.least(F.col("sz_a"), F.col("sz_b")).cast("double")
+        >= 0.5
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        (F.col("inter").cast("double") / F.col("sz_a").cast("double")).alias(
+            "contain_a"
+        ),
+        (F.col("inter").cast("double") / F.col("sz_b").cast("double")).alias(
+            "contain_b"
+        ),
+    )
