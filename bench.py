@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "login_streaks",
     "ann_lsh_topk",
     "dedup_containment",
+    "nb_langid",
 ]
 
 

@@ -1155,3 +1155,151 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpet").cast("double") / F.sum("wst").cast("double")
         ).alias("fertility"),
     )
+
+
+# ----------------------------------------------------------------------
+# nb_langid — a trained CHARACTER-TRIGRAM Naive-Bayes language
+# classifier (char n-grams are the features that separate languages —
+# the same signal family as lang_id's heuristic), train and
+# inference in ONE plan (the model is a DataFrame, the bigram_lm_score
+# discipline): even docs train, odd docs classify, output is the
+# (true × predicted) confusion matrix. Log-free determinism: the
+# per-(lang, term) weight is a 1/16-bit piecewise-linear integer log2
+# (16·bitlen + top-4 fractional bits) of the scaled Laplace-smoothed
+# conditional probability floor((cnt+1)·2^20 / (total+V)) — monotone
+# in the true log-prob, so the
+# additive NB score is a BIGINT sum and argmax is exact in both engines
+# (ties break on lang ascending). Scale shape: the weight table is
+# vocabulary-bounded (broadcast, the quality_classifier side-data rule);
+# inference is token stream × |langs| (a constant ≤5 fan-out) map-side
+# against it, one (doc, lang) aggregation, one per-doc argmax.
+# ----------------------------------------------------------------------
+
+_NB_SCALE = 1 << 20
+
+
+def _nb_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, strlen(lower(text)) - 1),
+                               i -> substr(lower(text), CAST(i AS INT), 3)))
+           AS term
+  FROM documents WHERE text IS NOT NULL AND strlen(text) >= 3
+),
+train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM train),
+cnts AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM train GROUP BY lang, term
+),
+tots AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnts GROUP BY lang),
+weights AS (
+  SELECT lang, term,
+         CAST(16 * length(bin(x))
+              + ((x - (CAST(1 AS BIGINT) << (length(bin(x)) - 1))) * 16)
+                // (CAST(1 AS BIGINT) << (length(bin(x)) - 1)) AS BIGINT) AS w
+  FROM (
+    SELECT c.lang, c.term, (c.c + 1) * {_NB_SCALE} // (t.tot + v.v) AS x
+    FROM cnts c JOIN tots t ON c.lang = t.lang CROSS JOIN vocab v
+  )
+),
+defaults AS (
+  SELECT lang,
+         CAST(16 * length(bin(x))
+              + ((x - (CAST(1 AS BIGINT) << (length(bin(x)) - 1))) * 16)
+                // (CAST(1 AS BIGINT) << (length(bin(x)) - 1)) AS BIGINT) AS dw
+  FROM (
+    SELECT t.lang, GREATEST(1, {_NB_SCALE} // (t.tot + v.v)) AS x
+    FROM tots t CROSS JOIN vocab v
+  )
+),
+scored AS (
+  SELECT te.doc_id, te.lang AS true_lang, d.lang AS cand_lang,
+         CAST(SUM(COALESCE(w.w, d.dw)) AS BIGINT) AS score
+  FROM test te
+  CROSS JOIN defaults d
+  LEFT JOIN weights w ON w.lang = d.lang AND w.term = te.term
+  GROUP BY te.doc_id, te.lang, d.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, cand_lang AS pred_lang
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, cand_lang
+    ) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@query("nb_langid", _nb_oracle())
+def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = docs.filter(F.length("text") >= 3)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 2),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("term"),
+    )
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter(F.col("doc_id") % 2 == 1)
+    vocab = train.agg(F.countDistinct("term").alias("v"))
+    cnts = train.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    tots = cnts.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    def _log16(xcol: str) -> F.Column:
+        # 1/16-bit piecewise-linear integer log2: 16*bitlen(x) + the top
+        # 4 fractional bits — monotone in x, exact BIGINT in both engines
+        return F.expr(
+            f"CAST(16 * length(bin({xcol}))"
+            f" + ((({xcol}) - shiftleft(1L, length(bin({xcol})) - 1)) * 16)"
+            f" div shiftleft(1L, length(bin({xcol})) - 1) AS BIGINT)"
+        )
+
+    weights = (
+        cnts.join(F.broadcast(tots), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("x", F.expr(f"(c + 1) * {_NB_SCALE} div (tot + v)"))
+        .select("lang", "term", _log16("x").alias("w"))
+    )
+    defaults = (
+        tots.crossJoin(F.broadcast(vocab))
+        .withColumn("x", F.expr(f"greatest(1L, {_NB_SCALE} div (tot + v))"))
+        .select("lang", _log16("x").alias("dw"))
+    )
+    scored = (
+        test.crossJoin(F.broadcast(defaults.select(F.col("lang").alias("cand_lang"), "dw")))
+        .join(
+            F.broadcast(
+                weights.select(
+                    F.col("lang").alias("cand_lang"), "term", "w"
+                )
+            ),
+            ["cand_lang", "term"],
+            "left",
+        )
+        .groupBy(
+            "doc_id", F.col("lang").alias("true_lang"), "cand_lang"
+        )
+        .agg(F.sum(F.coalesce(F.col("w"), F.col("dw"))).cast("bigint").alias("score"))
+    )
+    w_rank = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -673,3 +673,27 @@ def test_bm25_no_data_sized_join(spark):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastExchange") >= 1, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row corpus stats
+
+
+def test_ann_lsh_bucketing_is_map_side(spark):
+    """Sign-LSH bucket assignment is a pure projection (integer dot signs
+    against literal hyperplanes): the tiny probe set must broadcast into
+    the candidate join — no sort-merge join anywhere in the plan."""
+    plan = _plan(spark, "ann_lsh_topk")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_gdpr_delete_broadcasts_deletion_list(spark):
+    """The erasure list rides a broadcast; the event log never shuffles
+    on user_id."""
+    plan = _plan(spark, "gdpr_delete")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # The only user_id exchange allowed is the deletion list's own
+    # distinct (list-sized), which lives INSIDE the broadcast build
+    # subtree — printed below the BroadcastExchange operator.
+    uid_ex = plan.find("Exchange hashpartitioning(user_id")
+    bc = plan.find("BroadcastExchange")
+    assert uid_ex == -1 or (bc != -1 and uid_ex > bc), plan
