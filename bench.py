@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "dedup_containment",
     "nb_langid",
+    "bbp_pi_digits",
 ]
 
 

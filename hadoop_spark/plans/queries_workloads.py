@@ -658,3 +658,69 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_tri)
         .select("n_edges", "n_nodes", "n_triangles")
     )
+
+
+# ----------------------------------------------------------------------
+# bbp_pi_digits — the OTHER π example: distributed exact hex digits of π
+# via the Bailey–Borwein–Plouffe spigot (`hadoop-mapreduce-examples/
+# BaileyBorweinPlouffe.java:73` — digit ranges fan out to mappers, each
+# computes its digits independently; the reducer concatenates). Spark-
+# first: spark.range over digit positions → an Arrow-batched mapInPandas
+# computing each digit with integer modular exponentiation (the one
+# genuinely non-SQL scalar here — exactly the "arbitrary mapper math"
+# the reference wrote Java for). Embarrassingly parallel, zero shuffle.
+# The oracle is the published constant — ground truth stronger than any
+# recomputation (π hex = 243F6A8885A308D3...).
+# ----------------------------------------------------------------------
+
+_BBP_N_DIGITS = 48
+_BBP_KNOWN = "243F6A8885A308D313198A2E03707344A4093822299F31D0"
+
+
+def _bbp_oracle() -> str:
+    rows = ",\n".join(
+        f"({d}, '{_BBP_KNOWN[d - 1]}')" for d in range(1, _BBP_N_DIGITS + 1)
+    )
+    return f"""
+SELECT CAST(pos AS BIGINT) AS pos, hex_digit
+FROM (VALUES
+{rows}
+) t(pos, hex_digit)
+"""
+
+
+@query("bbp_pi_digits", _bbp_oracle())
+def bbp_pi_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def compute(batches):
+        def digit(d: int) -> str:
+            def S(j: int) -> float:
+                s = 0.0
+                for k in range(d):
+                    s = (s + pow(16, d - 1 - k, 8 * k + j) / (8 * k + j)) % 1.0
+                t, k = 0.0, d
+                while True:
+                    term = 16.0 ** (d - 1 - k) / (8 * k + j)
+                    if term < 1e-19:
+                        break
+                    t += term
+                    k += 1
+                return (s + t) % 1.0
+
+            x = (4 * S(1) - 2 * S(4) - S(5) - S(6)) % 1.0
+            return "0123456789ABCDEF"[int(x * 16)]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "pos": pdf["id"],
+                    "hex_digit": [digit(int(d)) for d in pdf["id"]],
+                }
+            )
+
+    return (
+        spark.range(1, _BBP_N_DIGITS + 1)
+        .repartition(8)  # digit ranges fan out like the reference's splits
+        .mapInPandas(compute, schema="pos bigint, hex_digit string")
+    )
