@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "dedup_containment",
     "nb_langid",
     "bbp_pi_digits",
+    "stream_heavy_hitters",
+    "missing_days",
 ]
 
 

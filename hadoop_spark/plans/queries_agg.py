@@ -929,3 +929,51 @@ def hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom_num.alias("denom_num"),
         est.alias("est_distinct"),
     )
+
+
+# ----------------------------------------------------------------------
+# missing_days — backfill planning / partition audit: for each event
+# type, which days inside its own [first, last] activity span have ZERO
+# events (the holes a scheduler must backfill before downstream jobs
+# trust the table). The candidate grid explodes from the per-type span
+# (bounded: types × days — never data-sized) and anti-joins the observed
+# (type, day) set; all integer epoch-day arithmetic.
+# ----------------------------------------------------------------------
+
+_MISSING_DAYS_ORACLE = """
+WITH obs AS (
+  SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+),
+span AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM span
+)
+SELECT g.event_type, CAST(g.day AS BIGINT) AS day
+FROM grid g LEFT JOIN obs o
+  ON g.event_type = o.event_type AND g.day = o.day
+WHERE o.day IS NULL
+"""
+
+
+@query("missing_days", _MISSING_DAYS_ORACLE)
+def missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.sources.tables import shared
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = shared(
+        ev.select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day"),
+        ).distinct()
+    )
+    span = obs.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return grid.join(obs, ["event_type", "day"], "left_anti").select(
+        "event_type", F.col("day").cast("bigint").alias("day")
+    )

@@ -1209,3 +1209,53 @@ def user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.withColumn(
         "cum_users", F.sum("new_users").over(Window.orderBy("day")).cast("bigint")
     )
+
+
+# ----------------------------------------------------------------------
+# stream_heavy_hitters — the skew diagnosis as a STREAM: per-user event
+# counts maintained by the engine's streaming aggregation (sum — 
+# commutative, so micro-batch slicing cannot change the drained counts),
+# heavy keys selected at drain time against the final total with the
+# same exact integer threshold as the batch `heavy_hitters`
+# (cnt·nkeys > 2·total). The always-on form of "which keys will skew my
+# next join".
+# ----------------------------------------------------------------------
+
+_STREAM_HH_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nkeys, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM c
+)
+SELECT user_id, cnt FROM c, s WHERE cnt * nkeys > 2 * total
+"""
+
+
+@query("stream_heavy_hitters", _STREAM_HH_ORACLE)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.streaming.windows import load_events_stream, run_to_memory
+
+    stream = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = run_to_memory(stream, "q_stream_heavy_hitters", output_mode="update")
+    # update mode re-emits a key per batch; the final count per key is the
+    # max (counts are monotone nondecreasing)
+    counts = got.groupBy("user_id").agg(F.max("cnt").alias("cnt"))
+    from hadoop_spark.sources.tables import shared
+
+    counts = shared(counts)
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("nkeys"), F.sum("cnt").alias("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("cnt") * F.col("nkeys") > 2 * F.col("total"))
+        .select("user_id", "cnt")
+    )
