@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "bbp_pi_digits",
     "stream_heavy_hitters",
     "missing_days",
+    "ab_split_metrics",
 ]
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_spark.functions.hashing import portable_hash64_sql
 from hadoop_spark.functions.numeric import dsum, dsum_sql
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table, shared
@@ -943,3 +944,65 @@ def login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy(
         F.col("best_streak").cast("bigint").alias("streak_days")
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ----------------------------------------------------------------------
+# ab_split_metrics — the experimentation readout: users hash-assigned to
+# two arms (portable hash — the same deterministic membership contract
+# as train_test_split, so the assignment is stable across reruns and
+# engines), per-arm funnel conversion (a click followed later by a
+# purchase) with exact integer counts and one IEEE rate division. Per-
+# user reduction is a single aggregation carrying min-click / max-
+# purchase times; no self-join, no window.
+# ----------------------------------------------------------------------
+
+_AB_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         {portable_hash64_sql('user_id', salt='#ab')} % 2 AS arm,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+         MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN first_click IS NOT NULL
+                      AND last_purchase IS NOT NULL
+                      AND first_click < last_purchase
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       (CAST(SUM(CASE WHEN first_click IS NOT NULL
+                       AND last_purchase IS NOT NULL
+                       AND first_click < last_purchase
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE)) AS conv_rate
+FROM per_user GROUP BY arm
+"""
+
+
+@query("ab_split_metrics", _AB_ORACLE)
+def ab_split_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+        ).alias("first_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("last_purchase"),
+    ).withColumn("arm", portable_hash64(F.col("user_id"), salt="#ab") % 2)
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("first_click") < F.col("last_purchase"))
+    )
+    return per_user.groupBy(F.col("arm").cast("bigint").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(converted, 1).otherwise(0)).cast("bigint").alias("n_converted"),
+        (
+            F.sum(F.when(converted, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("conv_rate"),
+    )
