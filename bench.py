@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "stream_heavy_hitters",
     "missing_days",
     "ab_split_metrics",
+    "asof_forward_events",
+    "asof_tolerance_events",
 ]
 
 

@@ -131,3 +131,91 @@ def asof_join(
         F.col(f"__f_{c}").alias(c) for c in vcols
     ]
     return filled.filter(F.col("__tag") == 1).select(*out_cols)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    right_time_col: str | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Forward as-of: for every left row, the EARLIEST right row with
+    right.time >= left.time within the same key (the "next event" lookup
+    — time-to-next-conversion, next price tick). Same union-window idiom
+    as `asof_join`, scanned in DESCENDING time order so last(ignorenulls)
+    carries the nearest following right row; ties (right.time ==
+    left.time) match inclusively. ONE shuffle on the key."""
+    rt = right_time_col or time_col
+    vcols = value_cols or [c for c in right.columns if c not in (key, rt)]
+    lt = left.withColumn("__tag", F.lit(1)).withColumn("__t", F.col(time_col))
+    rr = (
+        right.select(
+            key, F.col(rt).alias("__t"), *[F.col(c).alias(f"__r_{c}") for c in vcols]
+        )
+        .withColumn("__tag", F.lit(0))
+    )
+    unioned = lt.unionByName(rr, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").desc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in vcols
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__f_{c}").alias(c) for c in vcols
+    ]
+    return filled.filter(F.col("__tag") == 1).select(*out_cols)
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    tolerance: int,
+    right_time_col: str | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of with a match-window bound (pandas merge_asof's
+    `tolerance`): the latest right row at-or-before left.time is kept
+    ONLY if it is within `tolerance` time units; otherwise the carried
+    values are nulled. Implemented by also carrying the matched right
+    TIME through the same single window pass and gating the payload on
+    the distance — no extra shuffle."""
+    rt = right_time_col or time_col
+    vcols = value_cols or [c for c in right.columns if c not in (key, rt)]
+    lt = left.withColumn("__tag", F.lit(1)).withColumn("__t", F.col(time_col))
+    rr = (
+        right.select(
+            key, F.col(rt).alias("__t"), *[F.col(c).alias(f"__r_{c}") for c in vcols]
+        )
+        .withColumn("__rt", F.col("__t"))
+        .withColumn("__tag", F.lit(0))
+    )
+    unioned = lt.unionByName(rr, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        F.last(F.col("__rt"), ignorenulls=True).over(w).alias("__f_rt"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in vcols
+        ],
+    )
+    in_tol = (F.col("__t") - F.col("__f_rt")) <= tolerance
+    out_cols = [c for c in left.columns] + [
+        F.when(in_tol, F.col(f"__f_{c}")).alias(c) for c in vcols
+    ]
+    return filled.filter(F.col("__tag") == 1).select(*out_cols)

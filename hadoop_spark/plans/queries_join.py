@@ -524,3 +524,100 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
+
+
+# ----------------------------------------------------------------------
+# asof_forward_events / asof_tolerance_events — the rest of the as-of
+# family (pandas merge_asof parity): FORWARD direction (each click →
+# the user's NEXT purchase at-or-after — the time-to-next-conversion
+# lookup) and a TOLERANCE bound (latest click within 1 h of a purchase,
+# else NULL — stale matches rejected). Both stay on the union-window
+# idiom from operators/join.py: one keyed shuffle, no range-join
+# explosion; DuckDB's native ASOF (with >= / distance gate) is the
+# oracle.
+# ----------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS pvalue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       p.ts_us AS next_purchase_us
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.ts_us >= c.ts_us
+"""
+
+
+@query("asof_forward_events", _ASOF_FWD_ORACLE)
+def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.operators.join import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.max("value").alias("pvalue"))
+        .withColumn("next_purchase_us", F.col("ts_us"))
+    )
+    return asof_join_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        time_col="ts_us",
+        value_cols=["next_purchase_us"],
+    )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+_ASOF_TOL_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS cvalue
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CASE WHEN p.ts_us - c.ts_us <= {_ASOF_TOL_US}
+            THEN c.ts_us END AS click_ts_us
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+"""
+
+
+@query("asof_tolerance_events", _ASOF_TOL_ORACLE)
+def asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.operators.join import asof_join_tolerance
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.max("value").alias("cvalue"))
+        .withColumn("click_ts_us", F.col("ts_us"))
+    )
+    return asof_join_tolerance(
+        purchases,
+        clicks,
+        key="user_id",
+        time_col="ts_us",
+        tolerance=_ASOF_TOL_US,
+        value_cols=["click_ts_us"],
+    )

@@ -155,3 +155,41 @@ def test_activity_heatmap_accounts_every_event(spark):
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert sum(r.n for r in rows) == n_events
     assert all(0 <= r.dow <= 6 and 0 <= r.hod <= 23 for r in rows)
+
+
+def test_asof_forward_matches_earliest_following(spark):
+    """Forward as-of must pick the SMALLEST right time >= left time."""
+    from hadoop_spark.operators.join import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 5)], "k int, t bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 12, "a"), (1, 25, "b"), (1, 20, "eq"), (2, 4, "z")],
+        "k int, t bigint, v string",
+    )
+    got = {
+        (r.k, r.t): r.v
+        for r in asof_join_forward(
+            left, right, key="k", time_col="t", value_cols=["v"]
+        ).collect()
+    }
+    # ties inclusive: left t=20 matches right t=20
+    assert got == {(1, 10): "a", (1, 20): "eq", (1, 30): None, (2, 5): None}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from hadoop_spark.operators.join import asof_join_tolerance
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k int, t bigint")
+    right = spark.createDataFrame(
+        [(1, 95, "fresh"), (1, 90, "old")], "k int, t bigint, v string"
+    )
+    got = {
+        (r.k, r.t): r.v
+        for r in asof_join_tolerance(
+            left, right, key="k", time_col="t", tolerance=10, value_cols=["v"]
+        ).collect()
+    }
+    # t=100 matches 95 (distance 5 ≤ 10); t=200's latest match 95 is 105 away → NULL
+    assert got == {(1, 100): "fresh", (1, 200): None}
