@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "ab_split_metrics",
     "asof_forward_events",
     "asof_tolerance_events",
+    "kmv_set_algebra",
 ]
 
 

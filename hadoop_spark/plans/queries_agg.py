@@ -977,3 +977,132 @@ def missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(obs, ["event_type", "day"], "left_anti").select(
         "event_type", F.col("day").cast("bigint").alias("day")
     )
+
+
+# ----------------------------------------------------------------------
+# kmv_set_algebra — SET OPERATIONS on mergeable sketches: the union and
+# intersection cardinality of two user populations (click vs view)
+# estimated from one K=64 KMV sketch of the union carrying per-hash
+# membership flags — the theta-sketch algebra that answers "overlap of
+# two 100 TB audiences" without ever materializing either set. The K
+# smallest union hashes are found with the SALTED TWO-LEVEL top-k (per-
+# bucket K-min window, then K-min of the 32·K candidates — no data-sized
+# single-partition sort; the chi2_terms discipline). Estimators are the
+# standard ones (est_union = (K−1)·H/θ; est_inter = est_union·n_both/K,
+# exact when the sketch saturates below K), every step integer-exact and
+# mirrored in the oracle; exact counts ride along for the error readout.
+# ----------------------------------------------------------------------
+
+_KMVSET_K = 64
+_KMVSET_H = 1152921504606846975  # 16^15 - 1
+
+_KMVSET_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT {portable_hash64_sql('user_id', salt='#kmvset')} AS h
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+),
+b AS (
+  SELECT DISTINCT {portable_hash64_sql('user_id', salt='#kmvset')} AS h
+  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+),
+u AS (
+  SELECT h, MAX(ina) AS ina, MAX(inb) AS inb
+  FROM (
+    SELECT h, 1 AS ina, 0 AS inb FROM a
+    UNION ALL
+    SELECT h, 0 AS ina, 1 AS inb FROM b
+  ) GROUP BY h
+),
+topk AS (
+  SELECT h, ina, inb
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM u)
+  WHERE rn <= {_KMVSET_K}
+),
+sk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+         CAST(MAX(h) AS BIGINT) AS theta,
+         CAST(SUM(ina * inb) AS BIGINT) AS n_both
+  FROM topk
+),
+ex AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS exact_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS exact_b,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM a JOIN b ON a.h = b.h) AS exact_inter
+)
+SELECT sk.n_seen, sk.n_both,
+       CAST(CASE WHEN sk.n_seen < {_KMVSET_K} THEN sk.n_seen
+                 ELSE CAST(FLOOR(({_KMVSET_K} - 1) * {_KMVSET_H}.0 / sk.theta)
+                           AS BIGINT)
+            END AS BIGINT) AS est_union,
+       CAST(CASE WHEN sk.n_seen < {_KMVSET_K} THEN sk.n_both
+                 ELSE CAST(FLOOR(({_KMVSET_K} - 1) * {_KMVSET_H}.0 / sk.theta)
+                           AS BIGINT) * sk.n_both // {_KMVSET_K}
+            END AS BIGINT) AS est_inter,
+       ex.exact_a, ex.exact_b, ex.exact_inter
+FROM sk CROSS JOIN ex
+"""
+
+
+@query("kmv_set_algebra", _KMVSET_ORACLE)
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hadoop_spark.functions.hashing import portable_hash64
+    from hadoop_spark.sources.tables import shared
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = portable_hash64(F.col("user_id"), salt="#kmvset")
+    a = shared(
+        ev.filter(F.col("event_type") == "click").select(h.alias("h")).distinct()
+    )
+    b = shared(
+        ev.filter(F.col("event_type") == "view").select(h.alias("h")).distinct()
+    )
+    u = (
+        a.select("h", F.lit(1).alias("ina"), F.lit(0).alias("inb"))
+        .unionAll(b.select("h", F.lit(0).alias("ina"), F.lit(1).alias("inb")))
+        .groupBy("h")
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+    )
+    # two-level K-min: per-bucket window (32 bounded partitions), then the
+    # global K-min of the ≤ 32·K candidates
+    bucketed = u.withColumn("bkt", F.pmod(F.col("h"), F.lit(32)))
+    wb = W.partitionBy("bkt").orderBy("h")
+    cand = bucketed.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") <= _KMVSET_K
+    )
+    wg = W.orderBy("h")
+    topk = cand.withColumn("grn", F.row_number().over(wg)).filter(
+        F.col("grn") <= _KMVSET_K
+    )
+    sk = topk.agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max("h").alias("theta"),
+        F.sum(F.col("ina") * F.col("inb")).cast("bigint").alias("n_both"),
+    )
+    exact = (
+        a.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(a.join(b, "h").agg(F.count(F.lit(1)).alias("exact_inter")))
+    )
+    est_union = F.when(F.col("n_seen") < _KMVSET_K, F.col("n_seen")).otherwise(
+        F.floor(
+            F.lit(float(_KMVSET_K - 1)) * F.lit(float(_KMVSET_H)) / F.col("theta")
+        ).cast("bigint")
+    )
+    est_inter = F.when(F.col("n_seen") < _KMVSET_K, F.col("n_both")).otherwise(
+        F.expr(
+            f"CAST(FLOOR(({_KMVSET_K} - 1) * {_KMVSET_H}.0 / theta) AS BIGINT)"
+            f" * n_both div {_KMVSET_K}"
+        )
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "n_seen",
+        "n_both",
+        est_union.cast("bigint").alias("est_union"),
+        est_inter.cast("bigint").alias("est_inter"),
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+    )

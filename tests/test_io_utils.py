@@ -200,3 +200,22 @@ def test_sequence_file_rejects_unknown_compression_type(spark, tmp_path):
     kv = spark.range(2).select(F.col("id").cast("string").alias("k"), F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError, match="compression_type"):
         write_sequence_file(kv, str(tmp_path / "x"), compression_type="ZIP")
+
+
+def test_max_records_per_file_bounds_output_files(spark, tmp_path):
+    """Output file-size governance (the 100 TB writer knob): with
+    maxRecordsPerFile set, no produced parquet file may exceed the cap —
+    the writer rolls files instead of emitting one giant part-file per
+    partition."""
+    out = str(tmp_path / "capped_out")
+    df = spark.range(0, 10_000).repartition(2)
+    df.write.option("maxRecordsPerFile", 1500).mode("overwrite").parquet(out)
+    import glob
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= 7  # 10k rows / 1.5k cap needs ≥7 files
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 1500, (f, n)
+    total = spark.read.parquet(out).count()
+    assert total == 10_000

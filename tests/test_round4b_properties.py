@@ -193,3 +193,12 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     # t=100 matches 95 (distance 5 ≤ 10); t=200's latest match 95 is 105 away → NULL
     assert got == {(1, 100): "fresh", (1, 200): None}
+
+
+def test_kmv_set_algebra_estimates_near_exact(spark):
+    """K=64 KMV has ~12% relative error; union and intersection estimates
+    must land within 3σ of the exact counts carried in the same row."""
+    r = QUERIES["kmv_set_algebra"](spark, SF_DIR).collect()[0]
+    exact_union = r.exact_a + r.exact_b - r.exact_inter
+    assert abs(r.est_union - exact_union) / max(1, exact_union) < 0.4, r
+    assert abs(r.est_inter - r.exact_inter) / max(1, r.exact_inter) < 0.6, r
