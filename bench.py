@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "asof_forward_events",
     "asof_tolerance_events",
     "kmv_set_algebra",
+    "weighted_sssp",
 ]
 
 

@@ -206,3 +206,130 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("dist").cast("int"))
         .alias("hops"),
     )
+
+
+# ----------------------------------------------------------------------
+# weighted_sssp — Bellman-Ford rounds over the WEIGHTED co-occurrence
+# graph: edge weight = max(1, 6 − shared_orders) (stronger co-purchase =
+# shorter distance, clamped to [1, 5] so paths stay integer-exact), two
+# relaxation rounds from the nation-0 seed set. The weighted
+# generalization of `bfs_hops`: same O(edges) shuffle per round, same
+# min-combine (bit-exact integers, no quantization), lineage cut per
+# round; K rounds bound the horizon exactly like the reference's
+# iterative job chains.
+# ----------------------------------------------------------------------
+
+_WSSSP_ROUNDS = 2
+_WSSSP_INF = 2147483647
+
+
+def _wsssp_oracle() -> str:
+    head = f"""
+WITH pc AS (
+  SELECT LEAST(a.l_suppkey, b.l_suppkey) AS u,
+         GREATEST(a.l_suppkey, b.l_suppkey) AS v,
+         CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS cnt
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+wedges AS (
+  SELECT u AS s, v AS d, GREATEST(1, 6 - cnt) AS w FROM pc
+  UNION ALL
+  SELECT v AS s, u AS d, GREATEST(1, 6 - cnt) AS w FROM pc
+),
+nodes AS (SELECT DISTINCT s AS node FROM wedges),
+d0 AS (
+  SELECT node,
+         CASE WHEN node IN (SELECT s_suppkey FROM supplier
+                            WHERE s_nationkey = 0)
+              THEN 0 ELSE {_WSSSP_INF} END AS dist
+  FROM nodes
+)"""
+    iters = []
+    for k in range(1, _WSSSP_ROUNDS + 1):
+        iters.append(f"""
+d{k} AS (
+  SELECT n.node,
+         LEAST(n.dist, COALESCE(c.mind, {_WSSSP_INF})) AS dist
+  FROM d{k - 1} n LEFT JOIN (
+    SELECT e.d AS node, MIN(r.dist + e.w) AS mind
+    FROM wedges e JOIN d{k - 1} r ON e.s = r.node
+    WHERE r.dist < {_WSSSP_INF}
+    GROUP BY e.d
+  ) c ON c.node = n.node
+)""")
+    tail = f"""
+SELECT node,
+       CASE WHEN dist = {_WSSSP_INF} THEN NULL
+            ELSE CAST(dist AS BIGINT) END AS dist
+FROM d{_WSSSP_ROUNDS}"""
+    return head + "," + ",".join(iters) + tail
+
+
+@query("weighted_sssp", _wsssp_oracle())
+def weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # per-order supplier sets -> map-side pair expansion carrying the
+    # order, then a (u, v) count — the cooccurrence_pairs shape plus a
+    # shared-order count for the weight
+    grouped = li.distinct().groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("a")
+    )
+    pairs = (
+        grouped.filter(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("a") - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, F.size("a")),
+                            lambda j: F.struct(
+                                F.element_at("a", i).alias("u"),
+                                F.element_at("a", j).alias("v"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = F.greatest(F.lit(1), F.lit(6) - F.col("cnt"))
+    wedges = shared(
+        pairs.select(F.col("u").alias("s"), F.col("v").alias("d"), w.alias("w"))
+        .unionAll(
+            pairs.select(F.col("v").alias("s"), F.col("u").alias("d"), w.alias("w"))
+        )
+    )
+    nodes = wedges.select(F.col("s").alias("node")).distinct()
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("node"), F.lit(0).alias("seed_d"))
+    )
+    dists = nodes.join(F.broadcast(seeds), "node", "left").select(
+        "node", F.coalesce(F.col("seed_d"), F.lit(_WSSSP_INF)).alias("dist")
+    )
+    for _ in range(_WSSSP_ROUNDS):
+        contribs = (
+            wedges.join(dists, wedges["s"] == dists["node"])
+            .filter(F.col("dist") < _WSSSP_INF)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("mind"))
+        )
+        dists = dists.join(contribs, "node", "left").select(
+            "node",
+            F.least(
+                F.col("dist"), F.coalesce(F.col("mind"), F.lit(_WSSSP_INF))
+            ).alias("dist"),
+        )
+        dists = dists.localCheckpoint(eager=False)
+    return dists.select(
+        "node",
+        F.when(F.col("dist") == _WSSSP_INF, F.lit(None).cast("bigint"))
+        .otherwise(F.col("dist").cast("bigint"))
+        .alias("dist"),
+    )
