@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "asof_tolerance_events",
     "kmv_set_algebra",
     "weighted_sssp",
+    "rolling_active_users",
 ]
 
 

@@ -1259,3 +1259,83 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * F.col("nkeys") > 2 * F.col("total"))
         .select("user_id", "cnt")
     )
+
+
+# ----------------------------------------------------------------------
+# rolling_active_users — DAU / WAU / stickiness: per day, the distinct
+# users active that day and in the trailing 7 days. Exact sliding-window
+# COUNT DISTINCT does not decompose into window aggregates; the scalable
+# exact form explodes each (user, active-day) fact into the ≤7 following
+# days it keeps the user "weekly active" for (bounded fan-out, data-
+# independent) and counts distinct per day — two bounded-key shuffles,
+# no data-sized window state. Stickiness = one IEEE division of exact
+# counts.
+# ----------------------------------------------------------------------
+
+_RAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE user_id IS NOT NULL
+),
+span AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ud),
+contrib AS (
+  SELECT DISTINCT u.user_id, d.day
+  FROM ud u
+  CROSS JOIN span s
+  JOIN LATERAL (
+    SELECT unnest(generate_series(u.day, LEAST(u.day + 6, s.dmax))) AS day
+  ) d ON TRUE
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+),
+wau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM contrib GROUP BY day
+)
+SELECT CAST(w.day AS BIGINT) AS day,
+       COALESCE(d.dau, 0) AS dau,
+       w.wau,
+       (CAST(COALESCE(d.dau, 0) AS DOUBLE) / CAST(w.wau AS DOUBLE))
+         AS stickiness
+FROM wau w LEFT JOIN dau d ON w.day = d.day
+"""
+
+
+@query("rolling_active_users", _RAU_ORACLE)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.sources.tables import shared
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = shared(
+        ev.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day"),
+        ).distinct()
+    )
+    dmax = ud.agg(F.max("day").alias("dmax"))
+    contrib = (
+        ud.crossJoin(F.broadcast(dmax))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.least(F.col("day") + 6, F.col("dmax"))
+                )
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0).cast("bigint")).alias("dau"),
+            "wau",
+            (
+                F.coalesce(F.col("dau"), F.lit(0).cast("bigint")).cast("double")
+                / F.col("wau").cast("double")
+            ).alias("stickiness"),
+        )
+    )
