@@ -536,15 +536,30 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quote/inclusion case (a short doc embedded verbatim inside a long
 # one barely moves the union); containment is the measure excerpt
 # detection actually needs. Same inverted-index spine as
-# `dedup_ngram_jaccard` — posting-list self-join, cost ∝ total shingle
-# occurrences — but each ordered pair divides by ITS OWN set size, so
-# one intersection count serves both directions. Threshold 0.5: at
-# least half of the smaller doc appears in the other.
+# `dedup_ngram_jaccard` — posting-list self-join — but each ordered
+# pair divides by ITS OWN set size, so one intersection count serves
+# both directions; and unlike the deliberately-uncapped jaccard query,
+# the production df cap (stopword-shingle drop) is INSIDE the verified
+# contract here, bounding every posting list and hence the pair fan-out
+# at any corpus scale. Containment is measured over sub-cap shingles;
+# threshold 0.5: at least half the smaller doc's rare shingles appear
+# in the other.
 # ----------------------------------------------------------------------
+
+_CONTAIN_DF_CAP = 50  # stopword-shingle drop: the production posting-list
+# cap that bounds the self-join fan-out (pairs only counted over shingles
+# rarer than the cap) — mirrored EXACTLY in the oracle, so unlike the
+# uncapped `dedup_ngram_jaccard` this is the scale-guarded variant with the
+# guard inside the verified contract.
 
 _CONTAIN_ORACLE = f"""
 WITH {_SHINGLE_CTE},
-posts AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+posts0 AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+df AS (SELECT s, COUNT(*) AS df FROM posts0 GROUP BY s),
+posts AS (
+  SELECT p.doc_id, p.s FROM posts0 p JOIN df ON p.s = df.s
+  WHERE df.df <= {_CONTAIN_DF_CAP}
+),
 pair_inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
   FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -573,7 +588,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", trigram_shingles(tokens(F.col("text"))).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    posts = sh.select("doc_id", F.explode("sh").alias("s"))
+    posts0 = shared(sh.select("doc_id", F.explode("sh").alias("s")))
+    df = posts0.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    posts = posts0.join(
+        df.filter(F.col("df") <= _CONTAIN_DF_CAP).select("s"), "s"
+    )
     pair_inter = (
         posts.alias("a")
         .join(
