@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "kmv_set_algebra",
     "weighted_sssp",
     "rolling_active_users",
+    "order_cycle_time",
+    "seasonal_baseline",
 ]
 
 

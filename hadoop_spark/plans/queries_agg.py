@@ -1106,3 +1106,96 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_b",
         "exact_inter",
     )
+
+
+# ----------------------------------------------------------------------
+# order_cycle_time — fulfilment latency: days from order date to each
+# line's ship date, bucketed per priority (the warehouse SLA histogram).
+# Date subtraction is exact integer days in both engines; one bounded
+# (priority × latency-day) aggregation.
+# ----------------------------------------------------------------------
+
+_CYCLE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag_days,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+@query("order_cycle_time", _CYCLE_ORACLE)
+def order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return j.groupBy(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lag_days"),
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+# ----------------------------------------------------------------------
+# seasonal_baseline — the naive forecasting baseline every real model is
+# graded against: predict each month's revenue with the SAME month one
+# year earlier, and report the per-month absolute error plus the exact
+# decimal MAE numerator. One bounded monthly aggregate + one keyed lag
+# window over months (≤ |months| rows) — forecasting eval at 100 TB
+# costs one rollup.
+# ----------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+  FROM orders GROUP BY 1, 2
+),
+lagged AS (
+  SELECT yr, mo,
+         CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev,
+         CAST(CAST(lag(rev, 12) OVER (ORDER BY yr, mo) AS VARCHAR) AS DOUBLE)
+           AS pred
+  FROM monthly
+)
+SELECT yr, mo, rev, pred,
+       CAST(CAST(CAST(ABS(rev - pred) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE)
+         AS abs_err
+FROM lagged WHERE pred IS NOT NULL
+"""
+
+
+@query("seasonal_baseline", _SEASONAL_ORACLE)
+def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("rev_d")
+    )
+    # the month sequence is |months|-sized, so the unpartitioned lag
+    # window is domain-bounded (the user_growth argument)
+    w = W.orderBy("yr", "mo")
+    lagged = monthly.select(
+        "yr",
+        "mo",
+        F.col("rev_d").cast("double").alias("rev"),
+        F.lag("rev_d", 12).over(w).cast("double").alias("pred"),
+    )
+    return lagged.filter(F.col("pred").isNotNull()).select(
+        "yr",
+        "mo",
+        "rev",
+        "pred",
+        F.abs(F.col("rev") - F.col("pred"))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("abs_err"),
+    )
