@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "rolling_active_users",
     "order_cycle_time",
     "seasonal_baseline",
+    "daily_metric_corr",
+    "zipf_profile",
 ]
 
 

@@ -1006,3 +1006,93 @@ def ab_split_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("conv_rate"),
     )
+
+
+# ----------------------------------------------------------------------
+# daily_metric_corr — cross-table metric correlation: Pearson r between
+# daily order revenue and daily event volume. Each table collapses to
+# its |days|-sized daily series first (one bounded aggregation each);
+# the five correlation sufficient statistics are EXACT (revenue in
+# integer cents, DECIMAL(38) sums so squares can't overflow), and r is
+# one fixed IEEE expression over them, quantized for the cross-engine
+# hash. The "do these two 100 TB feeds move together" question at the
+# cost of two rollups.
+# ----------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH rev AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT)
+           AS day,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+),
+ev AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+j AS (SELECT rev.x, ev.y FROM rev JOIN ev ON rev.day = ev.day),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM j
+)
+SELECT n,
+       CAST(CAST(
+         (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+       AS DECIMAL(18,12)) AS DOUBLE) AS pearson_r
+FROM s
+"""
+
+
+@query("daily_metric_corr", _CORR_ORACLE)
+def daily_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    rev = orders.groupBy(
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("x")
+    )
+    evd = ev.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    j = rev.join(evd, "day").select("x", "y")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(d38("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(d38("x") * d38("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d38("x") * d38("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d38("y") * d38("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    r = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+        * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return s.select(
+        "n", r.cast("decimal(18,12)").cast("double").alias("pearson_r")
+    )

@@ -1041,3 +1041,61 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", tx.ws_token_count(F.col("text")).alias("n_tokens")
     )
     return _gq(src, "source", "n_tokens", _LEN_QS)
+
+
+# ----------------------------------------------------------------------
+# zipf_profile — does the corpus follow Zipf's law? Word frequencies
+# bucketed by the binary digit count of their RANK (the log-free log2
+# convention): for a Zipfian corpus, total mass per log-rank bucket is
+# roughly flat. Ranks come from the scalable global_rank-style ordering
+# of the (vocabulary-sized) word-count table; everything after the one
+# wordcount shuffle runs on vocabulary-sized data. The
+# tokenizer-capacity planning read: how much probability mass the next
+# doubling of vocabulary buys.
+# ----------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH wc AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wc GROUP BY w),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk FROM counts
+)
+SELECT CAST(length(bin(rnk)) AS BIGINT) AS rank_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(c) AS BIGINT) AS mass,
+       CAST(MAX(c) AS BIGINT) AS max_freq,
+       CAST(MIN(c) AS BIGINT) AS min_freq
+FROM ranked GROUP BY 1
+"""
+
+
+@query("zipf_profile", _ZIPF_ORACLE)
+def zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # vocabulary-sized ordering (same bounded argument as tfidf's window)
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("w")))
+    )
+    return ranked.groupBy(
+        F.length(F.bin("rnk")).cast("bigint").alias("rank_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("c").cast("bigint").alias("mass"),
+        F.max("c").alias("max_freq"),
+        F.min("c").alias("min_freq"),
+    )
