@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "seasonal_baseline",
     "daily_metric_corr",
     "zipf_profile",
+    "market_concentration",
+    "hourly_burst_flags",
 ]
 
 

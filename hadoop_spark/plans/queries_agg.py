@@ -1199,3 +1199,60 @@ def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("abs_err"),
     )
+
+
+# ----------------------------------------------------------------------
+# market_concentration — Herfindahl–Hirschman concentration of supplier
+# revenue within each nation: HHI = Σ share² = Σ rev² / (Σ rev)²,
+# computed ENTIRELY from integer cents (Σ rev² as DECIMAL(38) so squares
+# can't overflow) with one IEEE division at the end — the market-power /
+# supply-risk metric, exact at any parallelism. Two bounded
+# aggregations: (nation, supplier) revenue, then per-nation sums.
+# ----------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH sr AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey,
+         CAST(SUM(CAST(l.l_extendedprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS rev_c
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS BIGINT) AS total_rev_c,
+       (CAST(CAST(SUM(CAST(rev_c AS DECIMAL(38,0))
+                      * CAST(rev_c AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+        / (CAST(CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+           * CAST(CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)))
+         AS hhi
+FROM sr GROUP BY nation
+"""
+
+
+@query("market_concentration", _HHI_ORACLE)
+def market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sr = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    d38 = F.col("rev_c").cast("decimal(38,0)")
+    agg = sr.groupBy(F.col("nation").cast("bigint").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(d38).cast("bigint").alias("total_rev_c"),
+        F.sum(d38 * d38).cast("decimal(38,0)").alias("sum_sq"),
+    )
+    tot_d = F.col("total_rev_c").cast("decimal(38,0)").cast("double")
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        "total_rev_c",
+        (F.col("sum_sq").cast("double") / (tot_d * tot_d)).alias("hhi"),
+    )

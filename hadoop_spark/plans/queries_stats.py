@@ -1096,3 +1096,74 @@ def daily_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n", r.cast("decimal(18,12)").cast("double").alias("pearson_r")
     )
+
+
+# ----------------------------------------------------------------------
+# hourly_burst_flags — burst detection on the hourly activity series:
+# an (event_type, hour) is bursty when its count exceeds the trailing
+# 24-hour mean by 3σ. The window runs over the HOUR SERIES (bounded by
+# the time span, never by row count); mean/σ come from exact integer
+# window sums, and the burst decision is a DECIMAL-quantized margin so
+# the boolean cannot flip on sub-ulp noise (the anomaly_mad discipline
+# applied to a trailing frame).
+# ----------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH hc AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, hr, cnt,
+         CAST(SUM(cnt) OVER w AS BIGINT) AS s,
+         CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS s2,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n
+  FROM hc
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, CAST(hr AS BIGINT) AS hr, cnt,
+       CAST(CASE WHEN n >= 6 THEN
+         CAST(CAST(
+           CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           - 3.0 * sqrt(GREATEST(0.0,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
+         AS DECIMAL(18,6)) AS DOUBLE) > 0
+       ELSE FALSE END AS BOOLEAN) AS burst
+FROM win
+"""
+
+
+@query("hourly_burst_flags", _BURST_ORACLE)
+def hourly_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    win = hc.select(
+        "event_type",
+        F.col("hr").cast("bigint").alias("hr"),
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = F.greatest(
+        F.lit(0.0), F.col("s2").cast("double") / nd - mean * mean
+    )
+    margin = (
+        (F.col("cnt").cast("double") - mean - F.lit(3.0) * F.sqrt(var))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    burst = F.when(F.col("n") >= 6, margin > 0).otherwise(F.lit(False))
+    return win.select("event_type", "hr", "cnt", burst.alias("burst"))
