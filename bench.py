@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "zipf_profile",
     "market_concentration",
     "hourly_burst_flags",
+    "kcore_peel",
 ]
 
 

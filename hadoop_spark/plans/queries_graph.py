@@ -333,3 +333,67 @@ def weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("dist").cast("bigint"))
         .alias("dist"),
     )
+
+
+# ----------------------------------------------------------------------
+# kcore_peel — k-core decomposition, bounded peeling: repeatedly remove
+# nodes with degree < K from the supplier co-occurrence graph (2 rounds
+# — each round is one degree aggregation + one semi-join edge filter,
+# O(edges) shuffle, all integers), then report surviving nodes with
+# their residual degree. The dense-subgraph curation primitive (spam
+# rings, core communities); bounded rounds keep the plan static exactly
+# like `bfs_hops` / `label_propagation`.
+# ----------------------------------------------------------------------
+
+_KCORE_K = 12
+_KCORE_ROUNDS = 2
+
+
+def _kcore_oracle() -> str:
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS u,
+                  GREATEST(a.l_suppkey, b.l_suppkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+e0 AS (
+  SELECT u AS s, v AS d FROM pairs UNION ALL SELECT v AS s, u AS d FROM pairs
+)"""
+    iters = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        iters.append(f"""
+deg{r - 1} AS (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e{r - 1} GROUP BY s
+),
+keep{r} AS (SELECT node FROM deg{r - 1} WHERE deg >= {_KCORE_K}),
+e{r} AS (
+  SELECT e.s, e.d FROM e{r - 1} e
+  JOIN keep{r} ka ON e.s = ka.node
+  JOIN keep{r} kb ON e.d = kb.node
+)""")
+    tail = f"""
+SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS residual_deg
+FROM e{_KCORE_ROUNDS} GROUP BY s
+"""
+    return head + "," + ",".join(iters) + tail
+
+
+@query("kcore_peel", _kcore_oracle())
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = shared(symmetrize(cooccurrence_pairs(li, "l_orderkey", "l_suppkey")))
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy(F.col("s").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "s"), "s")
+            .join(keep.withColumnRenamed("node", "d"), "d")
+            .select("s", "d")
+        )
+        edges = edges.localCheckpoint(eager=False)
+    return edges.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("residual_deg")
+    )
