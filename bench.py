@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "market_concentration",
     "hourly_burst_flags",
     "kcore_peel",
+    "curriculum_tiers",
+    "token_budget_allocator",
 ]
 
 

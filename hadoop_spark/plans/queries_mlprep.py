@@ -1240,3 +1240,149 @@ def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))).alias("dt1_us"),
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 2).over(w))).alias("dt2_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum_tiers — curriculum-learning prep: documents ranked by an
+# integer quality score (stopword/punctuation composite, exact ROUND of
+# IEEE doubles over integer counts) and cut into equi-depth terciles via
+# the histogram quantile machinery — per-tier corpus mass is the
+# "easy → hard" schedule a curriculum trainer consumes. Score domain is
+# bounded (≤ 10001 buckets), so every post-scoring stage is domain-sized.
+
+_CURR_QS = {"t1": 1 / 3, "t2": 2 / 3}
+
+
+def _curr_score_sql() -> str:
+    qf = __import__(
+        "hadoop_spark.functions.text", fromlist=["quality_features_sql"]
+    ).quality_features_sql("text")
+    return (
+        f"CAST(ROUND(({qf['stopword_ratio']} * 0.5"
+        f" + (1.0 - {qf['punct_ratio']}) * 0.5) * 10000) AS BIGINT)"
+    )
+
+
+def _curr_oracle() -> str:
+    from hadoop_spark.operators.stats import group_quantiles_sql
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, n_chars, 0 AS g, {_curr_score_sql()} AS score
+  FROM documents WHERE text IS NOT NULL
+),
+{group_quantiles_sql("scored", "g", "score", _CURR_QS, "q")}
+SELECT CAST(1 + (CASE WHEN s.score > q.t1 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.score > q.t2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(s.score) AS BIGINT) AS min_score,
+       CAST(MAX(s.score) AS BIGINT) AS max_score
+FROM scored s CROSS JOIN q
+GROUP BY 1
+"""
+
+
+@query("curriculum_tiers", _curr_oracle())
+def curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.text import quality_features
+    from hadoop_spark.operators.stats import group_quantiles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    qf = quality_features(F.col("text"))
+    score = F.round(
+        (qf["stopword_ratio"] * 0.5 + (F.lit(1.0) - qf["punct_ratio"]) * 0.5)
+        * 10000
+    ).cast("bigint")
+    scored = shared(
+        docs.select("doc_id", "n_chars", F.lit(0).alias("g"), score.alias("score"))
+    )
+    cuts = group_quantiles(scored, "g", "score", _CURR_QS)
+    tier = (
+        F.lit(1)
+        + F.when(F.col("score") > F.col("t1"), 1).otherwise(0)
+        + F.when(F.col("score") > F.col("t2"), 1).otherwise(0)
+    )
+    return (
+        scored.join(F.broadcast(cuts), "g")
+        .groupBy(tier.cast("bigint").alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_budget_allocator — exact proportional allocation: split a fixed
+# token budget across sources in proportion to their available tokens,
+# with LARGEST-REMAINDER rounding so the allocations are integers that
+# sum EXACTLY to the budget (the sampling-plan arithmetic a mixture
+# builder needs before drawing). Pure integer math + one bounded
+# (|sources|) window — deterministic in both engines.
+
+_ALLOC_BUDGET = 1_000_000
+
+
+def _alloc_oracle() -> str:
+    from hadoop_spark.functions.text import ws_token_count_sql
+
+    return f"""
+WITH avail AS (
+  SELECT source, CAST(SUM({ws_token_count_sql("text")}) AS BIGINT) AS w
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM avail),
+base AS (
+  SELECT a.source, a.w,
+         (a.w * {_ALLOC_BUDGET}) // t.wt AS floor_alloc,
+         (a.w * {_ALLOC_BUDGET}) % t.wt AS rem
+  FROM avail a CROSS JOIN tot t
+),
+leftover AS (
+  SELECT {_ALLOC_BUDGET} - CAST(SUM(floor_alloc) AS BIGINT) AS r FROM base
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn FROM base
+)
+SELECT r1.source, r1.w AS tokens_avail,
+       CAST(r1.floor_alloc + CASE WHEN r1.rn <= l.r THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked r1 CROSS JOIN leftover l
+"""
+
+
+@query("token_budget_allocator", _alloc_oracle())
+def token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hadoop_spark.functions.text import ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    avail = docs.groupBy("source").agg(
+        F.sum(ws_token_count(F.col("text"))).cast("bigint").alias("w")
+    )
+    tot = avail.agg(F.sum("w").cast("bigint").alias("wt"))
+    base = avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        F.expr(f"(w * {_ALLOC_BUDGET}) div wt").alias("floor_alloc"),
+        F.expr(f"(w * {_ALLOC_BUDGET}) % wt").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(_ALLOC_BUDGET) - F.sum("floor_alloc")).cast("bigint").alias("r")
+    )
+    ranked = base.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source")))
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        F.col("w").alias("tokens_avail"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rn") <= F.col("r"), 1).otherwise(0)
+        ).cast("bigint").alias("alloc"),
+    )
