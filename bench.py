@@ -149,6 +149,20 @@ BENCH_QUERIES = [
     "kcore_peel",
     "curriculum_tiers",
     "token_budget_allocator",
+    # round-4c: relational division, melt, RFM cells, changepoints,
+    # ACF, rolling median, trigram-index search, assortativity
+    "relational_division",
+    "unpivot_metrics",
+    "rfm_segmentation",
+    "mean_shift_detect",
+    "autocorrelation",
+    "rolling_median",
+    "trigram_search",
+    "degree_assortativity",
+    "clustering_coefficient",
+    "event_type_diversity",
+    "incremental_agg_merge",
+    "table_fingerprint",
 ]
 
 

@@ -1256,3 +1256,105 @@ def market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_rev_c",
         (F.col("sum_sq").cast("double") / (tot_d * tot_d)).alias("hhi"),
     )
+
+
+# ----------------------------------------------------------------------
+# unpivot_metrics — wide-to-long reshaping (UNPIVOT / melt). A per-nation
+# wide metrics row (customer count, exact balance total, max balance)
+# melts into (nation, metric, value) tuples — the shape metric stores and
+# long-format BI tools ingest. Spark's native `DataFrame.unpivot` expands
+# map-side with zero extra shuffles beyond the one aggregation that built
+# the wide table; the oracle is the portable UNION ALL expansion. All
+# melted values share one DOUBLE column, decimal-quantized where the
+# source is a float aggregate.
+# ----------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT n.n_name,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+              AS DOUBLE) AS total_acctbal,
+         CAST(MAX(c.c_acctbal) AS DOUBLE) AS max_acctbal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT n_name, 'total_acctbal' AS metric, total_acctbal AS value FROM wide
+UNION ALL
+SELECT n_name, 'max_acctbal' AS metric, max_acctbal AS value FROM wide
+"""
+
+
+@query("unpivot_metrics", _UNPIVOT_ORACLE)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-nation metrics melted long via native unpivot."""
+    from hadoop_spark.functions.numeric import dsum
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    wide = (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+            F.max("c_acctbal").cast("double").alias("max_acctbal"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"],
+        ["n_customers", "total_acctbal", "max_acctbal"],
+        "metric",
+        "value",
+    )
+
+
+# ----------------------------------------------------------------------
+# incremental_agg_merge — incremental materialized-view maintenance: a
+# pre-aggregated base (yesterday's materialization, here the 90% of
+# orders with o_orderkey % 10 != 0) absorbs a delta batch (the other
+# 10%) by MERGING PARTIAL AGGREGATES — counts add, exact integer-cent
+# sums add — instead of re-scanning the base fact table. This is how a
+# 100 TB rollup stays fresh: the delta-sized scan plus a view-sized
+# merge, never a full recompute. The oracle IS the full recompute over
+# all orders, so the test asserts the merge law (partial ⊕ partial =
+# total) exactly.
+# ----------------------------------------------------------------------
+
+_IVM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("incremental_agg_merge", _IVM_ORACLE)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+
+    base = partial(orders.filter(F.pmod(F.col("o_orderkey"), 10) != 0))
+    delta = partial(orders.filter(F.pmod(F.col("o_orderkey"), 10) == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

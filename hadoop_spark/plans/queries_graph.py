@@ -397,3 +397,219 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("residual_deg")
     )
+
+
+# ----------------------------------------------------------------------
+# degree_assortativity — Pearson correlation of endpoint degrees over the
+# directed (symmetrized) edge list of the PART co-purchase graph: do
+# popular parts tend to be bought alongside other popular parts? (The
+# supplier co-occurrence graph is near-complete — hence regular, with
+# zero degree variance — at small SF, so parts are the right fixture.) One of the standard whole-graph
+# health metrics (Newman 2002). Shuffle profile: the edge build (one
+# groupBy), one degree aggregation, two degree joins keyed on the edge
+# endpoints — at cluster scale both joins broadcast (degrees are
+# node-sized, orders of magnitude smaller than edges). All correlation
+# term sums are exact DECIMAL(38,0) integer arithmetic over degrees;
+# only the final ratio is floating, quantized on both engines.
+# ----------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT u AS s, v AS d FROM pairs UNION ALL SELECT v AS s, u AS d FROM pairs
+),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY s),
+ej AS (
+  SELECT ds.dg AS dx, dd.dg AS dy
+  FROM edges e
+  JOIN deg ds ON e.s = ds.s
+  JOIN deg dd ON e.d = dd.s
+),
+comp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(dx AS DECIMAL(38,0)) * CAST(dx AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(dy AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM ej
+)
+SELECT n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       CAST(CAST(
+         (CAST(n_edges AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+         / (SQRT(CAST(n_edges AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+            * SQRT(CAST(n_edges AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+       AS DECIMAL(18,12)) AS DOUBLE) AS assortativity
+FROM comp
+"""
+
+
+@query("degree_assortativity", _ASSORT_ORACLE)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = shared(symmetrize(cooccurrence_pairs(li, "l_orderkey", "l_partkey")))
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ej = (
+        edges.join(F.broadcast(deg.select("s", F.col("dg").alias("dx"))), "s")
+        .join(
+            F.broadcast(
+                deg.select(F.col("s").alias("d"), F.col("dg").alias("dy"))
+            ),
+            "d",
+        )
+        .select("dx", "dy")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    comp = ej.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(d38("dx")).cast("decimal(38,0)").alias("sx"),
+        F.sum(d38("dy")).cast("decimal(38,0)").alias("sy"),
+        F.sum(d38("dx") * d38("dy")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d38("dx") * d38("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d38("dy") * d38("dy")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n_edges").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    r = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+        * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return comp.join(F.broadcast(n_nodes)).select(
+        "n_edges",
+        "n_nodes",
+        r.cast("decimal(18,12)").cast("double").alias("assortativity"),
+    )
+
+
+# ----------------------------------------------------------------------
+# clustering_coefficient — per-node local clustering over the part
+# co-purchase graph: cc(v) = 2·T(v) / (d(v)·(d(v)−1)), the fraction of a
+# node's neighbor pairs that are themselves connected. Triangles are
+# enumerated ONCE by the same degree-oriented wedge scheme as
+# `triangle_count` (wedges fan out from the LOW-degree endpoint, closing
+# edge is a computed equi-join key), then each triangle's three corners
+# explode into a per-node count. Unlike the global count, per-center
+# attribution can't pre-aggregate the wedge stream — the closing join
+# runs over wedge-sized data, which the orientation bounds at
+# O(m^{3/2}); at 100 TB the wedge stream shards by center and the join
+# stays a plain equi-join. cc itself is an exact integer ratio,
+# quantized identically on both engines.
+# ----------------------------------------------------------------------
+
+_CC_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS s,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS t,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS dt
+  FROM pairs p
+  JOIN deg du ON du.node = p.u
+  JOIN deg dv ON dv.node = p.v
+),
+wedges AS (
+  SELECT e1.s AS a,
+         CASE WHEN (e1.dt, e1.t) < (e2.dt, e2.t) THEN e1.t ELSE e2.t END AS cs,
+         CASE WHEN (e1.dt, e1.t) < (e2.dt, e2.t) THEN e2.t ELSE e1.t END AS ct
+  FROM oriented e1 JOIN oriented e2
+    ON e1.s = e2.s AND e1.t < e2.t
+),
+tri AS (
+  SELECT w.a, w.cs, w.ct
+  FROM wedges w JOIN oriented e ON e.s = w.cs AND e.t = w.ct
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT cs FROM tri
+  UNION ALL SELECT ct FROM tri
+),
+tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY node)
+SELECT deg.node, deg.d,
+       CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2 THEN
+         CAST(CAST(
+           CAST(2 * COALESCE(tc.t, 0) AS DOUBLE)
+           / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+         AS DECIMAL(18,12)) AS DOUBLE)
+       ELSE CAST(0 AS DOUBLE) END AS cc
+FROM deg LEFT JOIN tc ON deg.node = tc.node
+"""
+
+
+@query("clustering_coefficient", _CC_ORACLE)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = shared(cooccurrence_pairs(li, "l_orderkey", "l_partkey"))
+    deg = shared(
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = shared(
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    b_lower = (F.col("e1.dt") < F.col("e2.dt")) | (
+        (F.col("e1.dt") == F.col("e2.dt")) & (F.col("e1.t") < F.col("e2.t"))
+    )
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(
+        F.col("e1.s").alias("a"),
+        F.when(b_lower, F.col("e1.t")).otherwise(F.col("e2.t")).alias("cs"),
+        F.when(b_lower, F.col("e2.t")).otherwise(F.col("e1.t")).alias("ct"),
+    )
+    closing = oriented.select(F.col("s").alias("cs"), F.col("t").alias("ct"))
+    tri = wedges.join(closing, ["cs", "ct"])
+    corners = tri.select(
+        F.explode(F.array("a", "cs", "ct")).alias("node")
+    )
+    tc = corners.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    out = deg.join(tc, "node", "left")
+    t = F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+    cc = F.when(
+        F.col("d") >= 2,
+        ((t * 2).cast("double") / (F.col("d") * (F.col("d") - 1)).cast("double"))
+        .cast("decimal(18,12)")
+        .cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select("node", "d", t.alias("n_triangles"), cc.alias("cc"))

@@ -1040,3 +1040,102 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
     )
+
+
+# ----------------------------------------------------------------------
+# table_fingerprint — order-insensitive whole-table checksums, the
+# engine-side analogue of DistCp's post-copy CRC verification
+# (`TOOLS/distcp/util/DistCpUtils.java` checksum comparison): every row
+# renders to a canonical string (keys and cents as integers, so the
+# rendering is engine-independent), hashes through the portable 60-bit
+# md5 (`functions/hashing.py`), and the per-table fingerprint is the
+# EXACT decimal sum of row hashes plus the row count. Sum-of-hashes is
+# commutative — any partitioning, any engine, same fingerprint — which
+# is precisely what lets a 100 TB copy be verified by two independent
+# map-side scans with a 2-row comparison at the end. Output stays
+# VARCHAR: the 77-bit sum does not fit a double or a BIGINT.
+# ----------------------------------------------------------------------
+
+
+def _canon_li_sql() -> str:
+    return (
+        "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),"
+        " CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),"
+        " CAST(CAST(l_quantity * 100 AS DECIMAL(38,0)) AS VARCHAR),"
+        " CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS VARCHAR),"
+        " l_returnflag, l_linestatus)"
+    )
+
+
+def _canon_ord_sql() -> str:
+    return (
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
+        " o_orderstatus,"
+        " CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS VARCHAR),"
+        " CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS VARCHAR),"
+        " o_orderpriority)"
+    )
+
+
+_FP_ORACLE = f"""
+SELECT 'lineitem' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST({portable_hash64_sql(_canon_li_sql(), salt="#fp")}
+            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+FROM lineitem
+UNION ALL
+SELECT 'orders' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST({portable_hash64_sql(_canon_ord_sql(), salt="#fp")}
+            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+FROM orders
+"""
+
+
+@query("table_fingerprint", _FP_ORACLE)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = lambda c: (F.col(c) * 100).cast("decimal(38,0)").cast("string")  # noqa: E731
+    li_canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        cents("l_quantity"),
+        cents("l_extendedprice"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    )
+    ord_canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents("o_totalprice"),
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .cast("string"),
+        F.col("o_orderpriority"),
+    )
+
+    def fp(df: DataFrame, canon, name: str) -> DataFrame:
+        return df.select(
+            portable_hash64(canon, salt="#fp").alias("h")
+        ).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("fingerprint"),
+        )
+
+    return fp(li, li_canon, "lineitem").unionByName(
+        fp(orders, ord_canon, "orders")
+    )

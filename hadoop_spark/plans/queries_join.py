@@ -621,3 +621,43 @@ def asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance=_ASOF_TOL_US,
         value_cols=["click_ts_us"],
     )
+
+
+# ----------------------------------------------------------------------
+# relational_division — the classic "FOR ALL" operator (Codd's division):
+# users who performed EVERY distinct event type in the log. The reference
+# expresses this as a two-job MapReduce chain (distinct per (user, type),
+# then a reduce comparing per-user type counts to the global type count);
+# the Spark form is two aggregations plus a 1-row broadcast cross join —
+# the divisor cardinality is a scalar by construction, so nothing about
+# this shape changes at 100 TB: one partial-aggregated distinct shuffle
+# on (user, type), one count shuffle on user, and the scalar divisor is
+# broadcast (never a driver-side collect in the data path).
+# ----------------------------------------------------------------------
+
+_DIVISION_ORACLE = """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+HAVING COUNT(DISTINCT event_type)
+       = (SELECT COUNT(DISTINCT event_type) FROM events)
+"""
+
+
+@query("relational_division", _DIVISION_ORACLE)
+def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Division = per-key distinct-count equals divisor cardinality."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = (
+        ev.distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    divisor = ev.select("event_type").distinct().agg(
+        F.count(F.lit(1)).alias("n_all")
+    )
+    return (
+        per_user.join(F.broadcast(divisor))
+        .filter(F.col("n_types") == F.col("n_all"))
+        .select("user_id", "n_types")
+    )

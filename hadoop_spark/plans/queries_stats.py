@@ -1167,3 +1167,436 @@ def hourly_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     burst = F.when(F.col("n") >= 6, margin > 0).otherwise(F.lit(False))
     return win.select("event_type", "hr", "cnt", burst.alias("burst"))
+
+
+# ----------------------------------------------------------------------
+# rfm_segmentation — classic customer RFM scoring: recency (days since
+# last order), frequency (order count), monetary (exact integer cents),
+# each cut into quartiles, customers bucketed into 64 "RFM cells". The
+# scalable form NEVER runs a global NTILE (a single-partition window):
+# quartile cut points come from `operators/stats.group_quantiles` — one
+# partial-aggregated value-histogram shuffle per dimension, bounded by
+# the distinct-value count, broadcast back as a 1-row literal — and the
+# score is a map-side comparison against the three cuts. Monetary is
+# bucketed to $500 cells before the histogram so its distinct-value
+# count stays bounded at any scale.
+# ----------------------------------------------------------------------
+
+_RFM_QS = {"c1": 0.25, "c2": 0.50, "c3": 0.75}
+
+
+def _rfm_oracle() -> str:
+    blocks = []
+    for dim, prefix in (("last_day", "rq"), ("freq", "fq"), ("mon_bucket", "mq")):
+        blocks.append(
+            group_quantiles_sql(f"{prefix}_src", "g", dim, _RFM_QS, prefix)
+        )
+    score = lambda v, p: (  # noqa: E731
+        f"CAST(1 + (CASE WHEN {v} > {p}.c1 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {v} > {p}.c2 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {v} > {p}.c3 THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+    return f"""
+WITH rfm0 AS (
+  SELECT o_custkey,
+         CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+              AS BIGINT) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS mon_cents
+  FROM orders GROUP BY o_custkey
+),
+rfm AS (
+  SELECT *, CAST(mon_cents // 50000 AS BIGINT) AS mon_bucket FROM rfm0
+),
+rq_src AS (SELECT 1 AS g, last_day FROM rfm),
+fq_src AS (SELECT 1 AS g, freq FROM rfm),
+mq_src AS (SELECT 1 AS g, mon_bucket FROM rfm),
+{",".join(blocks)},
+scored AS (
+  SELECT {score("r.last_day", "rq")} AS r_score,
+         {score("r.freq", "fq")} AS f_score,
+         {score("r.mon_bucket", "mq")} AS m_score,
+         r.mon_cents
+  FROM rfm r, rq, fq, mq
+)
+SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment,
+       r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(CAST(mon_cents AS DECIMAL(38,0))) AS BIGINT) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS revenue
+FROM scored
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("rfm_segmentation", _rfm_oracle())
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-cut RFM cells without a global NTILE window."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.floor(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / 86_400_000_000
+            )
+        )
+        .cast("bigint")
+        .alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("mon_cents"),
+    )
+    rfm = rfm.withColumn(
+        "mon_bucket", F.floor(F.col("mon_cents") / 50000).cast("bigint")
+    )
+    cuts = []
+    for dim in ("last_day", "freq", "mon_bucket"):
+        q = group_quantiles(
+            rfm.select(F.lit(1).alias("g"), dim), "g", dim, _RFM_QS
+        ).select(
+            *[F.col(c).alias(f"{dim}_{c}") for c in _RFM_QS]
+        )
+        cuts.append(q)
+
+    def _score(dim: str):
+        s = F.lit(1)
+        for c in _RFM_QS:
+            s = s + F.when(F.col(dim) > F.col(f"{dim}_{c}"), 1).otherwise(0)
+        return s.cast("bigint")
+
+    scored = rfm
+    for q in cuts:
+        scored = scored.join(F.broadcast(q))
+    scored = scored.select(
+        _score("last_day").alias("r_score"),
+        _score("freq").alias("f_score"),
+        _score("mon_bucket").alias("m_score"),
+        "mon_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum(F.col("mon_cents").cast("decimal(38,0)"))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(100).cast("double")
+        ).alias("revenue"),
+    ).select(
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+        "r_score",
+        "f_score",
+        "m_score",
+        "n_customers",
+        "revenue",
+    )
+
+
+# ----------------------------------------------------------------------
+# mean_shift_detect — changepoint candidates on the daily revenue series:
+# a day is flagged when the mean of the NEXT 7 days departs from the mean
+# of the PREVIOUS 7 days by more than 30%. The recursive CUSUM statistic
+# is inherently sequential (S_t depends on S_{t-1}); the batch-parallel
+# changepoint form is this two-sided window contrast — and the window
+# runs over the DAY-AGGREGATED series (bounded by the calendar span, not
+# the row count), so the fact-table work is one partial-aggregated
+# groupBy. Entirely integer-cent arithmetic: the flag is the integer
+# cross-multiplication `10*|s_next - s_prev| > 3*s_prev`, which cannot
+# flip on float noise on either engine.
+# ----------------------------------------------------------------------
+
+_MEAN_SHIFT_ORACLE = """
+WITH rev AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day, x,
+         CAST(SUM(x) OVER (ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s_prev,
+         CAST(COUNT(*) OVER (ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prev,
+         CAST(SUM(x) OVER (ORDER BY day
+              ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS BIGINT) AS s_next,
+         CAST(COUNT(*) OVER (ORDER BY day
+              ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS BIGINT) AS n_next
+  FROM rev
+)
+SELECT day, x AS revenue_cents,
+       CAST(ABS(s_next - s_prev) AS BIGINT) AS shift_cents,
+       (10 * ABS(s_next - s_prev)) > (3 * s_prev) AS shifted
+FROM win
+WHERE n_prev = 7 AND n_next = 7
+"""
+
+
+@query("mean_shift_detect", _MEAN_SHIFT_ORACLE)
+def mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("x")
+    )
+    # Window over the day series: bounded by the calendar span (the
+    # 100 TB fact table has already collapsed to one row per day).
+    wp = W.orderBy("day").rowsBetween(-7, -1)
+    wn = W.orderBy("day").rowsBetween(1, 7)
+    win = rev.select(
+        "day",
+        "x",
+        F.sum("x").over(wp).cast("bigint").alias("s_prev"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_prev"),
+        F.sum("x").over(wn).cast("bigint").alias("s_next"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_next"),
+    )
+    diff = F.abs(F.col("s_next") - F.col("s_prev"))
+    return win.filter((F.col("n_prev") == 7) & (F.col("n_next") == 7)).select(
+        "day",
+        F.col("x").alias("revenue_cents"),
+        diff.cast("bigint").alias("shift_cents"),
+        ((diff * 10) > (F.col("s_prev") * 3)).alias("shifted"),
+    )
+
+
+# ----------------------------------------------------------------------
+# autocorrelation — ACF of the daily revenue series at lags 1..7 (the
+# weekly-seasonality diagnostic a forecasting pipeline runs before model
+# choice). One pass computes all seven lag columns over the bounded
+# day-aggregated series, an explode stacks them long, and each lag's
+# Pearson term sums run in exact DECIMAL(38,0) integer-cent arithmetic
+# (the `daily_metric_corr` discipline); only the final ratio is floating,
+# with the DuckDB side reading decimals through the VARCHAR round-trip
+# because its direct INT128→DOUBLE cast is not correctly rounded.
+# ----------------------------------------------------------------------
+
+_ACF_LAGS = 7
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(x, {k}) OVER (ORDER BY day) AS lx{k}"
+        for k in range(1, _ACF_LAGS + 1)
+    )
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {k} AS lag, x, lx{k} AS y FROM lagged WHERE lx{k} IS NOT NULL"
+        for k in range(1, _ACF_LAGS + 1)
+    )
+    dd = lambda v: f"CAST(CAST({v} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH rev AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT day, x,
+         {lag_cols}
+  FROM rev
+),
+pairs AS (
+{arms}
+),
+comp AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       CAST(CAST(
+         (CAST(n AS DOUBLE) * {dd("sxy")} - {dd("sx")} * {dd("sy")})
+         / (SQRT(CAST(n AS DOUBLE) * {dd("sxx")} - {dd("sx")} * {dd("sx")})
+            * SQRT(CAST(n AS DOUBLE) * {dd("syy")} - {dd("sy")} * {dd("sy")}))
+       AS DECIMAL(18,12)) AS DOUBLE) AS acf
+FROM comp
+"""
+
+
+@query("autocorrelation", _acf_oracle())
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = W.orderBy("day")
+    lagged = rev.select(
+        "x",
+        *[F.lag("x", k).over(w).alias(f"lx{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    pairs = (
+        lagged.select(
+            "x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("bigint").alias("lag"),
+                            F.col(f"lx{k}").alias("y"),
+                        )
+                        for k in range(1, _ACF_LAGS + 1)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("x", "p.lag", "p.y")
+        .filter(F.col("y").isNotNull())
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    comp = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(d38("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(d38("x") * d38("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d38("x") * d38("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d38("y") * d38("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    acf = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+        * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return comp.select(
+        "lag", "n", acf.cast("decimal(18,12)").cast("double").alias("acf")
+    )
+
+
+# ----------------------------------------------------------------------
+# rolling_median — exact per-user trailing-5-event median of `value`
+# (robust smoothing a metrics pipeline applies before thresholding). A
+# median over a SMALL FIXED frame is the one case where collecting the
+# frame is the right distributed plan: the per-row state is 5 doubles
+# (collect_list over a keyed bounded window, sorted map-side), never a
+# per-group unbounded buffer. Both engines select identical ranks from
+# the sorted frame and interpolate with the same (lo + hi) / 2, so the
+# result is bit-exact.
+# ----------------------------------------------------------------------
+
+_ROLLMED_ORACLE = """
+WITH framed AS (
+  SELECT event_id, user_id,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+         )) AS arr
+  FROM events
+)
+SELECT event_id, user_id,
+       (arr[CAST((len(arr) + 1) // 2 AS INT)]
+        + arr[CAST(len(arr) // 2 + 1 AS INT)]) / CAST(2 AS DOUBLE)
+         AS rolling_median
+FROM framed
+"""
+
+
+@query("rolling_median", _ROLLMED_ORACLE)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        F.sort_array(F.collect_list("value").over(w)).alias("arr"),
+    )
+    n = F.size("arr")
+    lo = F.element_at("arr", F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at("arr", (F.floor(n / 2) + 1).cast("int"))
+    return framed.select(
+        "event_id",
+        "user_id",
+        ((lo + hi) / F.lit(2).cast("double")).alias("rolling_median"),
+    )
+
+
+# ----------------------------------------------------------------------
+# event_type_diversity — per-user behavioral diversity as the
+# Gini–Simpson index D = 1 − Σ c_i(c_i−1) / (n(n−1)) (the probability
+# two events drawn without replacement differ in type). Chosen over
+# Shannon entropy deliberately: D is an EXACT integer ratio — no
+# cross-engine transcendental (ln differs by ulps between Java's Math
+# and libm, which the repo-wide log-free discipline exists to avoid).
+# Two partial-aggregated shuffles: (user, type) counts, then user.
+# ----------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH ct AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ag AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS ss
+  FROM ct GROUP BY 1
+)
+SELECT user_id, n,
+       CASE WHEN n >= 2 THEN
+         CAST(CAST(
+           CAST(1 AS DOUBLE) - CAST(ss AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+         AS DECIMAL(18,12)) AS DOUBLE)
+       ELSE CAST(0 AS DOUBLE) END AS simpson_diversity
+FROM ag
+"""
+
+
+@query("event_type_diversity", _DIVERSITY_ORACLE)
+def event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    ag = ct.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("ss"),
+    )
+    div = F.when(
+        F.col("n") >= 2,
+        (
+            F.lit(1).cast("double")
+            - F.col("ss").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        )
+        .cast("decimal(18,12)")
+        .cast("double"),
+    ).otherwise(F.lit(0.0))
+    return ag.select("user_id", "n", div.alias("simpson_diversity"))

@@ -1099,3 +1099,85 @@ def zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("max_freq"),
         F.min("c").alias("min_freq"),
     )
+
+
+# ----------------------------------------------------------------------
+# trigram_search — index-accelerated substring search (the pg_trgm /
+# code-search pattern, word-granular): build an inverted word-trigram
+# posting list over the corpus, probe it with a BATCH of search phrases
+# (a doc is a candidate only if it holds EVERY trigram of the phrase),
+# and verify candidates with an exact substring match. The index prunes
+# the verify step from |corpus| to |candidates|: at 100 TB the postings
+# are pre-materialized partitioned BY TRIGRAM, so a probe touches only
+# the partitions of the phrase's trigrams (same partition-pruned shape
+# as the IVF probe in `queries_similarity.py`) — here the postings build
+# is inlined since the fixture corpus is read in one pass either way.
+# Only trigrams matching the probe set survive the map side (the filter
+# sits before the shuffle), so the candidate join is probe-sized.
+# ----------------------------------------------------------------------
+
+_SEARCH_PHRASES = [
+    "slow fast table value",
+    "merge batch part",
+    "key agg row scan",
+    "window table table key",
+    "scan query big table",
+]
+
+
+def _trigram_search_oracle() -> str:
+    vals = ",\n    ".join(f"('{p}')" for p in _SEARCH_PHRASES)
+    return f"""
+SELECT p.phrase, d.doc_id, d.source
+FROM documents d
+JOIN (VALUES
+    {vals}
+) p(phrase) ON contains(d.text, p.phrase)
+"""
+
+
+@query("trigram_search", _trigram_search_oracle())
+def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    trigrams = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i),
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Probe table: (phrase, trigram, n_trigrams) — a bounded literal, the
+    # DistributedCache side of the join.
+    probe_rows = []
+    for p in _SEARCH_PHRASES:
+        toks = p.split(" ")
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        for g in grams:
+            probe_rows.append((p, g, len(set(grams))))
+    probe = spark.createDataFrame(
+        probe_rows, "phrase string, trigram string, n_grams int"
+    )
+    probe_grams = {g for _, g, _ in probe_rows}
+    postings = docs.select(
+        "doc_id", "source", "text", F.explode(trigrams).alias("trigram")
+    ).filter(F.col("trigram").isin(sorted(probe_grams)))
+    candidates = (
+        postings.join(F.broadcast(probe), "trigram")
+        .groupBy("phrase", "doc_id", "source", "text", "n_grams")
+        .agg(F.countDistinct("trigram").alias("hit_grams"))
+        .filter(F.col("hit_grams") == F.col("n_grams"))
+    )
+    # Exact verify: the trigram index is lossless-negative (no false
+    # dismissals) but can admit false positives across distinct phrases
+    # sharing all trigrams — contains() is the authority.
+    return candidates.filter(
+        F.instr(F.col("text"), F.col("phrase")) > 0
+    ).select("phrase", "doc_id", "source")
