@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "event_type_diversity",
     "incremental_agg_merge",
     "table_fingerprint",
+    "order_backlog_curve",
+    "supplier_fill_rate",
+    "embedding_norm_outliers",
 ]
 
 

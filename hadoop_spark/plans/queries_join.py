@@ -661,3 +661,57 @@ def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_types") == F.col("n_all"))
         .select("user_id", "n_types")
     )
+
+
+# ----------------------------------------------------------------------
+# supplier_fill_rate — per-supplier SLA attainment: the share of line
+# items shipped within 30 days of their order's placement date. A
+# fact-to-fact equi-join (lineitem ⋈ orders on orderkey) — the shape
+# that motivates CO-PARTITIONED storage: at 100 TB both tables bucket by
+# orderkey (`sources/bucketed.py` provides the layout and its
+# zero-Exchange join proof), so this join is a local zipper, and the
+# only shuffle left is the supplier aggregation. The rate is an exact
+# integer pair (filled, total) with one final quantized division.
+# ----------------------------------------------------------------------
+
+_FILL_RATE_ORACLE = """
+WITH j AS (
+  SELECT l.l_suppkey,
+         CASE WHEN epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+                   - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+                   <= 30
+              THEN 1 ELSE 0 END AS filled
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(filled) AS BIGINT) AS n_filled,
+       CAST(CAST(
+         CAST(SUM(filled) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       AS DECIMAL(18,12)) AS DOUBLE) AS fill_rate
+FROM j GROUP BY 1
+"""
+
+
+@query("supplier_fill_rate", _FILL_RATE_ORACLE)
+def supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    day_of = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) / 86_400_000_000
+    ).cast("bigint")
+    j = li.select("l_orderkey", "l_suppkey", day_of("l_shipdate").alias("sd")).join(
+        orders.select("o_orderkey", day_of("o_orderdate").alias("od")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    filled = F.when(F.col("sd") - F.col("od") <= 30, 1).otherwise(0)
+    agg = j.select("l_suppkey", filled.alias("filled")).groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("filled").cast("bigint").alias("n_filled"),
+    )
+    rate = (
+        (F.col("n_filled").cast("double") / F.col("n_lines").cast("double"))
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return agg.select("l_suppkey", "n_lines", "n_filled", rate.alias("fill_rate"))

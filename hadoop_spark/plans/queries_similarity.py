@@ -683,3 +683,61 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_LSH_TOP_K).cast("bigint").alias("k"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# embedding_norm_outliers — vector-quality gate for an embedding corpus:
+# flag vectors whose squared norm falls outside the robust Tukey fence
+# (Q3 + 3·IQR / Q1 − 3·IQR) of the corpus distribution. Degenerate norms
+# are the standard symptom of truncated inputs or collapsed encoders,
+# and gating them precedes any ANN/dedup stage. Exactness: the norm is
+# the integer dot product of the 1e7-quantized vector with itself (the
+# repo's embedding discipline), quantile cuts come from the bounded
+# value histogram of norm KILO-buckets (`operators/stats.group_quantiles`
+# — one partial-aggregated shuffle, broadcast back), and the fence test
+# is pure integer comparison. No floats anywhere.
+# ----------------------------------------------------------------------
+
+_NORM_QS = {"q1": 0.25, "q3": 0.75}
+
+
+def _norm_outlier_oracle() -> str:
+    from hadoop_spark.operators.stats import group_quantiles_sql
+
+    return f"""
+WITH nrm AS (
+  SELECT vec_id,
+         {int_dot_sql(quantize_sql("embedding"), quantize_sql("embedding"))}
+           AS n2
+  FROM embeddings
+),
+nb AS (SELECT vec_id, n2, CAST(n2 // 1000 AS BIGINT) AS nk FROM nrm),
+nq_src AS (SELECT 1 AS g, nk FROM nb),
+{group_quantiles_sql("nq_src", "g", "nk", _NORM_QS, "nq")}
+SELECT nb.vec_id, nb.n2,
+       (nb.nk > nq.q3 + 3 * (nq.q3 - nq.q1)
+        OR nb.nk < nq.q1 - 3 * (nq.q3 - nq.q1)) AS is_outlier
+FROM nb, nq
+"""
+
+
+@query("embedding_norm_outliers", _norm_outlier_oracle())
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.operators.stats import group_quantiles
+
+    emb = with_quantized(load_table(spark, sf_dir, "embeddings"))
+    nb = emb.select(
+        "vec_id", "n2", F.floor(F.col("n2") / 1000).cast("bigint").alias("nk")
+    )
+    cuts = group_quantiles(
+        nb.select(F.lit(1).alias("g"), "nk"), "g", "nk", _NORM_QS
+    ).select("q1", "q3")
+    iqr3 = (F.col("q3") - F.col("q1")) * 3
+    return nb.join(F.broadcast(cuts)).select(
+        "vec_id",
+        "n2",
+        (
+            (F.col("nk") > F.col("q3") + iqr3)
+            | (F.col("nk") < F.col("q1") - iqr3)
+        ).alias("is_outlier"),
+    )

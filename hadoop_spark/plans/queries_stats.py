@@ -1600,3 +1600,80 @@ def event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double"),
     ).otherwise(F.lit(0.0))
     return ag.select("user_id", "n", div.alias("simpson_diversity"))
+
+
+# ----------------------------------------------------------------------
+# order_backlog_curve — open-order backlog over time: each day, how many
+# orders have been placed but not yet fully shipped (completion = the
+# order's LAST lineitem ship day). Interval-overlap counting at scale is
+# NEVER a per-day range join — it is two day-aggregated event series
+# (placements, completions) and one cumulative-sum window over the
+# bounded calendar axis: backlog(d) = cum_placed(d) − cum_completed(d).
+# The fact-table work is one groupBy per series; integers end-to-end.
+# ----------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH placed AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS placed
+  FROM orders GROUP BY 1
+),
+done_per_order AS (
+  SELECT l_orderkey,
+         CAST(MAX(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000)
+              AS BIGINT) AS done_day
+  FROM lineitem GROUP BY 1
+),
+completed AS (
+  SELECT done_day AS day, CAST(COUNT(*) AS BIGINT) AS completed
+  FROM done_per_order GROUP BY 1
+),
+days AS (
+  SELECT COALESCE(p.day, c.day) AS day,
+         COALESCE(p.placed, 0) AS placed,
+         COALESCE(c.completed, 0) AS completed
+  FROM placed p FULL OUTER JOIN completed c ON p.day = c.day
+)
+SELECT day, placed, completed,
+       CAST(SUM(placed) OVER w - SUM(completed) OVER w AS BIGINT) AS backlog
+FROM days
+WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("order_backlog_curve", _BACKLOG_ORACLE)
+def order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    day_of = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) / 86_400_000_000
+    ).cast("bigint")
+    placed = orders.groupBy(day_of("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("placed")
+    )
+    completed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(day_of("l_shipdate")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("completed"))
+    )
+    days = (
+        placed.join(completed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("placed", F.lit(0)).alias("placed"),
+            F.coalesce("completed", F.lit(0)).alias("completed"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return days.select(
+        "day",
+        "placed",
+        "completed",
+        (F.sum("placed").over(w) - F.sum("completed").over(w))
+        .cast("bigint")
+        .alias("backlog"),
+    )
