@@ -166,6 +166,10 @@ BENCH_QUERIES = [
     "order_backlog_curve",
     "supplier_fill_rate",
     "embedding_norm_outliers",
+    "feature_hashing",
+    "label_balance_weights",
+    "duplication_profile",
+    "year_over_year_growth",
 ]
 
 

@@ -1358,3 +1358,65 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# year_over_year_growth — monthly revenue with the same-month-last-year
+# comparison. A positional lag(12) silently lies when a month is missing
+# from the series, so the previous-year row comes from a CALENDAR-exact
+# self-join on (year−1, month) over the month-aggregated series (bounded
+# by the calendar; the join is broadcast-sized at any fact scale).
+# Revenue in exact integer cents; only the growth ratio is floating,
+# quantized on both engines.
+# ----------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH m AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mth,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT cur.yr, cur.mth, cur.cents AS revenue_cents,
+       prev.cents AS prev_year_cents,
+       CAST(CAST(
+         (CAST(cur.cents AS DOUBLE) - CAST(prev.cents AS DOUBLE))
+         / CAST(prev.cents AS DOUBLE)
+       AS DECIMAL(18,12)) AS DOUBLE) AS yoy_growth
+FROM m cur JOIN m prev
+  ON prev.yr = cur.yr - 1 AND prev.mth = cur.mth
+"""
+
+
+@query("year_over_year_growth", _YOY_ORACLE)
+def year_over_year_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+        F.month(F.col("o_orderdate").cast("timestamp")).alias("mth"),
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    cur, prev = m.alias("cur"), m.alias("prev")
+    growth = (
+        (
+            (F.col("cur.cents").cast("double") - F.col("prev.cents").cast("double"))
+            / F.col("prev.cents").cast("double")
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return cur.join(
+        F.broadcast(prev),
+        (F.col("prev.yr") == F.col("cur.yr") - 1)
+        & (F.col("prev.mth") == F.col("cur.mth")),
+    ).select(
+        F.col("cur.yr").alias("yr"),
+        F.col("cur.mth").alias("mth"),
+        F.col("cur.cents").alias("revenue_cents"),
+        F.col("prev.cents").alias("prev_year_cents"),
+        growth.alias("yoy_growth"),
+    )

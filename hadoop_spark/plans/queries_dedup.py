@@ -628,3 +628,47 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contain_b"
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# duplication_profile — corpus-health dashboard row per source: document
+# count, distinct normalized fingerprints, and the duplicate share
+# 1 − unique/total. The first number a data-curation pass reports before
+# any dedup runs; at 100 TB it is one partial-aggregated distinct per
+# source over the 60-bit normalized fingerprint (`functions/text.py`) —
+# no text ever shuffles, only hashes.
+# ----------------------------------------------------------------------
+
+_DUP_PROFILE_ORACLE = f"""
+WITH fp AS (
+  SELECT source, {fingerprint_sql("text")} AS f
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique,
+       CAST(CAST(
+         CAST(1 AS DOUBLE)
+         - CAST(COUNT(DISTINCT f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       AS DECIMAL(18,12)) AS DOUBLE) AS dup_share
+FROM fp GROUP BY source
+"""
+
+
+@query("duplication_profile", _DUP_PROFILE_ORACLE)
+def duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", fingerprint(F.col("text")).alias("f"))
+    agg = fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").cast("bigint").alias("n_unique"),
+    )
+    share = (
+        (
+            F.lit(1).cast("double")
+            - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return agg.select("source", "n_docs", "n_unique", share.alias("dup_share"))

@@ -1386,3 +1386,110 @@ def token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rn") <= F.col("r"), 1).otherwise(0)
         ).cast("bigint").alias("alloc"),
     )
+
+
+# ----------------------------------------------------------------------
+# feature_hashing — the hashing trick: project an unbounded token
+# vocabulary onto a FIXED 64-bucket feature space (bucket = portable
+# 60-bit md5 of the token, mod 64) so downstream models train on a
+# constant-width sparse vector with no vocabulary dictionary to build,
+# ship, or keep consistent — the property that matters at 100 TB, where
+# a vocab dictionary is itself a big-data artifact. One explode + one
+# (doc, bucket) partial-aggregated shuffle; the sparse vector serializes
+# as a canonical "bucket:count" string (bucket-ordered), so two engines
+# agree byte-for-byte.
+# ----------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+_FH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+bc AS (
+  SELECT doc_id,
+         CAST({portable_hash64_sql("w", salt="#fh")} % {_FH_BUCKETS} AS BIGINT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE w <> '' GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS nnz,
+       string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+                  ' ' ORDER BY bucket) AS features
+FROM bc GROUP BY doc_id
+"""
+
+
+@query("feature_hashing", _FH_ORACLE)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    bc = toks.groupBy(
+        "doc_id",
+        (portable_hash64(F.col("w"), salt="#fh") % _FH_BUCKETS)
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    pair = F.struct(F.col("bucket"), F.col("c"))
+    return bc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nnz"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(pair)),
+                lambda s: F.concat_ws(
+                    ":",
+                    s.getField("bucket").cast("string"),
+                    s.getField("c").cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("features"),
+    )
+
+
+# ----------------------------------------------------------------------
+# label_balance_weights — class-balance QA plus inverse-frequency sample
+# weights w(l) = N / (K · n_l), the standard reweighting a trainer
+# applies to a skewed label distribution. Two tiny aggregations (per-
+# label counts, 1-row totals) and a broadcast join; the weight is an
+# exact integer ratio quantized identically on both engines.
+# ----------------------------------------------------------------------
+
+_LBW_ORACLE = """
+WITH ct AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY label
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k
+  FROM ct
+)
+SELECT ct.label, ct.n,
+       CAST(CAST(
+         CAST(tot.total AS DOUBLE) / (CAST(tot.k AS DOUBLE) * CAST(ct.n AS DOUBLE))
+       AS DECIMAL(18,12)) AS DOUBLE) AS weight
+FROM ct, tot
+"""
+
+
+@query("label_balance_weights", _LBW_ORACLE)
+def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ct = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = ct.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w = (
+        (
+            F.col("total").cast("double")
+            / (F.col("k").cast("double") * F.col("n").cast("double"))
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return ct.join(F.broadcast(tot)).select("label", "n", w.alias("weight"))
