@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "label_balance_weights",
     "duplication_profile",
     "year_over_year_growth",
+    "reorder_intervals",
+    "label_top_terms",
+    "semantic_keep_best",
 ]
 
 

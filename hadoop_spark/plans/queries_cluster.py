@@ -984,3 +984,53 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),
     )
+
+
+# ----------------------------------------------------------------------
+# label_top_terms — label-conditioned vocabulary profile: join the
+# embedding table's labels onto their documents (vec_id keys doc_id) and
+# report each label's five most frequent tokens. The multimodal-corpus
+# QA view ("what does class k talk about") a curation pass prints next
+# to `cluster_purity`. Shuffles: the key join, one (label, token)
+# partial-aggregated count, and a top-k window over COUNTED rows
+# (bounded by label-count × vocabulary, never by corpus size).
+# Rank ties break on the token string, so top-5 is deterministic.
+# ----------------------------------------------------------------------
+
+_LABEL_TERMS_ORACLE = """
+WITH toks AS (
+  SELECT e.label, unnest(string_split(d.text, ' ')) AS w
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+ct AS (
+  SELECT label, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE w <> '' GROUP BY 1, 2
+),
+rk AS (
+  SELECT label, w, c,
+         row_number() OVER (PARTITION BY label ORDER BY c DESC, w) AS rnk
+  FROM ct
+)
+SELECT label, CAST(rnk AS BIGINT) AS rnk, w AS token, c AS n
+FROM rk WHERE rnk <= 5
+"""
+
+
+@query("label_top_terms", _LABEL_TERMS_ORACLE)
+def label_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select("label", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    ct = toks.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("label").orderBy(F.col("c").desc(), F.col("w"))
+    return (
+        ct.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("label", "rnk", F.col("w").alias("token"), F.col("c").alias("n"))
+    )

@@ -672,3 +672,82 @@ def duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
     )
     return agg.select("source", "n_docs", "n_unique", share.alias("dup_share"))
+
+
+# ----------------------------------------------------------------------
+# semantic_keep_best — the SEMANTIC twin of `dedup_keep_best`: duplicate
+# clusters come from embedding-cosine near-dup pairs (blocked-GEMM exact
+# pairs, `operators/similarity.block_near_dup_pairs`) instead of MinHash
+# text shingles, then the same transitive closure + quality-ranked
+# canonical selection (longest document wins, ties to smallest id). This
+# is the dedup a multilingual / paraphrase-heavy corpus needs — text
+# fingerprints miss meaning-level duplicates that embeddings catch. The
+# scale shape is unchanged: blocked candidate generation, label
+# propagation over pair-sized edges, one window over the tiny mapping.
+# ----------------------------------------------------------------------
+
+_SEM_KEEP_ORACLE = f"""
+WITH RECURSIVE {_EMB_CTE},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM en a JOIN en b ON a.vec_id < b.vec_id
+  WHERE {cos_q_sql(int_dot_sql('a.q', 'b.q'), 'a.n2', 'b.n2')} >= 400000
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS canonical FROM reach GROUP BY n)
+SELECT canonical AS cluster_id, doc_id AS keep_id, n_chars AS keep_chars,
+       cluster_size
+FROM (
+  SELECT c.canonical, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.canonical
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.canonical) AS cluster_size
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+) ranked_docs
+WHERE rn = 1
+"""
+
+
+@query("semantic_keep_best", _SEM_KEEP_ORACLE)
+def semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hadoop_spark.operators.similarity import block_near_dup_pairs
+
+    emb = shared(
+        with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
+    )
+    pairs = block_near_dup_pairs(emb, threshold_micro=400000, num_blocks=8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("canonical")
+    ).join(docs, "doc_id")
+    w = W.partitionBy("canonical").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        members.select(
+            "canonical",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("canonical")).alias("cluster_size"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("canonical").alias("cluster_id"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+            "cluster_size",
+        )
+    )

@@ -1677,3 +1677,64 @@ def order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("backlog"),
     )
+
+
+# ----------------------------------------------------------------------
+# reorder_intervals — per-customer repurchase cadence: the exact median
+# of day gaps between consecutive orders. The gap stream is one keyed
+# window (lag over each customer's order history — partition-parallel at
+# any scale); the median is `operators/stats.group_median`'s bounded
+# value-histogram rank selection, never a collect of a customer's gap
+# list into one buffer. Day arithmetic is all-integer; the only float is
+# the (lo+hi)/2 midpoint, identical on both engines.
+# ----------------------------------------------------------------------
+
+_REORDER_ORACLE = f"""
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day,
+         o_orderkey
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey,
+         day - lag(day) OVER (
+           PARTITION BY o_custkey ORDER BY day, o_orderkey
+         ) AS gap
+  FROM seq
+),
+g AS (SELECT o_custkey, gap FROM gaps WHERE gap IS NOT NULL),
+{group_median_sql("g", "o_custkey", "gap", "median_gap_days", "gm")},
+n AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps FROM g GROUP BY 1
+)
+SELECT n.o_custkey, n.n_gaps, gm.median_gap_days
+FROM n JOIN gm ON n.o_custkey = gm.o_custkey
+"""
+
+
+@query("reorder_intervals", _REORDER_ORACLE)
+def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    seq = orders.select(
+        "o_custkey",
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = seq.select(
+        "o_custkey", (F.col("day") - F.lag("day").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    g = shared(g)
+    med = group_median(g, "o_custkey", "gap", "median_gap_days")
+    n = g.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_gaps"))
+    return n.join(med, "o_custkey").select(
+        "o_custkey", "n_gaps", "median_gap_days"
+    )

@@ -697,3 +697,51 @@ def test_gdpr_delete_broadcasts_deletion_list(spark):
     uid_ex = plan.find("Exchange hashpartitioning(user_id")
     bc = plan.find("BroadcastExchange")
     assert uid_ex == -1 or (bc != -1 and uid_ex > bc), plan
+
+
+def test_rfm_segmentation_no_global_rank_shuffle(spark):
+    """RFM quartiles come from broadcast value-histogram cuts: no global
+    NTILE means no rangepartitioning of customer rows and every Window
+    runs over a histogram-sized aggregate, never the raw table."""
+    plan = _plan(spark, "rfm_segmentation")
+    assert "rangepartitioning" not in plan, plan
+    # one cumulative-count window per dimension's bounded histogram
+    assert plan.count("Window") == 3, plan
+
+
+def test_trigram_search_probe_is_broadcast(spark):
+    """The phrase-trigram probe table is a bounded literal joined
+    broadcast; candidate generation shuffles only probe-filtered
+    postings (the IN-list filter sits under the exchange)."""
+    plan = _plan(spark, "trigram_search")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _shuffles(plan) <= 2, plan
+
+
+def test_clustering_coefficient_equi_joins_only(spark):
+    """Wedge closing must stay a computed equi-join — a disjunctive or
+    cross join here degrades to nested loops over the wedge stream."""
+    plan = _plan(spark, "clustering_coefficient")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_table_fingerprint_single_pass_no_join(spark):
+    """Each table fingerprints in ONE map-side hash pass + one global
+    aggregation; there is nothing to join and nothing wider than the
+    canonical columns leaves the scan."""
+    plan = _plan(spark, "table_fingerprint")
+    assert "Join" not in plan, plan
+    assert _shuffles(plan) <= 2, plan
+
+
+def test_supplier_fill_rate_scans_prune_columns(spark):
+    """The fact-fact join reads only the three lineitem columns the rate
+    needs — a scan carrying l_extendedprice/l_quantity here would drag
+    dead weight through the biggest shuffle in the query."""
+    plan = _plan(spark, "supplier_fill_rate")
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_suppkey", "l_shipdate"}, cols
