@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "reorder_intervals",
     "label_top_terms",
     "semantic_keep_best",
+    "pca_power_iteration",
 ]
 
 

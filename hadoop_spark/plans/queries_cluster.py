@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_spark.functions.numeric import dsum, dsum_sql
+from hadoop_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from hadoop_spark.operators.similarity import int_dot, int_dot_sql, quantize_sql, with_quantized
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import fanout_small, load_table, shared
@@ -1033,4 +1033,122 @@ def label_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ct.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 5)
         .select("label", "rnk", F.col("w").alias("token"), F.col("c").alias("n"))
+    )
+
+
+# ----------------------------------------------------------------------
+# pca_power_iteration — top principal direction of the (mean-centered)
+# embedding matrix by three fixed power-iteration steps:
+#     t = X·v ;  s = Xᵀ·t ;  v ← s / ‖s‖
+# This is the canonical iterative-linear-algebra workload (the lineage
+# that motivated MapReduce-era PCA/SVD jobs), expressed Spark-first:
+# X never materializes as a matrix — it stays the exploded (vec_id, dim,
+# value) relation; X·v is a broadcast join on dim + one vec_id-keyed
+# quantized sum; Xᵀ·t is a broadcast join on vec_id's t + one dim-keyed
+# quantized sum. Per iteration: two partial-aggregated shuffles linear
+# in n·d, a 64-row normalization, NOTHING driver-side (v lives as a
+# broadcast DataFrame, not a collected literal). Determinism: every sum
+# runs the decimal-quantization discipline; v quantizes to 1e-12 after
+# each normalization, so both engines iterate on bit-identical state;
+# v₀ = 1/√64 = 0.125 is exactly representable. The oracle is the same
+# three steps unrolled as chained CTEs.
+# ----------------------------------------------------------------------
+
+_PCA_ITERS = 3
+_PCA_DIM = 64
+_PCA_TSCALE = 12  # X·v term quantization
+_PCA_SSCALE = 6   # Xᵀ·t and norm² sums (larger magnitudes)
+
+
+def _pca_oracle() -> str:
+    head = f"""
+WITH x AS (
+  SELECT vec_id, CAST(j - 1 AS BIGINT) AS dim,
+         CAST(embedding[CAST(j AS INT)] AS DOUBLE) AS xx
+  FROM embeddings, range(1, {_PCA_DIM + 1}) r(j)
+  WHERE j <= len(embedding)
+),
+mu AS (
+  SELECT dim,
+         CAST(CAST({davg_sql("xx", 12)} AS DECIMAL(18,12)) AS DOUBLE) AS m
+  FROM x GROUP BY dim
+),
+xc AS (
+  SELECT x.vec_id, x.dim, x.xx - mu.m AS xv
+  FROM x JOIN mu ON x.dim = mu.dim
+),
+v0 AS (SELECT DISTINCT dim, CAST(0.125 AS DOUBLE) AS vj FROM x)"""
+    its = []
+    for k in range(1, _PCA_ITERS + 1):
+        its.append(f"""
+t{k} AS (
+  SELECT xc.vec_id, {dsum_sql("xc.xv * v.vj", _PCA_TSCALE)} AS t
+  FROM xc JOIN v{k - 1} v ON xc.dim = v.dim
+  GROUP BY xc.vec_id
+),
+s{k} AS (
+  SELECT xc.dim, {dsum_sql("xc.xv * t.t", _PCA_SSCALE)} AS s
+  FROM xc JOIN t{k} t ON xc.vec_id = t.vec_id
+  GROUP BY xc.dim
+),
+n{k} AS (
+  SELECT SQRT({dsum_sql("s * s", _PCA_SSCALE)}) AS nrm FROM s{k}
+),
+v{k} AS (
+  SELECT dim, CAST(CAST(s / (SELECT nrm FROM n{k})
+                   AS DECIMAL(18,12)) AS DOUBLE) AS vj
+  FROM s{k}
+)""")
+    tail = f"""
+SELECT dim, vj AS component,
+       CAST(CAST((SELECT nrm FROM n{_PCA_ITERS}) AS DECIMAL(18,6)) AS DOUBLE)
+         AS eigenvalue_proxy
+FROM v{_PCA_ITERS}
+"""
+    return head + "," + ",".join(its) + tail
+
+
+@query("pca_power_iteration", _pca_oracle())
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = shared(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim_i", "xf")
+        ).select(
+            "vec_id",
+            F.col("dim_i").cast("bigint").alias("dim"),
+            F.col("xf").cast("double").alias("xx"),
+        )
+    )
+    mu = x.groupBy("dim").agg(
+        davg(F.col("xx"), 12).cast("decimal(18,12)").cast("double").alias("m")
+    )
+    xc = shared(
+        x.join(F.broadcast(mu), "dim").select(
+            "vec_id", "dim", (F.col("xx") - F.col("m")).alias("xv")
+        )
+    )
+    v = mu.select("dim", F.lit(0.125).cast("double").alias("vj"))
+    nrm = None
+    for _ in range(_PCA_ITERS):
+        t = xc.join(F.broadcast(v), "dim").groupBy("vec_id").agg(
+            dsum(F.col("xv") * F.col("vj"), _PCA_TSCALE).alias("t")
+        )
+        s = xc.join(F.broadcast(t), "vec_id").groupBy("dim").agg(
+            dsum(F.col("xv") * F.col("t"), _PCA_SSCALE).alias("s")
+        )
+        nrm = s.agg(
+            F.sqrt(dsum(F.col("s") * F.col("s"), _PCA_SSCALE)).alias("nrm")
+        )
+        v = s.join(F.broadcast(nrm)).select(
+            "dim",
+            (F.col("s") / F.col("nrm"))
+            .cast("decimal(18,12)")
+            .cast("double")
+            .alias("vj"),
+        )
+    return v.join(F.broadcast(nrm)).select(
+        "dim",
+        F.col("vj").alias("component"),
+        F.col("nrm").cast("decimal(18,6)").cast("double").alias("eigenvalue_proxy"),
     )
