@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "label_top_terms",
     "semantic_keep_best",
     "pca_power_iteration",
+    "link_prediction_cn",
+    "kaplan_meier",
+    "ridge_regression_2f",
 ]
 
 

@@ -613,3 +613,114 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double"),
     ).otherwise(F.lit(0.0))
     return out.select("node", "d", t.alias("n_triangles"), cc.alias("cc"))
+
+
+# ----------------------------------------------------------------------
+# link_prediction_cn — common-neighbors link prediction over the part
+# co-purchase graph: the top-20 part pairs that are NOT connected today
+# but share the most neighbors (the classic "customers who bought X and
+# Y also bought Z" candidate generator). Reuses the degree-oriented
+# wedge machinery: wedge endpoints (cs, ct) are exactly the 2-hop pairs,
+# their wedge count IS the common-neighbor score, and the pre-aggregated
+# (cs, ct) counts anti-join the oriented edge set to drop existing
+# edges. Same O(m^{3/2}) bound as triangle_count; the top-k is a
+# TakeOrderedAndProject with a full deterministic tie-break.
+# ----------------------------------------------------------------------
+
+_LINKPRED_K = 20
+
+_LINKPRED_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS s,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS t,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS dt
+  FROM pairs p
+  JOIN deg du ON du.node = p.u
+  JOIN deg dv ON dv.node = p.v
+),
+wedges AS (
+  SELECT CASE WHEN (e1.dt, e1.t) < (e2.dt, e2.t) THEN e1.t ELSE e2.t END AS cs,
+         CASE WHEN (e1.dt, e1.t) < (e2.dt, e2.t) THEN e2.t ELSE e1.t END AS ct
+  FROM oriented e1 JOIN oriented e2
+    ON e1.s = e2.s AND e1.t < e2.t
+),
+wc AS (
+  SELECT cs, ct, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM wedges GROUP BY cs, ct
+),
+open_pairs AS (
+  SELECT wc.cs, wc.ct, wc.common_neighbors
+  FROM wc
+  WHERE NOT EXISTS (
+    SELECT 1 FROM oriented e WHERE e.s = wc.cs AND e.t = wc.ct
+  )
+)
+SELECT cs AS part_a, ct AS part_b, common_neighbors
+FROM open_pairs
+ORDER BY common_neighbors DESC, part_a, part_b
+LIMIT {_LINKPRED_K}
+"""
+
+
+@query("link_prediction_cn", _LINKPRED_ORACLE)
+def link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = shared(cooccurrence_pairs(li, "l_orderkey", "l_partkey"))
+    deg = shared(
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = shared(
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    b_lower = (F.col("e1.dt") < F.col("e2.dt")) | (
+        (F.col("e1.dt") == F.col("e2.dt")) & (F.col("e1.t") < F.col("e2.t"))
+    )
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(
+        F.when(b_lower, F.col("e1.t")).otherwise(F.col("e2.t")).alias("cs"),
+        F.when(b_lower, F.col("e2.t")).otherwise(F.col("e1.t")).alias("ct"),
+    )
+    wc = wedges.groupBy("cs", "ct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors")
+    )
+    closing = oriented.select(F.col("s").alias("cs"), F.col("t").alias("ct"))
+    open_pairs = wc.join(closing, ["cs", "ct"], "left_anti")
+    return (
+        open_pairs.orderBy(
+            F.col("common_neighbors").desc(), F.col("cs"), F.col("ct")
+        )
+        .limit(_LINKPRED_K)
+        .select(
+            F.col("cs").alias("part_a"),
+            F.col("ct").alias("part_b"),
+            "common_neighbors",
+        )
+    )

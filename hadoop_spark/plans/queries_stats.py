@@ -1738,3 +1738,204 @@ def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(med, "o_custkey").select(
         "o_custkey", "n_gaps", "median_gap_days"
     )
+
+
+# ----------------------------------------------------------------------
+# kaplan_meier — survival analysis of the repurchase interval: S(t) =
+# P(customer takes more than t days to reorder), with each customer's
+# tail (last order → horizon) entering as a RIGHT-CENSORED observation —
+# the estimator that separates "hasn't reordered YET" from "never
+# reorders", which a naive gap histogram conflates. Scale shape: the
+# fact table collapses to one keyed-window gap stream plus a per-
+# customer censor row; everything after is windows over the bounded
+# duration axis. The product Π(1 − dᵤ/nᵤ) is floating and order-
+# sensitive, so BOTH engines fold the identical frame-ordered factor
+# list left-to-right (Spark collect_list+aggregate, DuckDB windowed
+# list+list_reduce) over 1e-12-quantized factors — bit-identical, no
+# reliance on either engine's internal aggregation tree.
+# ----------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day,
+         o_orderkey
+  FROM orders
+),
+horizon AS (SELECT MAX(day) AS h FROM seq),
+gaps AS (
+  SELECT day - lag(day) OVER (
+           PARTITION BY o_custkey ORDER BY day, o_orderkey
+         ) AS dur
+  FROM seq
+),
+obs AS (
+  SELECT dur, 1 AS ev FROM gaps WHERE dur IS NOT NULL
+  UNION ALL
+  SELECT (SELECT h FROM horizon) - MAX(day) AS dur, 0 AS ev
+  FROM seq GROUP BY o_custkey
+),
+hist AS (
+  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS a
+  FROM obs GROUP BY dur
+),
+risk AS (
+  SELECT dur, d,
+         CAST(SUM(a) OVER (ORDER BY dur DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n
+  FROM hist
+),
+evt AS (
+  SELECT dur, d, n,
+         CAST(CAST(1 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+              AS DECIMAL(18,12)) AS DOUBLE) AS f
+  FROM risk WHERE d > 0
+),
+km AS (
+  SELECT dur, d, n,
+         list(f) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fl
+  FROM evt
+)
+SELECT dur, d, n AS n_at_risk,
+       CAST(CAST(list_reduce(fl, (a, b) -> a * b) AS DECIMAL(18,12))
+            AS DOUBLE) AS survival
+FROM km
+"""
+
+
+@query("kaplan_meier", _KM_ORACLE)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    seq = orders.select(
+        "o_custkey",
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day"),
+        "o_orderkey",
+    )
+    seq = shared(seq)
+    horizon = seq.agg(F.max("day").alias("h"))
+    wl = W.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    events = (
+        seq.select((F.col("day") - F.lag("day").over(wl)).alias("dur"))
+        .filter(F.col("dur").isNotNull())
+        .select("dur", F.lit(1).alias("ev"))
+    )
+    censored = (
+        seq.groupBy("o_custkey")
+        .agg(F.max("day").alias("last_day"))
+        .join(F.broadcast(horizon))
+        .select((F.col("h") - F.col("last_day")).alias("dur"), F.lit(0).alias("ev"))
+    )
+    hist = events.unionByName(censored).groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("a"),
+    )
+    w_desc = W.orderBy(F.col("dur").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = hist.select(
+        "dur", "d", F.sum("a").over(w_desc).cast("bigint").alias("n")
+    )
+    factor = (
+        (F.lit(1).cast("double") - F.col("d").cast("double") / F.col("n").cast("double"))
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    evt = risk.filter(F.col("d") > 0).select("dur", "d", "n", factor.alias("f"))
+    w_asc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    km = evt.select(
+        "dur", "d", "n", F.collect_list("f").over(w_asc).alias("fl")
+    )
+    surv = (
+        F.aggregate(
+            F.col("fl"),
+            F.lit(1.0).cast("double"),
+            lambda acc, x: acc * x,
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return km.select("dur", "d", F.col("n").alias("n_at_risk"), surv.alias("survival"))
+
+
+# ----------------------------------------------------------------------
+# ridge_regression_2f — closed-form multivariate (2-feature) ridge fit
+# per return flag: w = (XᵀX + λI)⁻¹ Xᵀy with the 2×2 inverse written
+# out explicitly. The 100 TB shape of "train a small linear model on a
+# huge table" is exactly this: one partial-aggregated shuffle computes
+# the five Gram/moment sums, and the solve is O(1) arithmetic on the
+# aggregate row — no iterative optimizer, no driver-side data.
+# Exactness: features enter in INTEGER units (quantity, discount in
+# percent points, price in cents), so every moment is an exact
+# DECIMAL(38,0) sum — quantizing float products invites half-way-tie
+# rounding skew between engines; integer moments cannot. Only the 2×2
+# solve is floating, as the identical IEEE tree, quantized on output.
+# ----------------------------------------------------------------------
+
+_RIDGE_LAMBDA = "1000.0"
+
+
+def _ridge_oracle() -> str:
+    m = lambda e: (  # noqa: E731
+        f"CAST(CAST(SUM(CAST({e} AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)"
+    )
+    q = "CAST(l_quantity AS DECIMAL(38,0))"
+    d = "CAST(l_discount * 100 AS DECIMAL(38,0))"
+    y = "CAST(l_extendedprice * 100 AS DECIMAL(38,0))"
+    return f"""
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {m(f"{q} * {q}")} AS a11,
+         {m(f"{q} * {d}")} AS a12,
+         {m(f"{d} * {d}")} AS a22,
+         {m(f"{q} * {y}")} AS b1,
+         {m(f"{d} * {y}")} AS b2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(CAST(
+         ((a22 + {_RIDGE_LAMBDA}) * b1 - a12 * b2)
+         / ((a11 + {_RIDGE_LAMBDA}) * (a22 + {_RIDGE_LAMBDA}) - a12 * a12)
+       AS DECIMAL(18,8)) AS DOUBLE) AS w_qty,
+       CAST(CAST(
+         ((a11 + {_RIDGE_LAMBDA}) * b2 - a12 * b1)
+         / ((a11 + {_RIDGE_LAMBDA}) * (a22 + {_RIDGE_LAMBDA}) - a12 * a12)
+       AS DECIMAL(18,8)) AS DOUBLE) AS w_disc
+FROM g
+"""
+
+
+@query("ridge_regression_2f", _ridge_oracle())
+def ridge_regression_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qv = F.col("l_quantity").cast("decimal(38,0)")
+    dv = (F.col("l_discount") * 100).cast("decimal(38,0)")
+    yv = (F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    m = lambda e: F.sum(e).cast("decimal(38,0)").cast("double")  # noqa: E731
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        m(qv * qv).alias("a11"),
+        m(qv * dv).alias("a12"),
+        m(dv * dv).alias("a22"),
+        m(qv * yv).alias("b1"),
+        m(dv * yv).alias("b2"),
+    )
+    lam = F.lit(float(_RIDGE_LAMBDA))
+    det = (F.col("a11") + lam) * (F.col("a22") + lam) - F.col("a12") * F.col("a12")
+    w_qty = ((F.col("a22") + lam) * F.col("b1") - F.col("a12") * F.col("b2")) / det
+    w_disc = ((F.col("a11") + lam) * F.col("b2") - F.col("a12") * F.col("b1")) / det
+    return g.select(
+        "l_returnflag",
+        "n",
+        w_qty.cast("decimal(18,8)").cast("double").alias("w_qty"),
+        w_disc.cast("decimal(18,8)").cast("double").alias("w_disc"),
+    )
