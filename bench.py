@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "link_prediction_cn",
     "kaplan_meier",
     "ridge_regression_2f",
+    "dedup_prefix",
+    "price_index",
 ]
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from hadoop_spark.functions.hashing import portable_hash64_sql
 from hadoop_spark.operators.aggregate import aggregate, value_histogram
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table
+from hadoop_spark.sources.tables import load_table, shared
 
 _AGG_FRAMEWORK_ORACLE = """
 SELECT l_returnflag,
@@ -1419,4 +1419,108 @@ def year_over_year_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur.cents").alias("revenue_cents"),
         F.col("prev.cents").alias("prev_year_cents"),
         growth.alias("yoy_growth"),
+    )
+
+
+# ----------------------------------------------------------------------
+# price_index — Laspeyres price index by year: how the base-year basket
+# repriced over time, index(y) = Σ P(part,y)·q₀(part) / Σ P(part,0)·
+# q₀(part) over parts traded in both years. The econometric rollup a
+# pricing team runs over the full fact history. Scale shape: one
+# (part, year) aggregation of the fact table, a partkey-keyed join of
+# each year's prices against the base-year basket (bucketed-by-partkey
+# at 100 TB), then a year-level sum. Unit prices are exact integer
+# ratios (cents / quantity); each basket term quantizes to 1e-6 before
+# the decimal-exact sum, so both engines agree bit-for-bit.
+# ----------------------------------------------------------------------
+
+_PRICE_INDEX_ORACLE = """
+WITH py AS (
+  SELECT l_partkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+         CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS cents,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))) AS BIGINT) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+base AS (SELECT MIN(yr) AS y0 FROM py),
+p0 AS (
+  SELECT l_partkey,
+         CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE) AS price0,
+         qty AS q0
+  FROM py WHERE yr = (SELECT y0 FROM base)
+),
+terms AS (
+  SELECT py.yr,
+         CAST(CAST(py.cents AS DOUBLE) / CAST(py.qty AS DOUBLE)
+              * CAST(p0.q0 AS DOUBLE) AS DECIMAL(18,6)) AS cur_term,
+         CAST(p0.price0 * CAST(p0.q0 AS DOUBLE) AS DECIMAL(18,6)) AS base_term
+  FROM py JOIN p0 ON py.l_partkey = p0.l_partkey
+)
+SELECT yr,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(CAST(
+         CAST(CAST(SUM(cur_term) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(base_term) AS VARCHAR) AS DOUBLE)
+       AS DECIMAL(18,10)) AS DOUBLE) AS laspeyres_index
+FROM terms GROUP BY yr
+"""
+
+
+@query("price_index", _PRICE_INDEX_ORACLE)
+def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    py = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents"),
+            F.sum(F.col("l_quantity").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    py = shared(py)
+    base = py.agg(F.min("yr").alias("y0"))
+    p0 = (
+        py.join(F.broadcast(base), py.yr == F.col("y0"))
+        .select(
+            F.col("l_partkey").alias("pk0"),
+            (F.col("cents").cast("double") / F.col("qty").cast("double")).alias(
+                "price0"
+            ),
+            F.col("qty").alias("q0"),
+        )
+    )
+    terms = py.join(p0, py.l_partkey == F.col("pk0")).select(
+        "yr",
+        (
+            F.col("cents").cast("double")
+            / F.col("qty").cast("double")
+            * F.col("q0").cast("double")
+        )
+        .cast("decimal(18,6)")
+        .alias("cur_term"),
+        (F.col("price0") * F.col("q0").cast("double"))
+        .cast("decimal(18,6)")
+        .alias("base_term"),
+    )
+    idx = (
+        (
+            F.sum("cur_term").cast("string").cast("double")
+            / F.sum("base_term").cast("string").cast("double")
+        )
+        .cast("decimal(18,10)")
+        .cast("double")
+    )
+    return terms.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        idx.alias("laspeyres_index"),
     )

@@ -751,3 +751,50 @@ def semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# dedup_prefix — prefix-fingerprint duplicate families: documents whose
+# first 20 tokens agree are one family (the news-wire / mirror-site
+# pattern where bodies match but trailing boilerplate differs, which
+# whole-text fingerprints miss). Map-side: slice, normalize, 60-bit
+# hash; one partial-aggregated shuffle on the prefix hash; families of
+# size ≥ 2 report their size and representative (smallest doc_id). No
+# text shuffles — only hashes, the same property the exact/paragraph
+# dedup stages hold at 100 TB.
+# ----------------------------------------------------------------------
+
+_PREFIX_TOKENS = 20
+
+_PREFIX_DEDUP_ORACLE = f"""
+WITH pre AS (
+  SELECT doc_id,
+         {fingerprint_sql(
+             f"array_to_string(string_split(text, ' ')[1:{_PREFIX_TOKENS}], ' ')"
+         )} AS pf
+  FROM documents
+)
+SELECT pf AS prefix_hash,
+       CAST(COUNT(*) AS BIGINT) AS family_size,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM pre
+GROUP BY pf
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("dedup_prefix", _PREFIX_DEDUP_ORACLE)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split("text", " "), 1, _PREFIX_TOKENS), " "
+    )
+    pre = docs.select("doc_id", fingerprint(prefix).alias("pf"))
+    return (
+        pre.groupBy(F.col("pf").alias("prefix_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("family_size"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+        )
+        .filter(F.col("family_size") >= 2)
+    )
