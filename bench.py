@@ -179,6 +179,9 @@ BENCH_QUERIES = [
     "ridge_regression_2f",
     "dedup_prefix",
     "price_index",
+    "topn_with_other",
+    "centroid_distances",
+    "shingle_sensitivity",
 ]
 
 

@@ -1524,3 +1524,81 @@ def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         idx.alias("laspeyres_index"),
     )
+
+
+# ----------------------------------------------------------------------
+# topn_with_other — the BI "top N + OTHER" rollup: the ten highest-
+# revenue parts keep their identity, the long tail collapses into one
+# OTHER row, and shares are reported against the grand total. The
+# scalable shape: revenue aggregates per part first (partial-aggregated
+# shuffle), the top-10 cut comes from a TakeOrderedAndProject over the
+# part-level rollup, and the tail NEVER re-scans the fact table — OTHER
+# = grand total − top-10 total, two broadcast scalars. Integer cents
+# end-to-end; shares quantized.
+# ----------------------------------------------------------------------
+
+_TOPN_OTHER_N = 10
+
+_TOPN_OTHER_ORACLE = f"""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+top AS (
+  SELECT l_partkey, cents FROM pr
+  ORDER BY cents DESC, l_partkey LIMIT {_TOPN_OTHER_N}
+),
+tot AS (SELECT CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS t FROM pr),
+topt AS (SELECT CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS tt FROM top),
+unioned AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS bucket, cents FROM top
+  UNION ALL
+  SELECT 'OTHER' AS bucket, (SELECT t FROM tot) - (SELECT tt FROM topt) AS cents
+)
+SELECT bucket, cents AS revenue_cents,
+       CAST(CAST(
+         CAST(cents AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+       AS DECIMAL(18,12)) AS DOUBLE) AS share
+FROM unioned
+"""
+
+
+@query("topn_with_other", _TOPN_OTHER_ORACLE)
+def topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = shared(
+        li.groupBy("l_partkey").agg(
+            F.sum((F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    top = shared(
+        pr.orderBy(F.col("cents").desc(), F.col("l_partkey")).limit(_TOPN_OTHER_N)
+    )
+    tot = pr.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("bigint").alias("t")
+    )
+    topt = top.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("bigint").alias("tt")
+    )
+    other = (
+        tot.join(F.broadcast(topt))
+        .select(
+            F.lit("OTHER").alias("bucket"),
+            (F.col("t") - F.col("tt")).cast("bigint").alias("cents"),
+        )
+    )
+    unioned = top.select(
+        F.col("l_partkey").cast("string").alias("bucket"), "cents"
+    ).unionByName(other)
+    share = (
+        (F.col("cents").cast("double") / F.col("t").cast("double"))
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return unioned.join(F.broadcast(tot)).select(
+        "bucket", F.col("cents").alias("revenue_cents"), share.alias("share")
+    )

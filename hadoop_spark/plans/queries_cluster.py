@@ -1152,3 +1152,103 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vj").alias("component"),
         F.col("nrm").cast("decimal(18,6)").cast("double").alias("eigenvalue_proxy"),
     )
+
+
+# ----------------------------------------------------------------------
+# centroid_distances — inter-class separation matrix: Euclidean distance
+# between every pair of label centroids. The clustering-QA companion to
+# `label_centroids`/`cluster_purity` (nearly-coincident centroids mean
+# the labels aren't separable in this embedding space). Scale shape: the
+# n·d fact explodes ONCE into per-(label, dim) quantized-integer sums
+# (partial-aggregated, bounded by K·d), and the pairwise stage runs over
+# the K·d centroid table only — broadcast-sized at any corpus scale.
+# Exactness: centroids stay RATIONAL (integer sum, count); the distance
+# uses the common-denominator trick, d²·(nₐn_b)² = Σ(Sₐn_b − S_bnₐ)² —
+# pure DECIMAL(38,0) integer arithmetic until one final sqrt/divide that
+# both engines compute from bit-identical inputs (no per-term float
+# quantization, which round-ties differently across engines).
+# ----------------------------------------------------------------------
+
+_CDIST_ORACLE = f"""
+WITH x AS (
+  SELECT label, CAST(j - 1 AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 10000000)
+              AS BIGINT) AS q
+  FROM embeddings, range(1, 65) r(j)
+  WHERE j <= len(embedding)
+),
+s AS (
+  SELECT label, dim,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x GROUP BY label, dim
+),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(
+           CAST(a.sq * b.n - b.sq * a.n AS DECIMAL(38,0))
+           * CAST(a.sq * b.n - b.sq * a.n AS DECIMAL(38,0))
+         ) AS DECIMAL(38,0)) AS d2s,
+         MAX(a.n) AS na, MAX(b.n) AS nb
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       CAST(CAST(
+         SQRT(CAST(CAST(d2s AS VARCHAR) AS DOUBLE))
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 10000000)
+       AS DECIMAL(18,10)) AS DOUBLE) AS dist
+FROM p
+"""
+
+
+@query("centroid_distances", _CDIST_ORACLE)
+def centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("dim_i", "xf")
+    ).select(
+        "label",
+        F.col("dim_i").cast("bigint").alias("dim"),
+        F.round(F.col("xf").cast("double") * 10_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    s = x.groupBy("label", "dim").agg(
+        F.sum("q").cast("bigint").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = s.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("sq").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = s.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("sq").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    num = (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(
+        "decimal(38,0)"
+    )
+    p = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(num * num).cast("decimal(38,0)").alias("d2s"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    dist = (
+        F.sqrt(F.col("d2s").cast("string").cast("double"))
+        / (F.col("na").cast("double") * F.col("nb").cast("double") * 10_000_000)
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        dist.cast("decimal(18,10)").cast("double").alias("dist"),
+    )

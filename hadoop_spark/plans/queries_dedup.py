@@ -798,3 +798,77 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("family_size") >= 2)
     )
+
+
+# ----------------------------------------------------------------------
+# shingle_sensitivity — parameter sweep for the dedup pipeline: corpus
+# shingle-duplication share at k = 2..5, the number that tells you which
+# shingle size separates boilerplate from content BEFORE you commit a
+# MinHash configuration (small k saturates — near-100% duplication —
+# while large k under-blocks). One corpus scan fans out all four
+# parameterizations (the `predicate_sweep` pattern applied to dedup):
+# explode k, emit 60-bit shingle hashes map-side, and aggregate
+# (instances, distinct) per k. Only hashes shuffle, never text.
+# ----------------------------------------------------------------------
+
+_SHINGLE_KS = [2, 3, 4, 5]
+
+
+def _shingle_sens_oracle() -> str:
+    ks = ", ".join(str(k) for k in _SHINGLE_KS)
+    h = portable_hash64_sql("g", salt="#ss")
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT k.k,
+         unnest([array_to_string(d.w[i:i+k.k-1], ' ')
+                 for i in range(1, len(d.w) - k.k + 2)]) AS g
+  FROM d, (SELECT unnest([{ks}]) AS k) k
+  WHERE len(d.w) >= k.k
+),
+hashed AS (SELECT k, {h} AS hv FROM sh)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(DISTINCT hv) AS BIGINT) AS n_distinct,
+       CAST(CAST(
+         CAST(1 AS DOUBLE)
+         - CAST(COUNT(DISTINCT hv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       AS DECIMAL(18,12)) AS DOUBLE) AS dup_share
+FROM hashed GROUP BY k
+"""
+
+
+@query("shingle_sensitivity", _shingle_sens_oracle())
+def shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    d = docs.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.array(*[F.lit(k) for k in _SHINGLE_KS])
+        ).alias("k"),
+    ).filter(F.size("w") >= F.col("k"))
+    grams = d.select(
+        "k",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.col("k") + 1),
+                lambda i: F.array_join(F.slice(F.col("w"), i, F.col("k")), " "),
+            )
+        ).alias("g"),
+    )
+    hashed = grams.select("k", portable_hash64(F.col("g"), salt="#ss").alias("hv"))
+    agg = hashed.groupBy(F.col("k").cast("bigint").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.countDistinct("hv").cast("bigint").alias("n_distinct"),
+    )
+    share = (
+        (
+            F.lit(1).cast("double")
+            - F.col("n_distinct").cast("double") / F.col("n_shingles").cast("double")
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return agg.select("k", "n_shingles", "n_distinct", share.alias("dup_share"))
