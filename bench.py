@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "topn_with_other",
     "centroid_distances",
     "shingle_sensitivity",
+    "weighted_systematic_sample",
+    "value_migration_matrix",
 ]
 
 

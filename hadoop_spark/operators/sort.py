@@ -136,3 +136,38 @@ def partition_by_key_slice(
     for composite keys whose grouping prefix differs from the full sort
     key. `substring` is 1-indexed like the SQL function."""
     return df.repartition(num_partitions, F.substring(F.col(col), start, length))
+
+
+def global_running_sum(
+    df: DataFrame, value: Column | str, *cols: Column | str, out: str = "cum"
+) -> DataFrame:
+    """Scalable exact global PREFIX SUM of `value` in `cols` order: the
+    two-level parallel-scan — range-repartition on the sort key, cumulative
+    sum WITHIN each partition, then add per-partition total offsets (a tiny
+    #partitions-row cumulative sum broadcast back). The distributed form of
+    `SUM(x) OVER (ORDER BY ...)`, which Spark would otherwise execute as a
+    SINGLE-partition window. Same contract as :func:`global_rank`: `cols`
+    must be a unique key. `out` is the INCLUSIVE running total."""
+    from pyspark.sql import Window
+
+    v = F.col(value) if isinstance(value, str) else value
+    n = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__v", v
+    )
+    sizes = with_pid.groupBy("__pid").agg(F.sum("__v").alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.sum("__v").over(w_in) + F.col("__off"))
+        .drop("__pid", "__off", "__v")
+    )

@@ -1493,3 +1493,63 @@ def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
     )
     return ct.join(F.broadcast(tot)).select("label", "n", w.alias("weight"))
+
+
+# ----------------------------------------------------------------------
+# weighted_systematic_sample — weight-proportional sampling WITHOUT
+# transcendentals (the exponential-keys trick needs ln(), which differs
+# by ulps across engines): systematic sampling over the exact integer
+# prefix sum of weights. A row is selected iff the fixed stride S has a
+# tick inside its cumulative-weight interval — selection probability
+# ∝ weight, deterministic, integer-only. The prefix sum itself is the
+# scalable two-level parallel scan (`operators/sort.global_running_sum`:
+# range-repartition + per-partition cumsum + broadcast offsets), NOT a
+# single-partition SUM-OVER window — the primitive that makes weighted
+# sampling, systematic splits, and quota fills work at 100 TB.
+# ----------------------------------------------------------------------
+
+_WSS_STRIDE = 1_000_000_000  # one tick per $10M of cumulative order value
+
+_WSS_ORACLE = f"""
+WITH w AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
+  FROM orders
+),
+c AS (
+  SELECT o_orderkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM w
+)
+SELECT o_orderkey, cents, CAST(cum // {_WSS_STRIDE} AS BIGINT) AS tick
+FROM c
+WHERE (cum - cents) // {_WSS_STRIDE} <> cum // {_WSS_STRIDE}
+"""
+
+
+@query("weighted_systematic_sample", _WSS_ORACLE)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.operators.sort import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = global_running_sum(w, "cents", "o_orderkey", out="cum")
+    prev = F.col("cum") - F.col("cents")
+    return (
+        c.filter(
+            F.floor(prev / _WSS_STRIDE) != F.floor(F.col("cum") / _WSS_STRIDE)
+        )
+        .select(
+            "o_orderkey",
+            "cents",
+            F.floor(F.col("cum") / _WSS_STRIDE).cast("bigint").alias("tick"),
+        )
+    )

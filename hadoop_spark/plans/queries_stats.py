@@ -1939,3 +1939,89 @@ def ridge_regression_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_qty.cast("decimal(18,8)").cast("double").alias("w_qty"),
         w_disc.cast("decimal(18,8)").cast("double").alias("w_disc"),
     )
+
+
+# ----------------------------------------------------------------------
+# value_migration_matrix — customer spend-quartile mobility between
+# consecutive years: the (from-quartile → to-quartile) transition counts
+# a retention team reads as "are our big spenders staying big". Quartile
+# cuts are computed PER YEAR by the same broadcast value-histogram
+# machinery as `rfm_segmentation` (no global NTILE anywhere), spend is
+# bucketed to $500 cells so the histogram stays bounded, and the
+# year-over-year pairing is a customer-keyed self-join of the tiny
+# (customer, year, quartile) table. All-integer arithmetic.
+# ----------------------------------------------------------------------
+
+_VMM_QS = {"c1": 0.25, "c2": 0.50, "c3": 0.75}
+
+
+def _vmm_oracle() -> str:
+    score = (
+        "CAST(1 + (CASE WHEN s.bucket > q.c1 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN s.bucket > q.c2 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN s.bucket > q.c3 THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+    return f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+         CAST(CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0)))
+              AS BIGINT) // 50000 AS BIGINT) AS bucket
+  FROM orders GROUP BY 1, 2
+),
+vq_src AS (SELECT yr AS g, bucket FROM spend),
+{group_quantiles_sql("vq_src", "g", "bucket", _VMM_QS, "vq")},
+scored AS (
+  SELECT s.o_custkey, s.yr, {score} AS q_score
+  FROM spend s JOIN vq q ON s.yr = q.g
+)
+SELECT a.yr AS yr_from,
+       a.q_score AS from_q,
+       b.q_score AS to_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored a JOIN scored b
+  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+GROUP BY 1, 2, 3
+"""
+
+
+@query("value_migration_matrix", _vmm_oracle())
+def value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+    ).agg(
+        F.floor(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            / 50000
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    spend = shared(spend)
+    cuts = group_quantiles(
+        spend.select(F.col("yr").alias("g"), "bucket"), "g", "bucket", _VMM_QS
+    )
+    s = F.lit(1)
+    for c in _VMM_QS:
+        s = s + F.when(F.col("bucket") > F.col(c), 1).otherwise(0)
+    scored = spend.join(
+        F.broadcast(cuts), spend.yr == cuts.g
+    ).select("o_custkey", "yr", s.cast("bigint").alias("q_score"))
+    a = scored.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("yr").alias("yr_from"),
+        F.col("q_score").alias("from_q"),
+    )
+    b = scored.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("yr").alias("yr_to"),
+        F.col("q_score").alias("to_q"),
+    )
+    return (
+        a.join(b, (a.ck == b.ck) & (F.col("yr_to") == F.col("yr_from") + 1))
+        .groupBy("yr_from", "from_q", "to_q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

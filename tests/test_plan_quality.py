@@ -745,3 +745,13 @@ def test_supplier_fill_rate_scans_prune_columns(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"l_orderkey", "l_suppkey", "l_shipdate"}, cols
+
+
+def test_weighted_sample_prefix_sum_is_two_level(spark):
+    """The weighted systematic sample must run the PARALLEL prefix sum:
+    raw orders range-repartition (partition-parallel cumsum), and the
+    only single-partition work is the #partitions-row offset table — a
+    plain SUM-OVER window here would drag every order through one task."""
+    plan = _plan(spark, "weighted_systematic_sample")
+    assert "rangepartitioning" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
