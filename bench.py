@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "shingle_sensitivity",
     "weighted_systematic_sample",
     "value_migration_matrix",
+    "seasonal_decompose",
+    "knn_graph",
 ]
 
 

@@ -741,3 +741,65 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("nk") < F.col("q1") - iqr3)
         ).alias("is_outlier"),
     )
+
+
+# ----------------------------------------------------------------------
+# knn_graph — exact k-nearest-neighbor graph (k = 5, cosine) over the
+# embedding corpus: the construction step of graph-based ANN indexes
+# (HNSW/NN-descent seeds), dedup-cluster refinement, and label
+# propagation over semantic neighborhoods. Exact-baseline shape: the
+# blocked-GEMM all-pairs kernel (`block_near_dup_pairs` with the
+# threshold floored) streams each unordered pair once, both directions
+# are restored map-side, and a per-source top-k window picks the 5
+# strongest edges (ties break on neighbor id). At 100 TB the all-pairs
+# stage swaps for IVF/LSH candidate generation feeding the SAME top-k —
+# the documented recall-vs-cost dial of `ann_ivf_topk`/`ann_lsh_recall`.
+# ----------------------------------------------------------------------
+
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH {_EMB_CTE.replace("embeddings", "embeddings")},
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {cos_q_sql(int_dot_sql('a.q', 'b.q'), 'a.n2', 'b.n2')} AS cos_q
+  FROM en a JOIN en b ON a.vec_id <> b.vec_id
+),
+rk AS (
+  SELECT src, dst, cos_q,
+         row_number() OVER (
+           PARTITION BY src ORDER BY cos_q DESC, dst
+         ) AS rnk
+  FROM pairs
+)
+SELECT src AS vec_id, CAST(rnk AS BIGINT) AS rnk,
+       dst AS neighbor_id, cos_q
+FROM rk WHERE rnk <= {_KNN_K}
+"""
+
+
+@query("knn_graph", _KNN_ORACLE)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.operators.similarity import block_near_dup_pairs
+
+    emb = shared(
+        with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
+    )
+    # threshold below cosine's range → every pair once (id_a < id_b)
+    pairs = block_near_dup_pairs(emb, threshold_micro=-1_000_001, num_blocks=8)
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos_q"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cos_q"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_q").desc(), F.col("dst"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select(
+            F.col("src").alias("vec_id"), "rnk",
+            F.col("dst").alias("neighbor_id"), "cos_q",
+        )
+    )

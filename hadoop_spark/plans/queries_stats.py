@@ -2025,3 +2025,103 @@ def value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr_from", "from_q", "to_q")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+# ----------------------------------------------------------------------
+# seasonal_decompose — additive decomposition of the daily revenue
+# series: trend (centered 7-day moving mean), day-of-week seasonal
+# (mean of the detrended series per weekday), residual. The windows run
+# over the DAY-AGGREGATED series (bounded by the calendar), never raw
+# facts. Exactness trick: everything scales by 7 so the moving mean
+# stays INTEGER (detr7 = 7x − Σ₇x); the only floats are the three final
+# /7-style divisions and the seasonal mean, each quantized identically.
+# dow is epoch-day mod 7 — calendar-library-free and engine-identical.
+# ----------------------------------------------------------------------
+
+_DECOMP_ORACLE = """
+WITH rev AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day, x, CAST(day % 7 AS BIGINT) AS dow,
+         CAST(SUM(x) OVER (ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+         CAST(COUNT(*) OVER (ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7
+  FROM rev
+),
+det AS (
+  SELECT day, x, dow, s7, 7 * x - s7 AS detr7
+  FROM win WHERE n7 = 7
+),
+seas AS (
+  SELECT dow,
+         CAST(CAST(
+           CAST(CAST(SUM(CAST(detr7 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE)
+         AS DECIMAL(18,6)) AS DOUBLE) AS seasonal7
+  FROM det GROUP BY dow
+)
+SELECT d.day, d.x AS revenue_cents,
+       CAST(CAST(CAST(d.s7 AS DOUBLE) / 7 AS DECIMAL(18,6)) AS DOUBLE)
+         AS trend,
+       CAST(CAST(s.seasonal7 / 7 AS DECIMAL(18,6)) AS DOUBLE) AS seasonal,
+       CAST(CAST((CAST(d.detr7 AS DOUBLE) - s.seasonal7) / 7
+            AS DECIMAL(18,6)) AS DOUBLE) AS residual
+FROM det d JOIN seas s ON d.dow = s.dow
+"""
+
+
+@query("seasonal_decompose", _DECOMP_ORACLE)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    win = rev.select(
+        "day",
+        "x",
+        (F.col("day") % 7).cast("bigint").alias("dow"),
+        F.sum("x").over(w7).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("n7"),
+    )
+    det = shared(
+        win.filter(F.col("n7") == 7).select(
+            "day", "x", "dow", "s7", (F.col("x") * 7 - F.col("s7")).alias("detr7")
+        )
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(F.col("detr7").cast("decimal(38,0)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("seasonal7")
+    )
+    q6 = lambda c: c.cast("decimal(18,6)").cast("double")  # noqa: E731
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        F.col("x").alias("revenue_cents"),
+        q6(F.col("s7").cast("double") / 7).alias("trend"),
+        q6(F.col("seasonal7") / 7).alias("seasonal"),
+        q6((F.col("detr7").cast("double") - F.col("seasonal7")) / 7).alias(
+            "residual"
+        ),
+    )
