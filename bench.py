@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "value_migration_matrix",
     "seasonal_decompose",
     "knn_graph",
+    "graph_modularity",
 ]
 
 

@@ -724,3 +724,97 @@ def link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "common_neighbors",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# graph_modularity — Newman modularity of the brand partition over the
+# part co-purchase graph: does brand membership explain who gets bought
+# with whom? Q = Σ_c (m_c/m − (d_c/2m)²), reported per community along
+# with its exact integer numerator Q_c·4m² = 4·m·m_c − d_c² (the repo's
+# log-free/exact-rational discipline: all counting stays DECIMAL(38,0)
+# integer, one final division per row). Scale shape: one edge build, two
+# broadcast dimension joins (brand is a part attribute), two bounded
+# aggregations — the standard community-quality scorer next to
+# `label_propagation`.
+# ----------------------------------------------------------------------
+
+_MODULARITY_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+lab AS (SELECT p_partkey, p_brand FROM part),
+e AS (
+  SELECT la.p_brand AS ba, lb.p_brand AS bb
+  FROM pairs
+  JOIN lab la ON pairs.u = la.p_partkey
+  JOIN lab lb ON pairs.v = lb.p_partkey
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+intra AS (
+  SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS m_c
+  FROM e WHERE ba = bb GROUP BY ba
+),
+degs AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+    SELECT ba AS brand FROM e UNION ALL SELECT bb FROM e
+  ) GROUP BY brand
+)
+SELECT d.brand,
+       CAST(COALESCE(i.m_c, 0) AS BIGINT) AS intra_edges,
+       d.d_c AS degree_sum,
+       CAST(4 * (SELECT m FROM m) * COALESCE(i.m_c, 0)
+            - d.d_c * d.d_c AS BIGINT) AS q_scaled,
+       CAST(CAST(
+         CAST(4 * (SELECT m FROM m) * COALESCE(i.m_c, 0)
+              - d.d_c * d.d_c AS DOUBLE)
+         / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS DOUBLE)
+       AS DECIMAL(18,12)) AS DOUBLE) AS q_contrib
+FROM degs d LEFT JOIN intra i ON d.brand = i.brand
+"""
+
+
+@query("graph_modularity", _MODULARITY_ORACLE)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    la = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("ba"))
+    lb = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bb"))
+    e = shared(
+        pairs.join(F.broadcast(la), "u").join(F.broadcast(lb), "v").select("ba", "bb")
+    )
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    intra = (
+        e.filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_c"))
+    )
+    degs = (
+        e.select(F.col("ba").alias("brand"))
+        .unionAll(e.select(F.col("bb").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    j = degs.join(intra, "brand", "left").join(F.broadcast(m))
+    m_c = F.coalesce(F.col("m_c"), F.lit(0)).cast("bigint")
+    q_scaled = (F.lit(4) * F.col("m") * m_c - F.col("d_c") * F.col("d_c")).cast(
+        "bigint"
+    )
+    q_contrib = (
+        (
+            q_scaled.cast("double")
+            / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return j.select(
+        "brand",
+        m_c.alias("intra_edges"),
+        F.col("d_c").alias("degree_sum"),
+        q_scaled.alias("q_scaled"),
+        q_contrib.alias("q_contrib"),
+    )
