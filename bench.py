@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     "seasonal_decompose",
     "knn_graph",
     "graph_modularity",
+    "ks_distance",
+    "rank_auc",
+    "decision_stump",
 ]
 
 

@@ -1252,3 +1252,135 @@ def centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         dist.cast("decimal(18,10)").cast("double").alias("dist"),
     )
+
+
+# ----------------------------------------------------------------------
+# decision_stump — the split-finding primitive of decision-tree training
+# (the inner loop of every GBDT/random-forest fit): scan the candidate
+# thresholds of a feature (the squared-norm kilobucket of each
+# embedding) and score the weighted binary Gini impurity of the
+# (label = 0) vs rest partition at each cut. Scale shape: one histogram
+# aggregation of the fact (bounded by distinct feature values), one
+# cumulative window over that histogram, and the objective evaluates
+# per-candidate from exact integer counts — the full candidate curve is
+# emitted (is_best flags the argmin, ties to the smallest threshold),
+# exactly what a distributed tree trainer materializes per node.
+# ----------------------------------------------------------------------
+
+_STUMP_ORACLE = """
+WITH f AS (
+  SELECT CAST({dot} // 1000 AS BIGINT) AS nk,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+h AS (
+  SELECT nk,
+         CAST(SUM(pos) AS BIGINT) AS p,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM f GROUP BY nk
+),
+tot AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS tp, CAST(SUM(c) AS BIGINT) AS tn FROM h
+),
+cum AS (
+  SELECT nk,
+         CAST(SUM(p) OVER w AS BIGINT) AS pl,
+         CAST(SUM(c) OVER w AS BIGINT) AS nl
+  FROM h
+  WINDOW w AS (ORDER BY nk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+curve AS (
+  SELECT c.nk AS threshold, c.nl AS n_left, c.pl AS pos_left,
+         CAST(CAST(
+           (CAST(c.nl * c.nl - c.pl * c.pl
+                 - (c.nl - c.pl) * (c.nl - c.pl) AS DOUBLE) / CAST(c.nl AS DOUBLE))
+           + (CAST((t.tn - c.nl) * (t.tn - c.nl)
+                   - (t.tp - c.pl) * (t.tp - c.pl)
+                   - ((t.tn - c.nl) - (t.tp - c.pl))
+                     * ((t.tn - c.nl) - (t.tp - c.pl)) AS DOUBLE)
+              / CAST(t.tn - c.nl AS DOUBLE))
+         AS DECIMAL(18,10)) AS DOUBLE) AS gini_obj
+  FROM cum c, tot t
+  WHERE c.nl < t.tn
+)
+SELECT threshold, n_left, pos_left, gini_obj,
+       gini_obj = (SELECT MIN(gini_obj) FROM curve)
+         AND threshold = (SELECT MIN(threshold) FROM curve c2
+                          WHERE c2.gini_obj = (SELECT MIN(gini_obj) FROM curve))
+         AS is_best
+FROM curve
+""".format(dot="list_dot_product(q_, q_)")
+
+
+def _stump_oracle() -> str:
+    from hadoop_spark.operators.similarity import int_dot_sql, quantize_sql
+
+    dot = int_dot_sql(quantize_sql("embedding"), quantize_sql("embedding"))
+    return _STUMP_ORACLE.replace("list_dot_product(q_, q_)", dot)
+
+
+@query("decision_stump", _stump_oracle())
+def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = with_quantized(load_table(spark, sf_dir, "embeddings"))
+    f = emb.select(
+        F.floor(F.col("n2") / 1000).cast("bigint").alias("nk"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    h = f.groupBy("nk").agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    tot = h.agg(
+        F.sum("p").cast("bigint").alias("tp"),
+        F.sum("c").cast("bigint").alias("tn"),
+    )
+    w = W.orderBy("nk").rowsBetween(W.unboundedPreceding, 0)
+    cum = h.select(
+        F.col("nk").alias("threshold"),
+        F.sum("p").over(w).cast("bigint").alias("pl"),
+        F.sum("c").over(w).cast("bigint").alias("nl"),
+    )
+    j = cum.join(F.broadcast(tot)).filter(F.col("nl") < F.col("tn"))
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("tn") - nl
+    pr = F.col("tp") - pl
+    gini = (
+        (
+            (nl * nl - pl * pl - (nl - pl) * (nl - pl)).cast("double")
+            / nl.cast("double")
+        )
+        + (
+            (nr * nr - pr * pr - (nr - pr) * (nr - pr)).cast("double")
+            / nr.cast("double")
+        )
+    ).cast("decimal(18,10)").cast("double")
+    curve = shared(
+        j.select(
+            "threshold",
+            nl.alias("n_left"),
+            pl.alias("pos_left"),
+            gini.alias("gini_obj"),
+        )
+    )
+    best = curve.agg(F.min("gini_obj").alias("best_obj"))
+    best_t = (
+        curve.join(F.broadcast(best))
+        .filter(F.col("gini_obj") == F.col("best_obj"))
+        .agg(F.min("threshold").alias("best_t"))
+    )
+    return (
+        curve.join(F.broadcast(best))
+        .join(F.broadcast(best_t))
+        .select(
+            "threshold",
+            "n_left",
+            "pos_left",
+            "gini_obj",
+            (
+                (F.col("gini_obj") == F.col("best_obj"))
+                & (F.col("threshold") == F.col("best_t"))
+            ).alias("is_best"),
+        )
+    )

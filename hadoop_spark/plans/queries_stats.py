@@ -2125,3 +2125,198 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# ks_distance — two-sample Kolmogorov–Smirnov distance of each source's
+# document-length distribution against the rest of the corpus: the
+# drift detector a curation pipeline runs per ingest feed. Exact and
+# log-free: D·(n_src·n_rest) = max |cum_src·n_rest − cum_rest·n_src| is
+# pure integer arithmetic over the bounded (source × distinct-length)
+# grid; only the final normalization divides. The grid is built from
+# two bounded aggregates (distinct lengths × sources), never from rows.
+# ----------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH h AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT v FROM h),
+srcs AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM h GROUP BY source
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM h),
+grid AS (
+  SELECT s.source, s.n_src, vals.v, COALESCE(h.c, 0) AS c
+  FROM srcs s CROSS JOIN vals
+  LEFT JOIN h ON h.source = s.source AND h.v = vals.v
+),
+cums AS (
+  SELECT source, n_src, v,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_src
+  FROM grid
+),
+cumt AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS ct FROM h GROUP BY v
+),
+cumt2 AS (
+  SELECT v, CAST(SUM(ct) OVER (ORDER BY v
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tot
+  FROM cumt
+),
+d AS (
+  SELECT c.source, c.n_src,
+         (SELECT n_tot FROM tot) - c.n_src AS n_rest,
+         ABS(c.cum_src * ((SELECT n_tot FROM tot) - c.n_src)
+             - (t.cum_tot - c.cum_src) * c.n_src) AS d_scaled
+  FROM cums c JOIN cumt2 t ON c.v = t.v
+)
+SELECT source, n_src, n_rest,
+       CAST(MAX(d_scaled) AS BIGINT) AS d_scaled,
+       CAST(CAST(
+         CAST(MAX(d_scaled) AS DOUBLE)
+         / (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE))
+       AS DECIMAL(18,12)) AS DOUBLE) AS ks_d
+FROM d GROUP BY source, n_src, n_rest
+"""
+
+
+@query("ks_distance", _KS_ORACLE)
+def ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = shared(
+        docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+    )
+    vals = h.select("v").distinct()
+    srcs = h.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_src"))
+    tot = h.agg(F.sum("c").cast("bigint").alias("n_tot"))
+    grid = (
+        srcs.crossJoin(F.broadcast(vals))
+        .join(h, ["source", "v"], "left")
+        .select("source", "n_src", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_src = (
+        W.partitionBy("source").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cums = grid.select(
+        "source", "n_src", "v",
+        F.sum("c").over(w_src).cast("bigint").alias("cum_src"),
+    )
+    cumt = h.groupBy("v").agg(F.sum("c").cast("bigint").alias("ct"))
+    w_tot = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cumt2 = cumt.select(
+        "v", F.sum("ct").over(w_tot).cast("bigint").alias("cum_tot")
+    )
+    d = (
+        cums.join(cumt2, "v")
+        .join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_src",
+            (F.col("n_tot") - F.col("n_src")).alias("n_rest"),
+            F.abs(
+                F.col("cum_src") * (F.col("n_tot") - F.col("n_src"))
+                - (F.col("cum_tot") - F.col("cum_src")) * F.col("n_src")
+            ).alias("d_scaled"),
+        )
+    )
+    agg = d.groupBy("source", "n_src", "n_rest").agg(
+        F.max("d_scaled").cast("bigint").alias("d_scaled")
+    )
+    ks = (
+        (
+            F.col("d_scaled").cast("double")
+            / (F.col("n_src").cast("double") * F.col("n_rest").cast("double"))
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return agg.select("source", "n_src", "n_rest", "d_scaled", ks.alias("ks_d"))
+
+
+# ----------------------------------------------------------------------
+# rank_auc — Mann–Whitney U / rank-biserial AUC between the purchase and
+# click value distributions: "how separable are the two event types on
+# value", the exact number behind every ROC-AUC report. Midrank (tie-
+# corrected) arithmetic stays INTEGER by working on doubled ranks over
+# the combined cent-value histogram: 2·R₁ = Σ c₁ᵥ·(2·cum_before + cᵥ+1).
+# One histogram shuffle, bounded windows, a single exact division.
+# ----------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+         CAST(CAST(value * 100 AS DECIMAL(38,0)) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+h AS (
+  SELECT v,
+         CAST(SUM(grp) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM src GROUP BY v
+),
+cum AS (
+  SELECT v, c1, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS before
+  FROM h
+),
+s AS (
+  SELECT CAST(SUM(c1 * (2 * before + c + 1)) AS BIGINT) AS r1x2,
+         CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c - c1) AS BIGINT) AS n2
+  FROM cum
+)
+SELECT n1, n2,
+       CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(CAST(
+         CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+         / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       AS DECIMAL(18,12)) AS DOUBLE) AS auc
+FROM s
+"""
+
+
+@query("rank_auc", _AUC_ORACLE)
+def rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        (F.col("value") * 100).cast("decimal(38,0)").cast("bigint").alias("v"),
+    )
+    h = src.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = h.select(
+        "v", "c1", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint").alias("before"),
+    )
+    s = cum.agg(
+        F.sum(F.col("c1") * (F.col("before") * 2 + F.col("c") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
+    )
+    u1x2 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("bigint")
+    auc = (
+        (
+            u1x2.cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double") * 2)
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return s.select("n1", "n2", u1x2.alias("u1_x2"), auc.alias("auc"))
