@@ -190,6 +190,9 @@ BENCH_QUERIES = [
     "ks_distance",
     "rank_auc",
     "decision_stump",
+    "silhouette_simplified",
+    "target_encoding",
+    "lorenz_curve",
 ]
 
 

@@ -1384,3 +1384,132 @@ def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_best"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# silhouette_simplified — per-label clustering quality via the
+# simplified (centroid-based) silhouette: a = distance to own label's
+# centroid, b = distance to the nearest OTHER centroid, s = (b−a)/
+# max(a,b), averaged per label. The standard embedding-space label-QA
+# score next to `cluster_purity`/`centroid_distances`. Exactness: the
+# centroid stays a RATIONAL (integer sum S, count n) and the point-to-
+# centroid distance uses the common-denominator trick d²·n² =
+# Σ(n·qⱼ − Sⱼ)² — all DECIMAL(38,0) integers; the sqrt/ratio runs on
+# bit-identical doubles. Scale: points explode once (n·d), join the
+# broadcast K·d centroid table → linear in n·d·K, map-side arithmetic,
+# one final label rollup.
+# ----------------------------------------------------------------------
+
+_SIL_ORACLE = """
+WITH x AS (
+  SELECT vec_id, label AS own, CAST(j - 1 AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 10000000)
+              AS BIGINT) AS q
+  FROM embeddings, range(1, 65) r(j)
+  WHERE j <= len(embedding)
+),
+c AS (
+  SELECT own AS clabel, dim,
+         CAST(SUM(q) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x GROUP BY own, dim
+),
+d2 AS (
+  SELECT x.vec_id, x.own, c.clabel,
+         CAST(SUM(CAST(c.n * x.q - c.s AS DECIMAL(38,0))
+                  * CAST(c.n * x.q - c.s AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS d2s,
+         MAX(c.n) AS nc
+  FROM x JOIN c ON x.dim = c.dim
+  GROUP BY x.vec_id, x.own, c.clabel
+),
+dist AS (
+  SELECT vec_id, own, clabel,
+         SQRT(CAST(CAST(d2s AS VARCHAR) AS DOUBLE))
+           / (CAST(nc AS DOUBLE) * 10000000) AS d
+  FROM d2
+),
+ab AS (
+  SELECT vec_id, own,
+         MIN(CASE WHEN clabel = own THEN d END) AS a,
+         MIN(CASE WHEN clabel <> own THEN d END) AS b
+  FROM dist GROUP BY vec_id, own
+),
+s AS (
+  SELECT own,
+         CAST(CAST((b - a) / GREATEST(a, b) AS DECIMAL(18,12)) AS DOUBLE)
+           AS sil
+  FROM ab
+)
+SELECT own AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(CAST(
+         CAST(CAST(SUM(CAST(sil AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)
+       AS DECIMAL(18,12)) AS DOUBLE) AS mean_silhouette
+FROM s GROUP BY own
+"""
+
+
+@query("silhouette_simplified", _SIL_ORACLE)
+def silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.posexplode("embedding").alias("dim_i", "xf"),
+    ).select(
+        "vec_id",
+        "own",
+        F.col("dim_i").cast("bigint").alias("dim"),
+        F.round(F.col("xf").cast("double") * 10_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    x = shared(x)
+    c = x.groupBy(F.col("own").alias("clabel"), "dim").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    num = (F.col("n") * F.col("q") - F.col("s")).cast("decimal(38,0)")
+    d2 = (
+        x.join(F.broadcast(c), "dim")
+        .groupBy("vec_id", "own", "clabel")
+        .agg(
+            F.sum(num * num).cast("decimal(38,0)").alias("d2s"),
+            F.max("n").alias("nc"),
+        )
+    )
+    dist = d2.select(
+        "vec_id",
+        "own",
+        "clabel",
+        (
+            F.sqrt(F.col("d2s").cast("string").cast("double"))
+            / (F.col("nc").cast("double") * 10_000_000)
+        ).alias("d"),
+    )
+    ab = dist.groupBy("vec_id", "own").agg(
+        F.min(F.when(F.col("clabel") == F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("own"), F.col("d"))).alias("b"),
+    )
+    sil = (
+        ((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")))
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    s = ab.select("own", sil.alias("sil"))
+    mean_sil = (
+        (
+            F.sum(F.col("sil").cast("decimal(18,12)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return s.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        mean_sil.alias("mean_silhouette"),
+    )

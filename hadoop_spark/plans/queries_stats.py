@@ -2320,3 +2320,167 @@ def rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
     )
     return s.select("n1", "n2", u1x2.alias("u1_x2"), auc.alias("auc"))
+
+
+# ----------------------------------------------------------------------
+# target_encoding — smoothed mean-target category encoding (the ML
+# feature-engineering staple): enc(nation) = (Σ target + m·prior) /
+# (n + m) with m = 100 pseudo-observations of the global mean, which
+# shrinks rare categories toward the prior instead of memorizing noise.
+# Two aggregations (per-category, global) + one broadcast; the encoding
+# is a single division of exact integer-cent statistics on both engines.
+# ----------------------------------------------------------------------
+
+_TENC_M = 100
+
+_TENC_ORACLE = f"""
+WITH j AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(CAST(o.o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS s
+  FROM j GROUP BY nationkey
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(CAST(s AS DECIMAL(38,0)))
+         AS BIGINT) AS ts
+  FROM g
+)
+SELECT g.nationkey, g.n,
+       CAST(CAST(
+         (CAST(g.s AS DOUBLE)
+          + {_TENC_M} * (CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE)))
+         / (CAST(g.n AS DOUBLE) + {_TENC_M}) / 100
+       AS DECIMAL(18,8)) AS DOUBLE) AS encoded_value
+FROM g, tot
+"""
+
+
+@query("target_encoding", _TENC_ORACLE)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nationkey"),
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = j.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("bigint").alias("s"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("bigint").alias("ts"),
+    )
+    enc = (
+        (
+            (
+                F.col("s").cast("double")
+                + F.lit(_TENC_M)
+                * (F.col("ts").cast("double") / F.col("tn").cast("double"))
+            )
+            / (F.col("n").cast("double") + F.lit(_TENC_M))
+            / 100
+        )
+        .cast("decimal(18,8)")
+        .cast("double")
+    )
+    return g.join(F.broadcast(tot)).select(
+        "nationkey", "n", enc.alias("encoded_value")
+    )
+
+
+# ----------------------------------------------------------------------
+# lorenz_curve — revenue-concentration polyline: customers sorted by
+# spend into $500 buckets, each bucket reporting the cumulative share of
+# customers and of revenue below it (the Gini/Lorenz inequality read —
+# "the top x% of customers carry y% of revenue"). The scalable form
+# works entirely on the BOUNDED spend-bucket histogram: one customer
+# aggregation, one histogram aggregation, cumulative windows over
+# buckets, two exact divisions per output row.
+# ----------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+hist AS (
+  SELECT CAST(cents // 50000 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS s
+  FROM spend GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_cust) AS BIGINT) AS tn,
+         CAST(SUM(CAST(s AS DECIMAL(38,0))) AS BIGINT) AS ts
+  FROM hist
+),
+cum AS (
+  SELECT bucket, n_cust,
+         CAST(SUM(n_cust) OVER w AS BIGINT) AS cum_cust,
+         CAST(SUM(s) OVER w AS BIGINT) AS cum_cents
+  FROM hist
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT bucket, n_cust, cum_cust,
+       CAST(CAST(CAST(cum_cust AS DOUBLE) / CAST((SELECT tn FROM tot) AS DOUBLE)
+            AS DECIMAL(18,12)) AS DOUBLE) AS cust_share,
+       CAST(CAST(CAST(cum_cents AS DOUBLE) / CAST((SELECT ts FROM tot) AS DOUBLE)
+            AS DECIMAL(18,12)) AS DOUBLE) AS revenue_share
+FROM cum
+"""
+
+
+@query("lorenz_curve", _LORENZ_ORACLE)
+def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    hist = spend.groupBy(
+        F.floor(F.col("cents") / 50000).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("bigint").alias("s"),
+    )
+    hist = shared(hist)
+    tot = hist.agg(
+        F.sum("n_cust").cast("bigint").alias("tn"),
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("bigint").alias("ts"),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "n_cust",
+        F.sum("n_cust").over(w).cast("bigint").alias("cum_cust"),
+        F.sum("s").over(w).cast("bigint").alias("cum_cents"),
+    )
+    q12 = lambda c: c.cast("decimal(18,12)").cast("double")  # noqa: E731
+    return cum.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_cust",
+        "cum_cust",
+        q12(F.col("cum_cust").cast("double") / F.col("tn").cast("double")).alias(
+            "cust_share"
+        ),
+        q12(
+            F.col("cum_cents").cast("double") / F.col("ts").cast("double")
+        ).alias("revenue_share"),
+    )
