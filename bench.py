@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "silhouette_simplified",
     "target_encoding",
     "lorenz_curve",
+    "lead_lag_corr",
+    "dataset_card",
 ]
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import dsum, dsum_sql
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import fanout_small, load_table
+from hadoop_spark.sources.tables import fanout_small, load_table, shared
 
 # ----------------------------------------------------------------------
 # dedup_paragraph — segment-level exact dedup (keep-first), the
@@ -1302,4 +1302,91 @@ def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+# ----------------------------------------------------------------------
+# dataset_card — the one-row corpus scorecard a training run records
+# next to its data snapshot: document and token counts, source/language
+# cardinalities, exact duplicate share (normalized fingerprints), mean
+# and exact median document length. Every number is a bounded aggregate
+# of one corpus scan (the median via the value-histogram rank selection
+# of `operators/stats.group_median`); the combining joins are all 1-row
+# broadcasts. The composed "dataset card" is what HuggingFace-style
+# dataset documentation expects — here it is a query, so it can never
+# drift from the data.
+# ----------------------------------------------------------------------
+
+
+def _dataset_card_oracle() -> str:
+    from hadoop_spark.functions.text import fingerprint_sql, ws_token_count_sql
+    from hadoop_spark.operators.stats import group_median_sql
+
+    return f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST({ws_token_count_sql("text")} AS BIGINT)) AS BIGINT)
+           AS n_tokens,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT {fingerprint_sql("text")}) AS BIGINT) AS n_unique,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents
+),
+msrc AS (SELECT 1 AS g, n_chars FROM documents),
+{group_median_sql("msrc", "g", "n_chars", "median_chars", "med")}
+SELECT b.n_docs, b.n_tokens, b.n_sources, b.n_langs,
+       CAST(CAST(
+         CAST(1 AS DOUBLE) - CAST(b.n_unique AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+       AS DECIMAL(18,12)) AS DOUBLE) AS dup_share,
+       CAST(CAST(
+         CAST(b.sum_chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+       AS DECIMAL(18,8)) AS DOUBLE) AS mean_chars,
+       med.median_chars
+FROM base b, med
+"""
+
+
+@query("dataset_card", _dataset_card_oracle())
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.text import fingerprint, ws_token_count
+    from hadoop_spark.operators.stats import group_median
+
+    docs = shared(load_table(spark, sf_dir, "documents"))
+    base = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(ws_token_count(F.col("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct(fingerprint(F.col("text")))
+        .cast("bigint")
+        .alias("n_unique"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    med = group_median(
+        docs.select(F.lit(1).alias("g"), "n_chars"), "g", "n_chars", "median_chars"
+    ).select("median_chars")
+    dup = (
+        (
+            F.lit(1).cast("double")
+            - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    mean_chars = (
+        (F.col("sum_chars").cast("double") / F.col("n_docs").cast("double"))
+        .cast("decimal(18,8)")
+        .cast("double")
+    )
+    return base.join(F.broadcast(med)).select(
+        "n_docs",
+        "n_tokens",
+        "n_sources",
+        "n_langs",
+        dup.alias("dup_share"),
+        mean_chars.alias("mean_chars"),
+        "median_chars",
     )

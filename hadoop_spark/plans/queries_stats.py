@@ -1020,18 +1020,24 @@ def ab_split_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 _CORR_ORACLE = """
-WITH rev AS (
+WITH rev0 AS (
   SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT)
            AS day,
          CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
            AS x
   FROM orders GROUP BY 1
 ),
-ev AS (
+ev0 AS (
   SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
          CAST(COUNT(*) AS BIGINT) AS y
   FROM events GROUP BY 1
 ),
+-- the two feeds cover DISJOINT calendar ranges (the fixture's orders are
+-- 1995-2001, events are a 30-day 2024 window), so each series aligns to
+-- its own first day and correlates on the day INDEX — the standard
+-- day-of-campaign alignment; a raw calendar join would be vacuously empty
+rev AS (SELECT day - (SELECT MIN(day) FROM rev0) AS day, x FROM rev0),
+ev AS (SELECT day - (SELECT MIN(day) FROM ev0) AS day, y FROM ev0),
 j AS (SELECT rev.x, ev.y FROM rev JOIN ev ON rev.day = ev.day),
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -1062,7 +1068,7 @@ FROM s
 def daily_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
-    rev = orders.groupBy(
+    rev0 = orders.groupBy(
         F.floor(
             F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
         )
@@ -1073,9 +1079,19 @@ def daily_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("x")
     )
-    evd = ev.groupBy(
+    evd0 = ev.groupBy(
         F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day")
     ).agg(F.count(F.lit(1)).alias("y"))
+    # align each feed to its own first day (disjoint calendar ranges in
+    # the fixture — a raw calendar join is vacuously empty)
+    rmin = rev0.agg(F.min("day").alias("rm"))
+    emin = evd0.agg(F.min("day").alias("em"))
+    rev = rev0.join(F.broadcast(rmin)).select(
+        (F.col("day") - F.col("rm")).alias("day"), "x"
+    )
+    evd = evd0.join(F.broadcast(emin)).select(
+        (F.col("day") - F.col("em")).alias("day"), "y"
+    )
     j = rev.join(evd, "day").select("x", "y")
     d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = j.agg(
@@ -2483,4 +2499,149 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         q12(
             F.col("cum_cents").cast("double") / F.col("ts").cast("double")
         ).alias("revenue_share"),
+    )
+
+
+# ----------------------------------------------------------------------
+# lead_lag_corr — cross-correlation function between the daily order-
+# revenue and event-count series at lags −7..+7, with the peak flagged:
+# does activity LEAD revenue (negative lag) or trail it? The lead-lag
+# read a growth team runs before attributing causality. One explode
+# fans the bounded day series across all 15 lag hypotheses; every
+# Pearson component is an exact DECIMAL(38,0) integer sum (the
+# `daily_metric_corr` discipline); the peak is the max |r| on QUANTIZED
+# values with a deterministic smallest-lag tie-break.
+# ----------------------------------------------------------------------
+
+_LL_LAGS = 7
+
+
+def _leadlag_oracle() -> str:
+    dd = lambda v: f"CAST(CAST({v} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH rev0 AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+ev0 AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+-- series cover disjoint calendar ranges: align each to its own first day
+-- (day-of-campaign index) before the lag join
+rev AS (SELECT day - (SELECT MIN(day) FROM rev0) AS day, x FROM rev0),
+ev AS (SELECT day - (SELECT MIN(day) FROM ev0) AS day, y FROM ev0),
+lags AS (SELECT unnest(range(-{_LL_LAGS}, {_LL_LAGS + 1})) AS lag),
+j AS (
+  SELECT l.lag, r.x, e.y
+  FROM rev r CROSS JOIN lags l
+  JOIN ev e ON e.day = r.day + l.lag
+),
+comp AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM j GROUP BY lag
+),
+r AS (
+  SELECT CAST(lag AS BIGINT) AS lag, n,
+         CAST(CAST(
+           (CAST(n AS DOUBLE) * {dd("sxy")} - {dd("sx")} * {dd("sy")})
+           / (SQRT(CAST(n AS DOUBLE) * {dd("sxx")} - {dd("sx")} * {dd("sx")})
+              * SQRT(CAST(n AS DOUBLE) * {dd("syy")} - {dd("sy")} * {dd("sy")}))
+         AS DECIMAL(18,12)) AS DOUBLE) AS r
+  FROM comp
+)
+SELECT lag, n, r,
+       ABS(r) = (SELECT MAX(ABS(r)) FROM r)
+         AND lag = (SELECT MIN(lag) FROM r r2
+                    WHERE ABS(r2.r) = (SELECT MAX(ABS(r)) FROM r))
+         AS is_peak
+FROM r
+"""
+
+
+@query("lead_lag_corr", _leadlag_oracle())
+def lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    rev0 = orders.groupBy(
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("x")
+    )
+    evd0 = ev.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("eday")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    rmin = rev0.agg(F.min("day").alias("rm"))
+    emin = evd0.agg(F.min("eday").alias("em"))
+    rev = rev0.join(F.broadcast(rmin)).select(
+        (F.col("day") - F.col("rm")).alias("day"), "x"
+    )
+    evd = evd0.join(F.broadcast(emin)).select(
+        (F.col("eday") - F.col("em")).alias("eday"), "y"
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(-_LL_LAGS, _LL_LAGS + 1)])
+    ).alias("lag")
+    j = (
+        rev.select("day", "x", lags)
+        .join(evd, F.col("eday") == F.col("day") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    comp = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(d38("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(d38("x") * d38("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d38("x") * d38("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d38("y") * d38("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    rr = (
+        (nd * F.col("sxy").cast("double") - sxd * syd)
+        / (
+            F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+            * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+        )
+    ).cast("decimal(18,12)").cast("double")
+    r = shared(
+        comp.select(F.col("lag").cast("bigint").alias("lag"), "n", rr.alias("r"))
+    )
+    peak = r.agg(F.max(F.abs(F.col("r"))).alias("mx"))
+    peak_lag = (
+        r.join(F.broadcast(peak))
+        .filter(F.abs(F.col("r")) == F.col("mx"))
+        .agg(F.min("lag").alias("peak_lag"))
+    )
+    return (
+        r.join(F.broadcast(peak))
+        .join(F.broadcast(peak_lag))
+        .select(
+            "lag",
+            "n",
+            "r",
+            (
+                (F.abs(F.col("r")) == F.col("mx"))
+                & (F.col("lag") == F.col("peak_lag"))
+            ).alias("is_peak"),
+        )
     )
