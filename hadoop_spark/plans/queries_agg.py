@@ -933,27 +933,33 @@ def hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------------
 # missing_days — backfill planning / partition audit: for each event
-# type, which days inside its own [first, last] activity span have ZERO
-# events (the holes a scheduler must backfill before downstream jobs
-# trust the table). The candidate grid explodes from the per-type span
-# (bounded: types × days — never data-sized) and anti-joins the observed
-# (type, day) set; all integer epoch-day arithmetic.
+# type, which HOURLY buckets inside its own [first, last] activity span
+# have ZERO events (the holes a scheduler must backfill before
+# downstream jobs trust the table). Hour granularity is what the
+# fixture's feed density actually exercises — the day-level version was
+# green-but-vacuous (every type covers every day at every SF, so the
+# anti-join never fired). The candidate grid explodes from the per-type
+# span (bounded: types × hours — never data-sized) and anti-joins the
+# observed (type, hour) set; all integer epoch arithmetic. Output keeps
+# the day AND hour-of-day so the backfill list reads as partitions.
 # ----------------------------------------------------------------------
 
 _MISSING_DAYS_ORACLE = """
 WITH obs AS (
-  SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+  SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
 ),
 span AS (
-  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY event_type
+  SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs GROUP BY event_type
 ),
 grid AS (
-  SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM span
+  SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM span
 )
-SELECT g.event_type, CAST(g.day AS BIGINT) AS day
+SELECT g.event_type,
+       CAST(g.hr // 24 AS BIGINT) AS day,
+       CAST(g.hr % 24 AS BIGINT) AS hour_of_day
 FROM grid g LEFT JOIN obs o
-  ON g.event_type = o.event_type AND g.day = o.day
-WHERE o.day IS NULL
+  ON g.event_type = o.event_type AND g.hr = o.hr
+WHERE o.hr IS NULL
 """
 
 
@@ -965,17 +971,19 @@ def missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = shared(
         ev.select(
             "event_type",
-            F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day"),
+            F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hr"),
         ).distinct()
     )
     span = obs.groupBy("event_type").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
     )
     grid = span.select(
-        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("hr")
     )
-    return grid.join(obs, ["event_type", "day"], "left_anti").select(
-        "event_type", F.col("day").cast("bigint").alias("day")
+    return grid.join(obs, ["event_type", "hr"], "left_anti").select(
+        "event_type",
+        F.floor(F.col("hr") / 24).cast("bigint").alias("day"),
+        (F.col("hr") % 24).cast("bigint").alias("hour_of_day"),
     )
 
 

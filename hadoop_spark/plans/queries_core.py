@@ -156,13 +156,20 @@ def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS custkey FROM orders
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — set difference (anti-join shaped)."""
+    """Customers who never placed an URGENT order — set difference
+    (anti-join shaped). The right side is restricted so the fixture
+    difference is NON-EMPTY: every customer has some order, so the
+    unrestricted version verified nothing."""
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return cust.subtract(orders)
 
 
@@ -269,15 +276,17 @@ def intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "except_all_keys",
     """
-    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber <= 2
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber = 1
     EXCEPT ALL
-    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 25
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 45
     """,
 )
 def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset difference (EXCEPT ALL — each right occurrence cancels one
-    left occurrence)."""
+    left occurrence). Operand predicates are sized so the fixture
+    multiset difference is NON-EMPTY per supplier (the earlier <=2 vs
+    >=25 split cancelled exactly, verifying nothing)."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_suppkey").alias("suppkey"))
-    b = li.filter(F.col("l_quantity") >= 25).select(F.col("l_suppkey").alias("suppkey"))
+    a = li.filter(F.col("l_linenumber") == 1).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_quantity") >= 45).select(F.col("l_suppkey").alias("suppkey"))
     return a.exceptAll(b)

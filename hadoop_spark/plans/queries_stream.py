@@ -103,11 +103,20 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_first_dedup(load_table(spark, sf_dir, "events"))
 
 
+# Arrival order = a deterministic hash shuffle of event_id: the fixture's
+# events are PERFECTLY time-ordered by event_id, under which NO watermark
+# ever drops a row (the original event_id-arrival version of this query
+# was green-but-vacuous — zero rows at every SF). Hash-shuffled arrival
+# models network/partition reordering and exercises the drop path on
+# thousands of genuinely late rows.
+_ARRIVAL_SQL = "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#arrival'), 1, 15) AS BIGINT)"
+
 _LATE_ORACLE = f"""
 WITH wm AS (
   SELECT event_id, event_type, epoch_us(ts) AS ts_us,
          MAX(epoch_us(ts)) OVER (
-           ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ORDER BY {_ARRIVAL_SQL}, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ) - {WATERMARK_DELAY_US} AS wm_us
   FROM events
 )
@@ -118,12 +127,18 @@ FROM wm WHERE ts_us < wm_us
 
 @query("late_events", _LATE_ORACLE)
 def late_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which events a 10-min watermark would drop, replayed in batch.
+    """Which events a 10-min watermark would drop, replayed in batch over a
+    hash-shuffled (out-of-order) arrival sequence.
     NB: the running max over arrival order is a single global window — in
     batch this is the one intentionally non-scalable demo (watermark
     tracking is O(1) state per partition in the real stream; see
     tests/test_streaming.py for the streaming execution)."""
-    return late_events(load_table(spark, sf_dir, "events"))
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arrival", portable_hash64(F.col("event_id"), salt="#arrival")
+    )
+    return late_events(ev, "arrival", "event_id").drop("arrival")
 
 
 _STATEFUL_ORACLE = """
@@ -1230,7 +1245,7 @@ s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS nkeys, CAST(SUM(cnt) AS BIGINT) AS total
   FROM c
 )
-SELECT user_id, cnt FROM c, s WHERE cnt * nkeys > 2 * total
+SELECT user_id, cnt FROM c, s WHERE cnt * nkeys * 10 > 11 * total
 """
 
 
@@ -1256,7 +1271,9 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         counts.crossJoin(F.broadcast(stats))
-        .filter(F.col("cnt") * F.col("nkeys") > 2 * F.col("total"))
+        # 10% above the mean: the fixture's per-user load is near-uniform,
+        # so the old 2x-mean cut matched nothing at any SF (vacuous green)
+        .filter(F.col("cnt") * F.col("nkeys") * 10 > 11 * F.col("total"))
         .select("user_id", "cnt")
     )
 

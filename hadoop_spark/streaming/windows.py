@@ -104,17 +104,18 @@ def keep_first_dedup(events: DataFrame) -> DataFrame:
     )
 
 
-def late_events(events: DataFrame, arrival_col: str = "event_id") -> DataFrame:
+def late_events(events: DataFrame, *arrival_cols: str) -> DataFrame:
     """Watermark semantics replayed in batch: process events in arrival
-    order (event_id here), track the running max event time, and flag
-    events older than (running max − 10 min) — exactly the rows a
-    10-minute watermark would drop. Returns the dropped rows with their
-    lateness."""
+    order (`arrival_cols`, default event_id), track the running max event
+    time, and flag events older than (running max − 10 min) — exactly the
+    rows a 10-minute watermark would drop. Returns the dropped rows with
+    their lateness."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(arrival_col).asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    arrival_cols = arrival_cols or ("event_id",)
+    w = Window.orderBy(
+        *[F.col(c).asc() for c in arrival_cols]
+    ).rowsBetween(Window.unboundedPreceding, -1)
     ts_us = F.unix_micros("ts")
     running_max = F.max(ts_us).over(w)
     return (
