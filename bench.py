@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "lorenz_curve",
     "lead_lag_corr",
     "dataset_card",
+    "cube_serving",
+    "shard_manifest",
 ]
 
 

@@ -1610,3 +1610,151 @@ def topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unioned.join(F.broadcast(tot)).select(
         "bucket", F.col("cents").alias("revenue_cents"), share.alias("share")
     )
+
+
+# ----------------------------------------------------------------------
+# cube_serving — the "aggregate once, serve many" OLAP pattern: one
+# (year × nation × priority) cube materializes from the fact table, and
+# three different dashboard questions (annual totals, nation league
+# table, priority mix) answer FROM THE CUBE — cube-sized re-aggregations,
+# the fact table is scanned exactly once. This is how a 100 TB serving
+# layer works: the cube is the only fact-wide shuffle; every question
+# after it is interactive. Integer cents; the three answers union under
+# a grouping label.
+# ----------------------------------------------------------------------
+
+_CUBE_SERVING_ORACLE = """
+WITH cube_t AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS yr,
+         n.n_name AS nation,
+         o.o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT 'by_year' AS question, CAST(yr AS VARCHAR) AS key,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS cents
+FROM cube_t GROUP BY yr
+UNION ALL
+SELECT 'by_nation', nation,
+       CAST(SUM(n_orders) AS BIGINT),
+       CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT)
+FROM cube_t GROUP BY nation
+UNION ALL
+SELECT 'by_priority', priority,
+       CAST(SUM(n_orders) AS BIGINT),
+       CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT)
+FROM cube_t GROUP BY priority
+"""
+
+
+@query("cube_serving", _CUBE_SERVING_ORACLE)
+def cube_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cube = shared(
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+    def serve(dim, label: str) -> DataFrame:
+        return cube.groupBy(dim.alias("key")).agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum(F.col("cents").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents"),
+        ).select(F.lit(label).alias("question"), "key", "n_orders", "cents")
+
+    return (
+        serve(F.col("yr").cast("string"), "by_year")
+        .unionByName(serve(F.col("nation"), "by_nation"))
+        .unionByName(serve(F.col("priority"), "by_priority"))
+    )
+
+
+# ----------------------------------------------------------------------
+# shard_manifest — training-data export planning: assign every document
+# to one of 16 deterministic shards (portable hash of doc_id) and emit
+# the manifest a downstream loader checks before reading — per-shard row
+# count, token count, and an order-insensitive content fingerprint (the
+# `table_fingerprint` integrity discipline applied per shard). At 100 TB
+# this IS the export job's commit record: writers stream shards in
+# parallel, the manifest is one bounded aggregation, and a re-run or a
+# copy is verified by recomputing 16 numbers.
+# ----------------------------------------------------------------------
+
+_SHARD_N = 16
+
+
+def _shard_manifest_oracle() -> str:
+    from hadoop_spark.functions.hashing import portable_hash64_sql
+    from hadoop_spark.functions.text import ws_token_count_sql
+
+    shard = f"({portable_hash64_sql('doc_id', salt='#shard')} % {_SHARD_N})"
+    row_h = portable_hash64_sql(
+        "(CAST(doc_id AS VARCHAR) || '|' || text)", salt="#sm"
+    )
+    return f"""
+SELECT CAST({shard} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST({ws_token_count_sql("text")} AS BIGINT)) AS BIGINT)
+         AS n_tokens,
+       CAST(CAST(SUM(CAST({row_h} AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            AS VARCHAR) AS fingerprint
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("shard_manifest", _shard_manifest_oracle())
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.hashing import portable_hash64
+    from hadoop_spark.functions.text import ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (portable_hash64(F.col("doc_id"), salt="#shard") % _SHARD_N).cast(
+        "bigint"
+    )
+    row_h = portable_hash64(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")),
+        salt="#sm",
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            ws_token_count(F.col("text")).cast("bigint").alias("tk"),
+            row_h.alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tk").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("fingerprint"),
+        )
+    )
