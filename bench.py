@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "dataset_card",
     "cube_serving",
     "shard_manifest",
+    "audio_silence_trim",
 ]
 
 

@@ -1139,3 +1139,95 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp(li, li_canon, "lineitem").unionByName(
         fp(orders, ord_canon, "orders")
     )
+
+
+# ----------------------------------------------------------------------
+# audio_silence_trim — the standard speech-pipeline preprocessing step:
+# find each clip's first and last NON-silent 16-sample window (window
+# mean-square energy above a fixed threshold) and report the trim plan
+# (how many leading/trailing windows a loader should drop). Built on the
+# same REAL PCM decode as `audio_rms_windows` (Arrow-batched integer
+# windows, `operators/multimodal.py`); the loud/quiet decision is the
+# exact integer cross-multiplication sum_sq > TH·n — no float RMS in
+# the predicate — and the trim bounds are one per-clip aggregation. The
+# oracle replays the WAV generator formula end-to-end.
+# ----------------------------------------------------------------------
+
+_TRIM_TH = 358_000_000  # mean-square threshold ≈ uniform-noise average
+
+_TRIM_ORACLE = f"""
+WITH samples AS (
+  SELECT d.doc_id, CAST(r.i AS BIGINT) AS i,
+         (d.doc_id * 31 + CAST(r.i AS BIGINT) * 17) % 65536 - 32768 AS s
+  FROM documents d CROSS JOIN (SELECT unnest(range(128)) AS i) r
+  WHERE d.doc_id % 2 = 1 AND r.i < 64 + d.doc_id % 64
+),
+wins AS (
+  SELECT doc_id, CAST(i // 16 AS INT) AS win_id,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(s * s) AS BIGINT) AS sum_sq
+  FROM samples GROUP BY doc_id, i // 16
+),
+flags AS (
+  SELECT doc_id, win_id,
+         sum_sq > {_TRIM_TH} * n_samples AS loud
+  FROM wins
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MIN(CASE WHEN loud THEN win_id END) AS INT) AS first_loud,
+       CAST(MAX(CASE WHEN loud THEN win_id END) AS INT) AS last_loud,
+       CAST(COUNT(*) - (MAX(CASE WHEN loud THEN win_id END)
+                        - MIN(CASE WHEN loud THEN win_id END) + 1)
+            AS BIGINT) AS n_trimmed
+FROM flags
+GROUP BY doc_id
+HAVING COUNT(CASE WHEN loud THEN 1 END) > 0
+"""
+
+
+@query("audio_silence_trim", _TRIM_ORACLE)
+def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BinaryType
+
+    from hadoop_spark.operators.multimodal import as_media, audio_windows, make_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+
+    @pandas_udf(BinaryType())
+    def wav_bytes(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda s: make_wav(int(s)))
+
+    media = as_media(
+        odd.withColumn("payload", wav_bytes("doc_id")), "doc_id", "payload", "audio"
+    )
+    w = audio_windows(media, win=16)
+    loud = F.col("sum_sq") > F.lit(_TRIM_TH) * F.col("n_samples")
+    agg = (
+        w.select("doc_id", "win_id", loud.alias("loud"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.min(F.when(F.col("loud"), F.col("win_id")))
+            .cast("int")
+            .alias("first_loud"),
+            F.max(F.when(F.col("loud"), F.col("win_id")))
+            .cast("int")
+            .alias("last_loud"),
+            F.count(F.when(F.col("loud"), 1)).alias("n_loud"),
+        )
+        .filter(F.col("n_loud") > 0)
+    )
+    return agg.select(
+        "doc_id",
+        "n_windows",
+        "first_loud",
+        "last_loud",
+        (
+            F.col("n_windows")
+            - (F.col("last_loud") - F.col("first_loud") + 1)
+        )
+        .cast("bigint")
+        .alias("n_trimmed"),
+    )
