@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "cube_serving",
     "shard_manifest",
     "audio_silence_trim",
+    "range_boundaries",
+    "encoding_advisor",
 ]
 
 

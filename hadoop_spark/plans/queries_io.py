@@ -1231,3 +1231,109 @@ def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_trimmed"),
     )
+
+
+# ----------------------------------------------------------------------
+# encoding_advisor — storage-layout profiling: one scan of the fact
+# table unpivots six columns into (column, canonical value) pairs and
+# derives, per column, the cardinality and hot-value statistics that
+# pick a parquet encoding — DICT when the dictionary would be tiny
+# relative to the data (ndv·1000 < n or ndv ≤ 64), RLE when one value
+# dominates (top_share ≥ 40%), PLAIN otherwise. The decision predicates
+# are integer cross-multiplications (no float thresholds to disagree
+# on); values render through engine-identical canonical casts. This is
+# the measure-first half of the layout work `zorder_layout` and
+# `compact_small_files` finish.
+# ----------------------------------------------------------------------
+
+_ENC_COLS_SQL = [
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_orderkey", "CAST(l_orderkey AS VARCHAR)"),
+    ("l_partkey", "CAST(l_partkey AS VARCHAR)"),
+    ("l_quantity", "CAST(CAST(l_quantity AS DECIMAL(38,0)) AS VARCHAR)"),
+    (
+        "l_shipdate",
+        "CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS VARCHAR)",
+    ),
+]
+
+
+def _encoding_advisor_oracle() -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS col, {expr} AS v FROM lineitem"
+        for name, expr in _ENC_COLS_SQL
+    )
+    return f"""
+WITH pairs AS (
+{arms}
+),
+vc AS (
+  SELECT col, v, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY col, v
+),
+st AS (
+  SELECT col,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS ndv,
+         CAST(MAX(c) AS BIGINT) AS top_c
+  FROM vc GROUP BY col
+)
+SELECT col, n, ndv,
+       CAST(CAST(CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(18,12)) AS DOUBLE) AS top_share,
+       CASE WHEN ndv * 1000 < n OR ndv <= 64 THEN 'DICT'
+            WHEN top_c * 10 >= 4 * n THEN 'RLE'
+            ELSE 'PLAIN' END AS encoding
+FROM st
+"""
+
+
+@query("encoding_advisor", _encoding_advisor_oracle())
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    day = (
+        F.floor(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .cast("string")
+    )
+    cols = [
+        ("l_returnflag", F.col("l_returnflag")),
+        ("l_linestatus", F.col("l_linestatus")),
+        ("l_orderkey", F.col("l_orderkey").cast("string")),
+        ("l_partkey", F.col("l_partkey").cast("string")),
+        ("l_quantity", F.col("l_quantity").cast("decimal(38,0)").cast("string")),
+        ("l_shipdate", day),
+    ]
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("col"), expr.alias("v"))
+                    for name, expr in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.v")
+    vc = pairs.groupBy("col", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    st = vc.groupBy("col").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+    share = (
+        (F.col("top_c").cast("double") / F.col("n").cast("double"))
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    enc = (
+        F.when(
+            (F.col("ndv") * 1000 < F.col("n")) | (F.col("ndv") <= 64), "DICT"
+        )
+        .when(F.col("top_c") * 10 >= F.col("n") * 4, "RLE")
+        .otherwise("PLAIN")
+    )
+    return st.select(
+        "col", "n", "ndv", share.alias("top_share"), enc.alias("encoding")
+    )

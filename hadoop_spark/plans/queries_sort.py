@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.operators.sort import global_rank, secondary_sort, top_k_per_group, total_order
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table
+from hadoop_spark.sources.tables import load_table, shared
 
 # Oracle checks MULTISET equality (SortValidator.java:54 semantics: output ≡
 # input as a multiset); global ORDER is asserted by the partition-boundary
@@ -247,4 +247,89 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.withColumn("zb", z % 64)
         .groupBy("zb")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("sum_price"))
+    )
+
+
+# ----------------------------------------------------------------------
+# range_boundaries — the TotalOrderPartitioner's sampling pass as a
+# first-class query (`lib/partition/InputSampler.java` writes exactly
+# this artifact): 31 balanced cut points over the sort key, computed as
+# EXACT nearest-rank quantiles from one value-histogram shuffle rather
+# than a driver-side sample. Feeding these boundaries to a range
+# repartition yields the balanced total order the probe sampler
+# approximates — and the histogram form is deterministic, so the planner
+# artifact is reproducible run-over-run (a sampled one is not). Output:
+# boundary index, cut value (integer cents), exact cumulative row count.
+# ----------------------------------------------------------------------
+
+_RB_PARTS = 32
+
+
+def _range_boundaries_oracle() -> str:
+    from hadoop_spark.operators.stats import group_quantiles_sql
+
+    qs = {f"b{i}": i / _RB_PARTS for i in range(1, _RB_PARTS)}
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS boundary, b{i} AS cut_cents FROM rb"
+        for i in range(1, _RB_PARTS)
+    )
+    return f"""
+WITH src AS (
+  SELECT 1 AS g,
+         CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
+  FROM orders
+),
+{group_quantiles_sql("src", "g", "cents", qs, "rb")},
+b AS (
+{arms}
+),
+h AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY cents)
+SELECT b.boundary, b.cut_cents,
+       CAST((SELECT SUM(c) FROM h WHERE h.cents <= b.cut_cents) AS BIGINT)
+         AS rows_below
+FROM b
+"""
+
+
+@query("range_boundaries", _range_boundaries_oracle())
+def range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.operators.stats import group_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.lit(1).alias("g"),
+        (F.col("o_totalprice") * 100)
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("cents"),
+    )
+    src = shared(src)
+    qs = {f"b{i}": i / _RB_PARTS for i in range(1, _RB_PARTS)}
+    cuts = group_quantiles(src, "g", "cents", qs)
+    b = cuts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("boundary"),
+                        F.col(f"b{i}").alias("cut_cents"),
+                    )
+                    for i in range(1, _RB_PARTS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.boundary", "s.cut_cents")
+    from pyspark.sql import Window as W
+
+    h = src.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # cumulative histogram (bounded by distinct key values); each cut IS a
+    # data value (nearest-rank), so rows_below is an equi-join lookup —
+    # no inequality join over the histogram
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    cum = h.select(
+        F.col("cents").alias("cut_cents"),
+        F.sum("c").over(w).cast("bigint").alias("rows_below"),
+    )
+    return b.join(F.broadcast(cum), "cut_cents").select(
+        "boundary", "cut_cents", "rows_below"
     )
