@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "audio_silence_trim",
     "range_boundaries",
     "encoding_advisor",
+    "lateral_topk_sql",
+    "udtf_chunker",
 ]
 
 

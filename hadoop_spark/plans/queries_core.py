@@ -290,3 +290,97 @@ def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_linenumber") == 1).select(F.col("l_suppkey").alias("suppkey"))
     b = li.filter(F.col("l_quantity") >= 45).select(F.col("l_suppkey").alias("suppkey"))
     return a.exceptAll(b)
+
+
+# ----------------------------------------------------------------------
+# lateral_topk_sql — the SQL-text LATERAL (correlated table subquery)
+# surface: per nation, the two highest-balance customers, written as
+# `FROM nation, LATERAL (... ORDER BY ... LIMIT 2)` and executed through
+# spark.sql against the registered views — the same decorrelation-into-
+# window plan a user migrating ANSI SQL expects to just work. Ties break
+# on custkey, so the LIMIT is deterministic on both engines.
+# ----------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) c
+"""
+
+
+@query("lateral_topk_sql", _LATERAL_SQL)
+def lateral_topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+# ----------------------------------------------------------------------
+# udtf_chunker — the Spark 4 PYTHON UDTF surface (SURVEY §2.10's
+# user-defined TABLE function, previously covered via mapInPandas):
+# a @udtf class yields fixed 10-word chunks per document, invoked with
+# LATERAL correlation in SQL — the 1→N row-generating UDF shape the
+# reference wrote custom RecordReaders/Mappers for. Chunk text leaves
+# the plan as a portable 60-bit hash (never raw text); the oracle
+# replays the chunking arithmetic with list slicing.
+# ----------------------------------------------------------------------
+
+_UDTF_CHUNK = 10
+
+
+def _udtf_chunker_oracle() -> str:
+    from hadoop_spark.functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("array_to_string(w[s:e], ' ')", salt="#ch")
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_id,
+         CAST(i * {_UDTF_CHUNK} + 1 AS BIGINT) AS s,
+         CAST(LEAST((i + 1) * {_UDTF_CHUNK}, len(w)) AS BIGINT) AS e,
+         w
+  FROM d, LATERAL (
+    SELECT unnest(range((len(d.w) + {_UDTF_CHUNK} - 1) // {_UDTF_CHUNK})) AS i
+  )
+)
+SELECT doc_id, chunk_id,
+       CAST(e - s + 1 AS BIGINT) AS n_words,
+       {h} AS chunk_hash
+FROM c
+"""
+
+
+@query("udtf_chunker", _udtf_chunker_oracle())
+def udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id bigint, n_words bigint, chunk_hash bigint")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            words = text.split(" ")
+            for i in range(0, (len(words) + _UDTF_CHUNK - 1) // _UDTF_CHUNK):
+                chunk = words[i * _UDTF_CHUNK : (i + 1) * _UDTF_CHUNK]
+                payload = (" ".join(chunk) + "#ch").encode("utf-8")
+                h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+                yield i, len(chunk), h
+
+    from hadoop_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("doc_chunker", Chunker)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_words, c.chunk_hash
+        FROM documents d, LATERAL doc_chunker(d.doc_id, d.text) c
+        """
+    )
