@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "encoding_advisor",
     "lateral_topk_sql",
     "udtf_chunker",
+    "anova_oneway",
+    "approx_quantile_check",
+    "countmin_error_eval",
 ]
 
 

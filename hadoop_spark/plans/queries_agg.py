@@ -1758,3 +1758,168 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fingerprint"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# approx_quantile_check — percentile_approx (Greenwald–Khanna sketch)
+# pinned by a bounded contract, the `uniq_approx` pattern applied to
+# quantiles: the sketch's internals are engine-specific, so the driver-
+# checkable surface is (a) the EXACT histogram median and (b) a boolean
+# asserting the approx p50 landed within 2% of it, which the oracle pins
+# TRUE. The tolerance is ~20× the sketch's configured accuracy (1/10000)
+# so a legitimate sketch-implementation change cannot read as a
+# confusing hash mismatch.
+# ----------------------------------------------------------------------
+
+
+def _aqc_oracle() -> str:
+    from hadoop_spark.operators.stats import group_median_sql
+
+    return f"""
+WITH src AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+),
+{group_median_sql("src", "g", "v", "exact_p50", "aq")}
+SELECT g AS o_orderpriority, exact_p50, TRUE AS approx_within_2pct
+FROM aq
+"""
+
+
+@query("approx_quantile_check", _aqc_oracle())
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.operators.stats import group_median
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v"))
+    exact = group_median(src, "g", "v", "exact_p50")
+    approx = src.groupBy("g").agg(
+        F.percentile_approx("v", 0.5, 10000).alias("approx_p50")
+    )
+    return exact.join(approx, "g").select(
+        F.col("g").alias("o_orderpriority"),
+        "exact_p50",
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= F.col("exact_p50") * F.lit(0.02)
+        ).alias("approx_within_2pct"),
+    )
+
+
+# ----------------------------------------------------------------------
+# countmin_error_eval — the sketch-QA companion to `countmin_sketch`
+# (the ann_recall pattern applied to frequency sketches): rebuild the
+# 4×256 count-min grid, read back every part's estimate (min over the
+# four hashed cells), and report the overestimation profile against the
+# exact counts — CMS never underestimates (an invariant the boolean
+# column pins), and the mean overestimate quantifies whether this
+# width/depth is usable at the current key cardinality. All integer
+# counting: grid build is one bounded shuffle, the probe joins each key
+# to its 4 cells against the 1024-row broadcast grid.
+# ----------------------------------------------------------------------
+
+
+def _cms_eval_oracle() -> str:
+    cells = ",\n  ".join(
+        f"{_cms_cell_sql(d)} AS cell{d}" for d in range(_CMS_DEPTH)
+    )
+    joins = "\n  ".join(
+        f"JOIN grid g{d} ON g{d}.depth = {d} AND g{d}.cell = k.cell{d}"
+        for d in range(_CMS_DEPTH)
+    )
+    est = "LEAST(" + ", ".join(f"g{d}.n" for d in range(_CMS_DEPTH)) + ")"
+    return f"""
+WITH rows_t AS (
+  SELECT l_partkey,
+         {cells}
+  FROM lineitem
+),
+exact_t AS (
+  SELECT l_partkey, MIN(cell0) AS cell0, MIN(cell1) AS cell1,
+         MIN(cell2) AS cell2, MIN(cell3) AS cell3,
+         CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM rows_t GROUP BY l_partkey
+),
+grid AS (
+  SELECT d.depth,
+         CASE d.depth WHEN 0 THEN r.cell0 WHEN 1 THEN r.cell1
+                      WHEN 2 THEN r.cell2 ELSE r.cell3 END AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM rows_t r CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS depth) d
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT k.l_partkey, k.exact_n, {est} AS est_n
+  FROM exact_t k
+  {joins}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       BOOL_AND(est_n >= exact_n) AS never_underestimates,
+       CAST(SUM(est_n - exact_n) AS BIGINT) AS total_overestimate,
+       CAST(MAX(est_n - exact_n) AS BIGINT) AS max_overestimate,
+       CAST(CAST(
+         CAST(SUM(est_n - exact_n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       AS DECIMAL(18,10)) AS DOUBLE) AS mean_overestimate
+FROM probe
+"""
+
+
+@query("countmin_error_eval", _cms_eval_oracle())
+def countmin_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    cells = [
+        (portable_hash64(F.col("l_partkey"), f"#cms{d}") % _CMS_WIDTH).alias(
+            f"cell{d}"
+        )
+        for d in range(_CMS_DEPTH)
+    ]
+    rows_t = shared(li.select("l_partkey", *cells))
+    exact_t = rows_t.groupBy("l_partkey").agg(
+        *[F.min(f"cell{d}").alias(f"cell{d}") for d in range(_CMS_DEPTH)],
+        F.count(F.lit(1)).cast("bigint").alias("exact_n"),
+    )
+    grid = (
+        rows_t.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("depth"),
+                            F.col(f"cell{d}").alias("cell"),
+                        )
+                        for d in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("dc")
+        )
+        .groupBy(F.col("dc.depth").alias("depth"), F.col("dc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    probe = exact_t
+    for d in range(_CMS_DEPTH):
+        gd = grid.filter(F.col("depth") == d).select(
+            F.col("cell").alias(f"cell{d}"), F.col("n").alias(f"n{d}")
+        )
+        probe = probe.join(F.broadcast(gd), f"cell{d}")
+    est = F.least(*[F.col(f"n{d}") for d in range(_CMS_DEPTH)])
+    probe = probe.select("l_partkey", "exact_n", est.alias("est_n"))
+    mean_over = (
+        (
+            F.sum(F.col("est_n") - F.col("exact_n")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("decimal(18,10)")
+        .cast("double")
+    )
+    return probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.min(F.col("est_n") >= F.col("exact_n")).alias("never_underestimates"),
+        F.sum(F.col("est_n") - F.col("exact_n"))
+        .cast("bigint")
+        .alias("total_overestimate"),
+        F.max(F.col("est_n") - F.col("exact_n"))
+        .cast("bigint")
+        .alias("max_overestimate"),
+        mean_over.alias("mean_overestimate"),
+    )

@@ -2645,3 +2645,117 @@ def lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_peak"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# anova_oneway — one-way ANOVA of order value across the five order
+# priorities: between/within sums of squares and the F statistic, the
+# first hypothesis test an analyst runs on "does this dimension matter".
+# Exactness discipline, learned the hard way: double→DECIMAL quantizing
+# of the per-group terms round-ties DIFFERENTLY across engines (Spark
+# HALF_UP, DuckDB HALF_EVEN — a term landing exactly on .5 flipped the
+# hash), and scaled decimals overflow DuckDB's exact conversion above
+# 2^63. So NO double→decimal conversion happens anywhere: the five
+# groups pivot into one row of integer sufficient statistics and the
+# rational Σs²/n is cleared to the common denominator Πn — pure
+# DECIMAL(38,0) integer arithmetic (fits: 36 digits at this k) — before
+# ONE final double expression evaluates SSB/SSW/F identically on both
+# engines. Bounded by construction: k = 5 known priority levels.
+# ----------------------------------------------------------------------
+
+_ANOVA_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _anova_oracle() -> str:
+    ks = range(len(_ANOVA_GROUPS))
+    conds = [f"o_orderpriority = '{g}'" for g in _ANOVA_GROUPS]
+    cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n{i},\n"
+        f"         CAST(SUM(CASE WHEN {c} THEN CAST(o_totalprice * 100 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s{i},\n"
+        f"         CAST(SUM(CASE WHEN {c} THEN CAST(o_totalprice * 100 AS DECIMAL(38,0)) * CAST(o_totalprice * 100 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS ss{i}"
+        for i, c in zip(ks, conds)
+    )
+    prod_all = " * ".join(f"n{i}" for i in ks)
+    num = " + ".join(
+        "s{i} * s{i} * ".format(i=i)
+        + " * ".join(f"n{j}" for j in ks if j != i)
+        for i in ks
+    )
+    tn = " + ".join(f"n{i}" for i in ks)
+    ts = " + ".join(f"s{i}" for i in ks)
+    sst = " + ".join(f"ss{i}" for i in ks)
+    dd = lambda v: f"CAST(CAST({v} AS VARCHAR) AS DOUBLE)"
+    return f"""
+WITH p AS (
+  SELECT {cols}
+  FROM orders
+),
+e AS (
+  SELECT CAST(({tn}) AS BIGINT) AS tn,
+         CAST(CAST(({ts}) AS VARCHAR) AS DOUBLE) AS tsd,
+         {dd(f"({sst})")} AS sstd,
+         {dd(f"({num})")} AS numd,
+         {dd(f"({prod_all})")} AS dend
+  FROM p
+)
+SELECT CAST({len(_ANOVA_GROUPS)} AS BIGINT) AS k, tn AS n,
+       numd / dend - tsd * tsd / CAST(tn AS DOUBLE) AS ssb,
+       sstd - numd / dend AS ssw,
+       ((numd / dend - tsd * tsd / CAST(tn AS DOUBLE))
+        / CAST({len(_ANOVA_GROUPS) - 1} AS DOUBLE))
+       / ((sstd - numd / dend) / CAST(tn - {len(_ANOVA_GROUPS)} AS DOUBLE))
+         AS f_stat
+FROM e
+"""
+
+
+@query("anova_oneway", _anova_oracle())
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    ks = range(len(_ANOVA_GROUPS))
+    aggs = []
+    for i, gname in zip(ks, _ANOVA_GROUPS):
+        cond = F.col("o_orderpriority") == gname
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("decimal(38,0)").alias(f"n{i}"),
+            F.sum(F.when(cond, cents)).cast("decimal(38,0)").alias(f"s{i}"),
+            F.sum(F.when(cond, cents * cents)).cast("decimal(38,0)").alias(f"ss{i}"),
+        ]
+    p = orders.agg(*aggs)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tn_d = d38(sum(F.col(f"n{i}") for i in ks))
+    ts_d = d38(sum(F.col(f"s{i}") for i in ks))
+    sst_d = d38(sum(F.col(f"ss{i}") for i in ks))
+    prod_all = d38(F.col("n0") * F.col("n1") * F.col("n2") * F.col("n3") * F.col("n4"))
+    num = None
+    for i in ks:
+        term = F.col(f"s{i}") * F.col(f"s{i}")
+        for j in ks:
+            if j != i:
+                term = term * F.col(f"n{j}")
+        num = term if num is None else num + term
+    num = d38(num)
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    e = p.select(
+        tn_d.cast("bigint").alias("tn"),
+        dd(ts_d).alias("tsd"),
+        dd(sst_d).alias("sstd"),
+        dd(num).alias("numd"),
+        dd(prod_all).alias("dend"),
+    )
+    k = len(_ANOVA_GROUPS)
+    ssb = F.col("numd") / F.col("dend") - F.col("tsd") * F.col("tsd") / F.col(
+        "tn"
+    ).cast("double")
+    ssw = F.col("sstd") - F.col("numd") / F.col("dend")
+    f_stat = (ssb / F.lit(float(k - 1))) / (
+        ssw / (F.col("tn") - k).cast("double")
+    )
+    return e.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("tn").alias("n"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        f_stat.alias("f_stat"),
+    )
