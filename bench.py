@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "anova_oneway",
     "approx_quantile_check",
     "countmin_error_eval",
+    "date_dimension",
+    "posting_compression",
 ]
 
 

@@ -1337,3 +1337,164 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select(
         "col", "n", "ndv", share.alias("top_share"), enc.alias("encoding")
     )
+
+
+# ----------------------------------------------------------------------
+# date_dimension — generate the calendar dimension table for the fact
+# span (the star-schema utility every warehouse ships): one row per day
+# from the orders' min to max date with civil-date attributes. Spark-
+# first AND timezone-immune: the dimension generates on the cluster from
+# a 1-row span aggregate (no driver loop), and year/month/day derive
+# from the Hinnant civil-from-days INTEGER algorithm — floor divisions
+# only, so the result is bit-identical on any engine in any session
+# timezone (an EXTRACT over to_timestamp(day·86400) shifts by the
+# session zone — caught by the TZ sweep). dow is epoch day mod 7
+# (1970-01-01 = Thursday → 0=Thu; weekend = Sat/Sun = 2/3).
+# ----------------------------------------------------------------------
+
+_DATE_DIM_ORACLE = """
+WITH span AS (
+  SELECT MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS d0,
+         MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS d1
+  FROM orders
+),
+days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+c1 AS (
+  SELECT day, day + 719468 AS z FROM days
+),
+c2 AS (
+  SELECT day, z, z // 146097 AS era, z - (z // 146097) * 146097 AS doe FROM c1
+),
+c3 AS (
+  SELECT day, era, doe,
+         (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365 AS yoe
+  FROM c2
+),
+c4 AS (
+  SELECT day, era, yoe,
+         doe - (365 * yoe + yoe // 4 - yoe // 100) AS doy
+  FROM c3
+),
+c5 AS (
+  SELECT day, era, yoe, doy, (5 * doy + 2) // 153 AS mp FROM c4
+),
+c6 AS (
+  SELECT day,
+         yoe + era * 400 AS y0,
+         doy - (153 * mp + 2) // 5 + 1 AS dom,
+         CASE WHEN mp < 10 THEN mp + 3 ELSE mp - 9 END AS m
+  FROM c5
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(y0 + CASE WHEN m <= 2 THEN 1 ELSE 0 END AS INTEGER) AS yr,
+       CAST((m + 2) // 3 AS INTEGER) AS qtr,
+       CAST(m AS INTEGER) AS mth,
+       CAST(dom AS INTEGER) AS day_of_month,
+       CAST(day % 7 AS BIGINT) AS dow_epoch,
+       (day % 7) IN (2, 3) AS is_weekend
+FROM c6
+"""
+
+
+@query("date_dimension", _DATE_DIM_ORACLE)
+def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day_of = F.floor(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+    )
+    span = orders.agg(
+        F.min(day_of).cast("bigint").alias("d0"),
+        F.max(day_of).cast("bigint").alias("d1"),
+    )
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    fdiv = lambda a, b: F.floor(a / F.lit(b)).cast("bigint")  # noqa: E731
+    z = F.col("day") + 719468
+    era = fdiv(z, 146097)
+    doe = z - era * 146097
+    yoe = fdiv(doe - fdiv(doe, 1460) + fdiv(doe, 36524) - fdiv(doe, 146096), 365)
+    doy = doe - (F.lit(365) * yoe + fdiv(yoe, 4) - fdiv(yoe, 100))
+    mp = fdiv(F.lit(5) * doy + 2, 153)
+    dom = doy - fdiv(F.lit(153) * mp + 2, 5) + 1
+    m = F.when(mp < 10, mp + 3).otherwise(mp - 9)
+    yr = yoe + era * 400 + F.when(m <= 2, 1).otherwise(0)
+    return days.select(
+        F.col("day").cast("bigint").alias("day"),
+        yr.cast("int").alias("yr"),
+        fdiv(m + 2, 3).cast("int").alias("qtr"),
+        m.cast("int").alias("mth"),
+        dom.cast("int").alias("day_of_month"),
+        (F.col("day") % 7).cast("bigint").alias("dow_epoch"),
+        (F.col("day") % 7).isin(2, 3).alias("is_weekend"),
+    )
+
+
+# ----------------------------------------------------------------------
+# posting_compression — index-layout planning for the inverted index:
+# per term, the posting-list length, the delta-gap profile (max gap,
+# integer average gap), and the estimated delta-encoded size in bytes —
+# the numbers that decide between bitmap, delta-varint, and PEF layouts
+# before an index is materialized. Gaps come from one doc_id-ordered
+# window per term (posting-list bounded); the bit width is the repo's
+# log-free LENGTH(BIN(x)) binary-digit-count idiom; the byte estimate is
+# pure integer arithmetic: (bits(avg_gap)·(df−1) + 7) // 8 + 8.
+# ----------------------------------------------------------------------
+
+_POSTING_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+gaps AS (
+  SELECT w, doc_id,
+         doc_id - lag(doc_id) OVER (PARTITION BY w ORDER BY doc_id) AS gap
+  FROM toks WHERE w <> ''
+),
+st AS (
+  SELECT w,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(MAX(gap) AS BIGINT) AS max_gap,
+         CAST(SUM(gap) AS BIGINT) AS sum_gap
+  FROM gaps GROUP BY w
+)
+SELECT w AS term, df, max_gap,
+       CAST(CASE WHEN df >= 2 THEN sum_gap // (df - 1) END AS BIGINT)
+         AS avg_gap,
+       CAST(CASE WHEN df >= 2 THEN
+         (length(bin(sum_gap // (df - 1))) * (df - 1) + 7) // 8 + 8
+       ELSE 8 END AS BIGINT) AS est_bytes
+FROM st
+"""
+
+
+@query("posting_compression", _POSTING_ORACLE)
+def posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    w = W.partitionBy("w").orderBy("doc_id")
+    gaps = toks.select(
+        "w", (F.col("doc_id") - F.lag("doc_id").over(w)).alias("gap")
+    )
+    st = gaps.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+        F.sum("gap").cast("bigint").alias("sum_gap"),
+    )
+    avg_gap = F.floor(F.col("sum_gap") / (F.col("df") - 1)).cast("bigint")
+    bits = F.length(F.bin(avg_gap))
+    est = F.when(
+        F.col("df") >= 2,
+        F.floor((bits * (F.col("df") - 1) + 7) / 8).cast("bigint") + 8,
+    ).otherwise(F.lit(8))
+    return st.select(
+        F.col("w").alias("term"),
+        "df",
+        "max_gap",
+        F.when(F.col("df") >= 2, avg_gap).alias("avg_gap"),
+        est.cast("bigint").alias("est_bytes"),
+    )

@@ -105,3 +105,27 @@ def test_link_prediction_excludes_existing_edges(spark):
         a, b = sorted((p.part_a, p.part_b))
         assert (a, b) not in edges, p
         assert p.common_neighbors >= 1
+
+
+def test_civil_date_algorithm_matches_native_calendar(ddb):
+    """date_dimension's Hinnant civil-from-days integer arithmetic vs
+    DuckDB's native proleptic-Gregorian calendar over 109 years: the
+    query's TZ-immunity comes from sharing the algorithm on both engines,
+    so this independent reference check is what rules out a shared bug."""
+    r = ddb.sql("""
+WITH days AS (SELECT unnest(generate_series(0, 40000)) AS day),
+c1 AS (SELECT day, day + 719468 AS z FROM days),
+c2 AS (SELECT day, z, z // 146097 AS era, z - (z // 146097) * 146097 AS doe FROM c1),
+c3 AS (SELECT day, era, doe, (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365 AS yoe FROM c2),
+c4 AS (SELECT day, era, yoe, doe - (365 * yoe + yoe // 4 - yoe // 100) AS doy FROM c3),
+c5 AS (SELECT day, era, yoe, doy, (5 * doy + 2) // 153 AS mp FROM c4),
+c6 AS (SELECT day, yoe + era * 400 AS y0, doy - (153 * mp + 2) // 5 + 1 AS dom,
+       CASE WHEN mp < 10 THEN mp + 3 ELSE mp - 9 END AS m FROM c5),
+alg AS (SELECT day, y0 + CASE WHEN m <= 2 THEN 1 ELSE 0 END AS yr, m, dom FROM c6),
+ref AS (SELECT day, EXTRACT(year FROM DATE '1970-01-01' + CAST(day AS INT)) yr,
+        EXTRACT(month FROM DATE '1970-01-01' + CAST(day AS INT)) m,
+        EXTRACT(day FROM DATE '1970-01-01' + CAST(day AS INT)) dom FROM days)
+SELECT count(*) FROM alg JOIN ref USING (day)
+WHERE alg.yr <> ref.yr OR alg.m <> ref.m OR alg.dom <> ref.dom
+""").fetchone()
+    assert r[0] == 0
