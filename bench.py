@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "countmin_error_eval",
     "date_dimension",
     "posting_compression",
+    "bucket_skew_advisor",
+    "functional_dependencies",
 ]
 
 

@@ -1498,3 +1498,62 @@ def posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("df") >= 2, avg_gap).alias("avg_gap"),
         est.cast("bigint").alias("est_bytes"),
     )
+
+
+# ----------------------------------------------------------------------
+# functional_dependencies — schema-discovery profiling: does column X
+# functionally determine column Y? The FD holds exactly when
+# ndv(X) = ndv(X, Y); the violation count ndv(X,Y) − ndv(X) measures how
+# far off a near-dependency is — the signal that drives normalization,
+# dictionary sharing, and join-key inference in a catalog crawler. Four
+# candidate pairs profile in one pass each over bounded distinct sets;
+# all integer counting.
+# ----------------------------------------------------------------------
+
+_FD_PAIRS = [
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_brand"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+]
+
+
+def _fd_oracle() -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"""  SELECT '{t}.{x}->{y}' AS candidate,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT {x} FROM {t})) AS ndv_x,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT {x}, {y} FROM {t})) AS ndv_xy"""
+        for t, x, y in _FD_PAIRS
+    )
+    return f"""
+WITH c AS (
+{arms}
+)
+SELECT candidate,
+       CAST(ndv_x AS BIGINT) AS ndv_x,
+       CAST(ndv_xy AS BIGINT) AS ndv_xy,
+       ndv_x = ndv_xy AS fd_holds,
+       CAST(ndv_xy - ndv_x AS BIGINT) AS violations
+FROM c
+"""
+
+
+@query("functional_dependencies", _fd_oracle())
+def functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, x, y in _FD_PAIRS:
+        df = load_table(spark, sf_dir, t)
+        row = df.agg(
+            F.countDistinct(x).cast("bigint").alias("ndv_x"),
+            F.countDistinct(x, y).cast("bigint").alias("ndv_xy"),
+        ).select(
+            F.lit(f"{t}.{x}->{y}").alias("candidate"), "ndv_x", "ndv_xy"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "candidate",
+        "ndv_x",
+        "ndv_xy",
+        (F.col("ndv_x") == F.col("ndv_xy")).alias("fd_holds"),
+        (F.col("ndv_xy") - F.col("ndv_x")).cast("bigint").alias("violations"),
+    )

@@ -333,3 +333,87 @@ def range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.join(F.broadcast(cum), "cut_cents").select(
         "boundary", "cut_cents", "rows_below"
     )
+
+
+# ----------------------------------------------------------------------
+# bucket_skew_advisor — the hash-bucketing companion to
+# `range_boundaries`: before committing a bucketed layout
+# (`sources/bucketed.py`), sweep candidate bucket counts N ∈ {8,16,32,64}
+# in ONE fact pass (the `predicate_sweep` pattern) and report each N's
+# occupancy imbalance — max/mean bucket size as an exact rational — over
+# the portable key hash. The advisor output is what picks N so the
+# co-located join's biggest task stays bounded. Integer counting; one
+# explode (|rows|·4) into partial-aggregated (N, bucket) counts.
+# ----------------------------------------------------------------------
+
+_BSA_NS = [8, 16, 32, 64]
+
+
+def _bucket_skew_oracle() -> str:
+    from hadoop_spark.functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("l_orderkey", salt="#bk")
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {n} AS n_buckets, CAST({h} % {n} AS BIGINT) AS bucket"
+        " FROM lineitem"
+        for n in _BSA_NS
+    )
+    return f"""
+WITH pairs AS (
+{arms}
+),
+bc AS (
+  SELECT n_buckets, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2
+)
+SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(COUNT(*) AS BIGINT) AS occupied,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(CAST(
+         CAST(MAX(c) AS DOUBLE) * CAST(n_buckets AS DOUBLE)
+         / CAST(SUM(c) AS DOUBLE)
+       AS DECIMAL(18,10)) AS DOUBLE) AS imbalance
+FROM bc GROUP BY n_buckets
+"""
+
+
+@query("bucket_skew_advisor", _bucket_skew_oracle())
+def bucket_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    h = portable_hash64(F.col("l_orderkey"), salt="#bk")
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n_buckets"),
+                        (h % n).cast("bigint").alias("bucket"),
+                    )
+                    for n in _BSA_NS
+                ]
+            )
+        ).alias("p")
+    ).select("p.n_buckets", "p.bucket")
+    bc = pairs.groupBy("n_buckets", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    imb = (
+        (
+            F.col("max_bucket").cast("double")
+            * F.col("n_buckets").cast("double")
+            / F.col("n_rows").cast("double")
+        )
+        .cast("decimal(18,10)")
+        .cast("double")
+    )
+    agg = bc.groupBy(F.col("n_buckets").cast("bigint").alias("n_buckets")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("occupied"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+    )
+    return agg.select(
+        "n_buckets", "occupied", "max_bucket", "n_rows", imb.alias("imbalance")
+    )
