@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "posting_compression",
     "bucket_skew_advisor",
     "functional_dependencies",
+    "duplicate_payment_flags",
+    "shipment_sequence_audit",
 ]
 
 

@@ -715,3 +715,71 @@ def supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
     )
     return agg.select("l_suppkey", "n_lines", "n_filled", rate.alias("fill_rate"))
+
+
+# ----------------------------------------------------------------------
+# duplicate_payment_flags — the classic audit query: pairs of orders by
+# the SAME customer in the SAME $1000 amount band within 90 days
+# (double-charge / double-submit candidates; band + window sized so the
+# synthetic fixture actually flags pairs — exact-cents-within-7-days is
+# vacuously empty here). The scalable shape is equality blocking first —
+# group on (customer, amount band), where collisions are rare — so the
+# pair expansion is per-tiny-group, never a fact-table self-join; the
+# day-window test then prunes inside each block.
+# ----------------------------------------------------------------------
+
+_DUP_PAY_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) // 100000
+           AS band,
+         CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day
+  FROM orders
+)
+SELECT a.o_custkey, a.band,
+       a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       CAST(ABS(a.day - b.day) AS BIGINT) AS day_gap
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.band = b.band
+ AND a.o_orderkey < b.o_orderkey
+WHERE ABS(a.day - b.day) <= 90
+"""
+
+
+@query("duplicate_payment_flags", _DUP_PAY_ORACLE)
+def duplicate_payment_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(
+            (F.col("o_totalprice") * 100).cast("decimal(38,0)").cast("bigint")
+            / 100000
+        )
+        .cast("bigint")
+        .alias("band"),
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(F.abs(F.col("a.day") - F.col("b.day")) <= 90)
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.band").alias("band"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.abs(F.col("a.day") - F.col("b.day")).cast("bigint").alias("day_gap"),
+        )
+    )

@@ -417,3 +417,94 @@ def bucket_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_buckets", "occupied", "max_bucket", "n_rows", imb.alias("imbalance")
     )
+
+
+# ----------------------------------------------------------------------
+# shipment_sequence_audit — sequence-compliance check per order: were
+# the lineitems shipped in linenumber order? (The warehouse invariant a
+# fulfilment system is supposed to hold; its violation rate is an ops
+# metric.) One keyed window computes per-line "out of order" flags
+# (shipday strictly earlier than a PRIOR linenumber's shipday), one
+# aggregation rolls them up per priority bucket. Integer day math; the
+# share is a single quantized division of exact counts.
+# ----------------------------------------------------------------------
+
+_SHIP_SEQ_ORACLE = """
+WITH l AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS sd
+  FROM lineitem
+),
+flags AS (
+  SELECT l_orderkey,
+         CASE WHEN sd < MAX(sd) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber, sd
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) THEN 1 ELSE 0 END AS ooo
+  FROM l
+),
+per_order AS (
+  SELECT l_orderkey, MAX(ooo) AS violated FROM flags GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderpriority, p.violated
+  FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(violated) AS BIGINT) AS n_violating,
+       CAST(CAST(
+         CAST(SUM(violated) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       AS DECIMAL(18,12)) AS DOUBLE) AS violation_share
+FROM j GROUP BY o_orderpriority
+"""
+
+
+@query("shipment_sequence_audit", _SHIP_SEQ_ORACLE)
+def shipment_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sd = F.floor(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")) / 86_400_000_000
+    ).cast("bigint")
+    # the synthetic fixture's (orderkey, linenumber) is NOT unique —
+    # ordering additionally on sd makes the running max total-order-safe
+    # (ties in (linenumber, sd) cannot change a strict-< flag)
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "sd")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    li2 = li.select("l_orderkey", "l_linenumber", sd.alias("sd"))
+    flags = li2.select(
+        "l_orderkey",
+        "sd",
+        F.max("sd").over(w).alias("prev_max"),
+    ).select(
+        "l_orderkey",
+        F.when(
+            F.col("prev_max").isNotNull() & (F.col("sd") < F.col("prev_max")), 1
+        )
+        .otherwise(0)
+        .alias("ooo"),
+    )
+    per_order = flags.groupBy("l_orderkey").agg(F.max("ooo").alias("violated"))
+    j = per_order.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        per_order.l_orderkey == F.col("o_orderkey"),
+    )
+    share = (
+        (F.col("n_violating").cast("double") / F.col("n_orders").cast("double"))
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    agg = j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("violated").cast("bigint").alias("n_violating"),
+    )
+    return agg.select(
+        "o_orderpriority", "n_orders", "n_violating", share.alias("violation_share")
+    )
