@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "functional_dependencies",
     "duplicate_payment_flags",
     "shipment_sequence_audit",
+    "subspace_energy",
+    "token_position_profile",
 ]
 
 

@@ -803,3 +803,106 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("neighbor_id"), "cos_q",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# subspace_energy — PQ-subspace diagnostics: the 64-dim embedding space
+# splits into eight 8-dim blocks (exactly the product-quantizer's
+# subspaces, `ann_pq_adc`) and each block reports its share of the total
+# centered variance. A skewed energy profile means PQ codebooks are
+# misallocated (rotate or re-block before training); a flat one blesses
+# the split. Exact arithmetic end-to-end: per-dim Σx and Σx² are
+# integer sums of 1e7-quantized values, the centered energy clears to
+# the common denominator n (DECIMAL(38,0)), and only the final share
+# divides — the anova_oneway discipline applied per dimension block.
+# ----------------------------------------------------------------------
+
+_SUBSPACE_BLOCK = 8
+
+
+def _subspace_oracle() -> str:
+    return f"""
+WITH x AS (
+  SELECT vec_id, CAST(j - 1 AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 10000000)
+              AS BIGINT) AS q
+  FROM embeddings, range(1, 65) r(j)
+  WHERE j <= len(embedding)
+),
+d AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM x GROUP BY dim
+),
+e AS (
+  -- centered energy * n (exact integer): n*Σq² − (Σq)²
+  SELECT CAST(dim // {_SUBSPACE_BLOCK} AS BIGINT) AS block,
+         CAST(n * ss - s * s AS DECIMAL(38,0)) AS en,
+         n
+  FROM d
+),
+b AS (
+  SELECT block,
+         CAST(SUM(en) AS DECIMAL(38,0)) AS block_en,
+         MAX(n) AS n
+  FROM e GROUP BY block
+),
+t AS (SELECT CAST(SUM(block_en) AS DECIMAL(38,0)) AS tot FROM b)
+SELECT b.block,
+       CAST(CAST(b.block_en AS VARCHAR) AS DOUBLE)
+         / (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE) * 1e14) AS energy,
+       CAST(CAST(
+         CAST(CAST(b.block_en AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(t.tot AS VARCHAR) AS DOUBLE)
+       AS DECIMAL(18,12)) AS DOUBLE) AS energy_share
+FROM b, t
+"""
+
+
+@query("subspace_energy", _subspace_oracle())
+def subspace_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim_i", "xf")
+    ).select(
+        F.col("dim_i").cast("bigint").alias("dim"),
+        F.round(F.col("xf").cast("double") * 10_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    d = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    e = d.select(
+        F.floor(F.col("dim") / _SUBSPACE_BLOCK).cast("bigint").alias("block"),
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("en"),
+        "n",
+    )
+    b = e.groupBy("block").agg(
+        F.sum("en").cast("decimal(38,0)").alias("block_en"),
+        F.max("n").alias("n"),
+    )
+    t = b.agg(F.sum("block_en").cast("decimal(38,0)").alias("tot"))
+    energy = F.col("block_en").cast("string").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double") * F.lit(1e14)
+    )
+    share = (
+        (
+            F.col("block_en").cast("string").cast("double")
+            / F.col("tot").cast("string").cast("double")
+        )
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return b.join(F.broadcast(t)).select(
+        "block", energy.alias("energy"), share.alias("energy_share")
+    )

@@ -1181,3 +1181,79 @@ def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.filter(
         F.instr(F.col("text"), F.col("phrase")) > 0
     ).select("phrase", "doc_id", "source")
+
+
+# ----------------------------------------------------------------------
+# token_position_profile — does vocabulary frequency correlate with
+# WHERE words appear inside documents? For each document-frequency
+# bucket (the log-free LENGTH(BIN(df)) idiom), the mean relative
+# position of its token occurrences — rare-token mass drifting to
+# document tails is the signature of appended boilerplate/citations and
+# biases truncation-based training. One posexplode pass (n_tokens rows),
+# a broadcast df-bucket join, and exact arithmetic: relative position is
+# the integer pair (pos, len) cleared to per-row permille before the
+# decimal-quantized mean.
+# ----------------------------------------------------------------------
+
+_TOKPOS_ORACLE = """
+WITH toks AS (
+  SELECT d.doc_id, d.ws[CAST(t.i AS INT)] AS w,
+         CAST(t.i AS BIGINT) AS pos, d.len
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS ws,
+           len(string_split(text, ' ')) AS len
+    FROM documents
+  ) d, LATERAL (SELECT unnest(range(1, d.len + 1)) AS i) t
+  WHERE d.ws[CAST(t.i AS INT)] <> ''
+),
+df AS (
+  SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY w
+),
+j AS (
+  SELECT CAST(length(bin(df.df)) AS BIGINT) AS df_bucket,
+         CAST((toks.pos - 1) * 1000 // GREATEST(toks.len - 1, 1) AS BIGINT)
+           AS permille
+  FROM toks JOIN df ON toks.w = df.w
+)
+SELECT df_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(CAST(
+         CAST(SUM(permille) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       AS DECIMAL(18,8)) AS DOUBLE) AS mean_permille_pos
+FROM j GROUP BY df_bucket
+"""
+
+
+@query("token_position_profile", _TOKPOS_ORACLE)
+def token_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(ws).alias("pos0", "w"),
+            F.size(ws).alias("len"),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", "w", (F.col("pos0") + 1).alias("pos"), "len")
+    )
+    toks = shared(toks)
+    df = toks.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    permille = F.floor(
+        (F.col("pos") - 1) * 1000 / F.greatest(F.col("len") - 1, F.lit(1))
+    ).cast("bigint")
+    j = toks.join(F.broadcast(df), "w").select(
+        F.length(F.bin("df")).cast("bigint").alias("df_bucket"),
+        permille.alias("permille"),
+    )
+    mean_pos = (
+        (F.sum("permille").cast("double") / F.count(F.lit(1)).cast("double"))
+        .cast("decimal(18,8)")
+        .cast("double")
+    )
+    return j.groupBy("df_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        mean_pos.alias("mean_permille_pos"),
+    )
