@@ -2675,10 +2675,15 @@ def _anova_oracle() -> str:
         f"         CAST(SUM(CASE WHEN {c} THEN CAST(o_totalprice * 100 AS DECIMAL(38,0)) * CAST(o_totalprice * 100 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS ss{i}"
         for i, c in zip(ks, conds)
     )
-    prod_all = " * ".join(f"n{i}" for i in ks)
-    num = " + ".join(
-        "s{i} * s{i} * ".format(i=i)
-        + " * ".join(f"n{j}" for j in ks if j != i)
+    # fixed-order per-group s²/n sum: each s² stays a DECIMAL(38,0)
+    # (33 digits even at petabyte scale), read through the VARCHAR
+    # round-trip, divided and summed LEFT-TO-RIGHT in one expression —
+    # deterministic because it is column arithmetic over the pivoted
+    # row, never an aggregation (the common-denominator Σs²·Πn variant
+    # overflowed 38 digits at sf0.1)
+    s2n = " + ".join(
+        f"CAST(CAST(s{i} * s{i} AS VARCHAR) AS DOUBLE)"
+        f" / CAST(CAST(n{i} AS VARCHAR) AS DOUBLE)"
         for i in ks
     )
     tn = " + ".join(f"n{i}" for i in ks)
@@ -2694,16 +2699,15 @@ e AS (
   SELECT CAST(({tn}) AS BIGINT) AS tn,
          CAST(CAST(({ts}) AS VARCHAR) AS DOUBLE) AS tsd,
          {dd(f"({sst})")} AS sstd,
-         {dd(f"({num})")} AS numd,
-         {dd(f"({prod_all})")} AS dend
+         ({s2n}) AS s2n
   FROM p
 )
 SELECT CAST({len(_ANOVA_GROUPS)} AS BIGINT) AS k, tn AS n,
-       numd / dend - tsd * tsd / CAST(tn AS DOUBLE) AS ssb,
-       sstd - numd / dend AS ssw,
-       ((numd / dend - tsd * tsd / CAST(tn AS DOUBLE))
+       s2n - tsd * tsd / CAST(tn AS DOUBLE) AS ssb,
+       sstd - s2n AS ssw,
+       ((s2n - tsd * tsd / CAST(tn AS DOUBLE))
         / CAST({len(_ANOVA_GROUPS) - 1} AS DOUBLE))
-       / ((sstd - numd / dend) / CAST(tn - {len(_ANOVA_GROUPS)} AS DOUBLE))
+       / ((sstd - s2n) / CAST(tn - {len(_ANOVA_GROUPS)} AS DOUBLE))
          AS f_stat
 FROM e
 """
@@ -2727,28 +2731,22 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     tn_d = d38(sum(F.col(f"n{i}") for i in ks))
     ts_d = d38(sum(F.col(f"s{i}") for i in ks))
     sst_d = d38(sum(F.col(f"ss{i}") for i in ks))
-    prod_all = d38(F.col("n0") * F.col("n1") * F.col("n2") * F.col("n3") * F.col("n4"))
-    num = None
-    for i in ks:
-        term = F.col(f"s{i}") * F.col(f"s{i}")
-        for j in ks:
-            if j != i:
-                term = term * F.col(f"n{j}")
-        num = term if num is None else num + term
-    num = d38(num)
     dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s2n = None
+    for i in ks:
+        term = dd(d38(F.col(f"s{i}") * F.col(f"s{i}"))) / dd(
+            d38(F.col(f"n{i}"))
+        )
+        s2n = term if s2n is None else s2n + term
     e = p.select(
         tn_d.cast("bigint").alias("tn"),
         dd(ts_d).alias("tsd"),
         dd(sst_d).alias("sstd"),
-        dd(num).alias("numd"),
-        dd(prod_all).alias("dend"),
+        s2n.alias("s2n"),
     )
     k = len(_ANOVA_GROUPS)
-    ssb = F.col("numd") / F.col("dend") - F.col("tsd") * F.col("tsd") / F.col(
-        "tn"
-    ).cast("double")
-    ssw = F.col("sstd") - F.col("numd") / F.col("dend")
+    ssb = F.col("s2n") - F.col("tsd") * F.col("tsd") / F.col("tn").cast("double")
+    ssw = F.col("sstd") - F.col("s2n")
     f_stat = (ssb / F.lit(float(k - 1))) / (
         ssw / (F.col("tn") - k).cast("double")
     )
