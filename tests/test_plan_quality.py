@@ -755,3 +755,32 @@ def test_weighted_sample_prefix_sum_is_two_level(spark):
     plan = _plan(spark, "weighted_systematic_sample")
     assert "rangepartitioning" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_cube_serving_scans_fact_once(spark):
+    """Aggregate-once-serve-many: each of the three dashboard questions
+    must read the persisted cube (an InMemoryTableScan) — the printed
+    plan repeats the cached subtree per reference, but the cache means
+    the orders fact scan executes once."""
+    plan = _plan(spark, "cube_serving")
+    assert plan.count("InMemoryTableScan") == 3, plan
+    # every printed fact scan sits under the cached relation, none outside
+    assert plan.count("FileScan parquet [o_") == plan.count("InMemoryRelation"), plan
+
+
+def test_knn_graph_no_cartesian(spark):
+    """The all-pairs kernel is the blocked cogroup GEMM — a naive plan
+    regression would surface as a Cartesian/nested-loop join."""
+    plan = _plan(spark, "knn_graph")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+def test_date_dimension_is_generate_only(spark):
+    """The calendar dimension generates from a 1-row span aggregate: one
+    global aggregation, then pure map-side sequence explode + integer
+    civil-date arithmetic — no joins, no further shuffles."""
+    plan = _plan(spark, "date_dimension")
+    assert "Join" not in plan, plan
+    assert _shuffles(plan) <= 1, plan

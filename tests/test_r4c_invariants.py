@@ -129,3 +129,36 @@ SELECT count(*) FROM alg JOIN ref USING (day)
 WHERE alg.yr <> ref.yr OR alg.m <> ref.m OR alg.dom <> ref.dom
 """).fetchone()
     assert r[0] == 0
+
+
+def test_lorenz_curve_is_monotone_and_convex_ordered(spark):
+    rows = QUERIES["lorenz_curve"](spark, SF_DIR).orderBy("bucket").collect()
+    assert rows
+    last_c, last_r = 0.0, 0.0
+    for r in rows:
+        assert r.cust_share >= last_c - 1e-12
+        assert r.revenue_share >= last_r - 1e-12
+        # Lorenz property: poorer prefix holds no more than its headcount share
+        assert r.revenue_share <= r.cust_share + 1e-9, r
+        last_c, last_r = r.cust_share, r.revenue_share
+    assert abs(last_c - 1.0) < 1e-9 and abs(last_r - 1.0) < 1e-9
+
+
+def test_graph_modularity_total_in_range(spark):
+    rows = QUERIES["graph_modularity"](spark, SF_DIR).collect()
+    q = sum(r.q_contrib for r in rows)
+    assert -1.0 <= q <= 1.0, q
+
+
+def test_subspace_energy_shares_sum_to_one(spark):
+    rows = QUERIES["subspace_energy"](spark, SF_DIR).collect()
+    assert len(rows) == 8
+    s = sum(r.energy_share for r in rows)
+    assert abs(s - 1.0) < 1e-9, s
+    assert all(r.energy > 0 for r in rows)
+
+
+def test_anova_sums_of_squares_nonnegative(spark):
+    row = QUERIES["anova_oneway"](spark, SF_DIR).collect()[0]
+    assert row.ssb >= 0 and row.ssw > 0 and row.f_stat > 0
+    assert row.k == 5 and row.n > 0
