@@ -2757,3 +2757,254 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssw.alias("ssw"),
         f_stat.alias("f_stat"),
     )
+
+
+# ----------------------------------------------------------------------
+# mann_kendall_trend — non-parametric monotone-trend test over the
+# monthly revenue series per order priority: S = sum_{i<j} sign(y_j-y_i).
+# Rank statistics need no distributional assumptions and, unlike the OLS
+# slope (`linreg_per_group`), are exact in integer arithmetic end-to-end:
+# revenue is aggregated to integer cents, sign comparisons are integer,
+# S is an integer sum. The pairwise stage is bounded by the CALENDAR
+# (80 months at any fact scale), not the fact table — at 100 TB the
+# month aggregation is the only full-data shuffle (partial-aggregated
+# map-side); the self-join runs on a broadcast-sized series. Parity:
+# the reference computes trend statistics in per-key reducers over
+# sorted input (secondary sort, MAPREDUCE/.../Reducer.java); here the
+# sorted-pairs semantics compile to one agg + one broadcast self-join.
+# ----------------------------------------------------------------------
+
+_MK_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS pri,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.pri AS o_orderpriority,
+       CAST(COUNT(DISTINCT a.mi) + 1 AS BIGINT) AS n_months,
+       CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                     WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+         AS s_stat,
+       CASE WHEN SUM(CASE WHEN b.cents > a.cents THEN 1
+                          WHEN b.cents < a.cents THEN -1 ELSE 0 END) > 0
+            THEN 'increasing'
+            WHEN SUM(CASE WHEN b.cents > a.cents THEN 1
+                          WHEN b.cents < a.cents THEN -1 ELSE 0 END) < 0
+            THEN 'decreasing' ELSE 'flat' END AS trend
+FROM m a JOIN m b ON a.pri = b.pri AND b.mi > a.mi
+GROUP BY a.pri
+"""
+
+
+@query("mann_kendall_trend", _MK_ORACLE)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S statistic per priority over monthly revenue cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    m = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            (F.year(ts) * 12 + F.month(ts)).cast("long").alias("mi"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    sgn = F.when(F.col("b.cents") > F.col("a.cents"), 1).when(
+        F.col("b.cents") < F.col("a.cents"), -1
+    ).otherwise(0)
+    s = F.sum(sgn).cast("bigint")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.pri") == F.col("b.pri")) & (F.col("b.mi") > F.col("a.mi")),
+        )
+        .groupBy(F.col("a.pri").alias("o_orderpriority"))
+        .agg(
+            (F.count_distinct(F.col("a.mi")) + 1).cast("bigint").alias("n_months"),
+            s.alias("s_stat"),
+            F.when(s > 0, "increasing")
+            .when(s < 0, "decreasing")
+            .otherwise("flat")
+            .alias("trend"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# theil_sen_slope — robust trend slope per priority: the MEDIAN of all
+# pairwise slopes (cents_j - cents_i) / (mi_j - mi_i) over the monthly
+# series. Each slope is one IEEE division of two exact integers —
+# bit-identical across engines — and the median is an exact ordered
+# selection (row_number over the total order (slope, mi_i, mi_j), average
+# of the middle one-or-two), never an engine-internal percentile
+# interpolation. Pair count is calendar-bounded (~3.2k per group); the
+# only full-data shuffle is the month aggregation.
+# ----------------------------------------------------------------------
+
+_TS_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS pri,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), sl AS (
+  SELECT a.pri,
+         CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.mi - a.mi AS DOUBLE) AS slope,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.pri
+           ORDER BY CAST(b.cents - a.cents AS DOUBLE)
+                      / CAST(b.mi - a.mi AS DOUBLE), a.mi, b.mi
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY a.pri) AS np
+  FROM m a JOIN m b ON a.pri = b.pri AND b.mi > a.mi
+)
+SELECT pri AS o_orderpriority,
+       CAST(MAX(np) AS BIGINT) AS n_pairs,
+       (SUM(slope) / COUNT(*)) AS sen_slope_cents_per_month
+FROM sl
+WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+GROUP BY pri
+"""
+
+
+@query("theil_sen_slope", _TS_ORACLE)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-pairwise-slopes trend estimate per priority (exact pick)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    m = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            (F.year(ts) * 12 + F.month(ts)).cast("long").alias("mi"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    slope = (F.col("b.cents") - F.col("a.cents")).cast("double") / (
+        F.col("b.mi") - F.col("a.mi")
+    ).cast("double")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.pri") == F.col("b.pri")) & (F.col("b.mi") > F.col("a.mi")),
+        )
+        .select(
+            F.col("a.pri").alias("pri"),
+            slope.alias("slope"),
+            F.col("a.mi").alias("mi1"),
+            F.col("b.mi").alias("mi2"),
+        )
+    )
+    w = Window.partitionBy("pri").orderBy("slope", "mi1", "mi2")
+    ranked = pairs.select(
+        "pri",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("pri")).alias("np"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    )
+    return mid.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        (F.sum("slope") / F.count(F.lit(1))).alias("sen_slope_cents_per_month"),
+    )
+
+
+# ----------------------------------------------------------------------
+# spearman_rho — rank correlation between part size and retail price per
+# brand. Average-rank tie handling is expressed in closed integer form
+# (doubled average rank = 2*RANK() + tie_count - 1, so halves never
+# appear); Pearson over the doubled ranks equals Pearson over the ranks
+# (the factor 2 cancels), computed from exact integer sufficient sums
+# carried as DECIMAL(38,0) — rank-square sums grow as n^3 and would
+# overflow BIGINT at cluster scale — with ONE final double expression
+# quantized on both sides. One shuffle on brand; windows and the agg
+# share the same partitioning.
+# ----------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH r AS (
+  SELECT p_brand,
+         2 * RANK() OVER (PARTITION BY p_brand ORDER BY p_size)
+           + COUNT(*) OVER (PARTITION BY p_brand, p_size) - 1 AS ra,
+         2 * RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice)
+           + COUNT(*) OVER (PARTITION BY p_brand, p_retailprice) - 1 AS rb
+  FROM part
+), s AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ra AS DECIMAL(38,0))) AS VARCHAR) AS sa,
+         CAST(SUM(CAST(rb AS DECIMAL(38,0))) AS VARCHAR) AS sb,
+         CAST(SUM(CAST(ra AS DECIMAL(38,0)) * rb) AS VARCHAR) AS sab,
+         CAST(SUM(CAST(ra AS DECIMAL(38,0)) * ra) AS VARCHAR) AS saa,
+         CAST(SUM(CAST(rb AS DECIMAL(38,0)) * rb) AS VARCHAR) AS sbb
+  FROM r GROUP BY p_brand
+)
+SELECT p_brand, n,
+       CAST(CAST(
+         (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+         / SQRT(GREATEST(
+             (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)),
+             1e-300))
+       AS DECIMAL(18,12)) AS DOUBLE) AS rho
+FROM s
+"""
+
+
+@query("spearman_rho", _SPEARMAN_ORACLE)
+def spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (average-rank ties) per brand."""
+    part = load_table(spark, sf_dir, "part")
+    ra = (
+        2 * F.rank().over(Window.partitionBy("p_brand").orderBy("p_size"))
+        + F.count(F.lit(1)).over(Window.partitionBy("p_brand", "p_size"))
+        - 1
+    )
+    rb = (
+        2 * F.rank().over(Window.partitionBy("p_brand").orderBy("p_retailprice"))
+        + F.count(F.lit(1)).over(Window.partitionBy("p_brand", "p_retailprice"))
+        - 1
+    )
+    r = part.select("p_brand", ra.alias("ra"), rb.alias("rb"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = r.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d38(F.col("ra"))).cast("string").alias("sa"),
+        F.sum(d38(F.col("rb"))).cast("string").alias("sb"),
+        F.sum(d38(F.col("ra")) * F.col("rb")).cast("string").alias("sab"),
+        F.sum(d38(F.col("ra")) * F.col("ra")).cast("string").alias("saa"),
+        F.sum(d38(F.col("rb")) * F.col("rb")).cast("string").alias("sbb"),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    num = dd("n") * dd("sab") - dd("sa") * dd("sb")
+    den = F.sqrt(
+        F.greatest(
+            (dd("n") * dd("saa") - dd("sa") * dd("sa"))
+            * (dd("n") * dd("sbb") - dd("sb") * dd("sb")),
+            F.lit(1e-300),
+        )
+    )
+    return s.select(
+        "p_brand",
+        "n",
+        (num / den).cast("decimal(18,12)").cast("double").alias("rho"),
+    )

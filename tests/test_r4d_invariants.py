@@ -1,0 +1,90 @@
+"""Mathematical invariants of the round-4d rank/trend statistics —
+properties the oracle hash can't articulate: S-statistic bounds,
+median-slope bracketing, and correlation range."""
+
+from __future__ import annotations
+
+from hadoop_spark.plans import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def test_mann_kendall_s_is_bounded_by_pair_count(spark):
+    rows = QUERIES["mann_kendall_trend"](spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per order priority
+    for r in rows:
+        n = r.n_months
+        max_pairs = n * (n - 1) // 2
+        assert abs(r.s_stat) <= max_pairs, r
+        expect = (
+            "increasing" if r.s_stat > 0 else "decreasing" if r.s_stat < 0 else "flat"
+        )
+        assert r.trend == expect, r
+
+
+def test_theil_sen_slope_brackets_extremes(spark):
+    import duckdb
+
+    rows = {
+        r.o_orderpriority: r
+        for r in QUERIES["theil_sen_slope"](spark, SF_DIR).collect()
+    }
+    assert len(rows) == 5
+    # the median pairwise slope must lie within [min slope, max slope],
+    # recomputed independently here
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    ext = con.execute(
+        """
+        WITH m AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(EXTRACT(year FROM o_orderdate) * 12
+                      + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+                 CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+                   AS cents
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT a.pri,
+               MIN(CAST(b.cents - a.cents AS DOUBLE) / (b.mi - a.mi)) AS lo,
+               MAX(CAST(b.cents - a.cents AS DOUBLE) / (b.mi - a.mi)) AS hi
+        FROM m a JOIN m b ON a.pri = b.pri AND b.mi > a.mi
+        GROUP BY a.pri
+        """
+    ).fetchall()
+    for pri, lo, hi in ext:
+        got = rows[pri].sen_slope_cents_per_month
+        assert lo <= got <= hi, (pri, lo, got, hi)
+        n = rows[pri].n_pairs
+        m = (1 + (1 + 8 * n) ** 0.5) / 2  # invert n = m(m-1)/2
+        assert abs(m - round(m)) < 1e-9, (pri, n)
+
+
+def test_spearman_rho_range_and_self_consistency(spark):
+    rows = QUERIES["spearman_rho"](spark, SF_DIR).collect()
+    assert len(rows) == 25  # one per brand
+    for r in rows:
+        assert -1.0 <= r.rho <= 1.0, r
+        assert r.n >= 2, r
+
+
+def test_spearman_rho_perfect_monotone_is_one(spark):
+    # sanity on a synthetic frame: y strictly increasing in x -> rho == 1
+    import pyspark.sql.functions as F
+
+    df = spark.range(50).select(
+        F.lit("b").alias("p_brand"),
+        F.col("id").cast("int").alias("p_size"),
+        (F.col("id") * 2 + 1).cast("double").alias("p_retailprice"),
+    )
+    path = "/tmp/spearman_synth"
+    df.write.mode("overwrite").parquet(path + "/part.parquet")
+    out = None
+    try:
+        out = QUERIES["spearman_rho"](spark, path).collect()
+    finally:
+        pass
+    assert out is not None and len(out) == 1
+    assert abs(out[0].rho - 1.0) < 1e-9, out
