@@ -1390,3 +1390,90 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_chars.alias("mean_chars"),
         "median_chars",
     )
+
+
+# ----------------------------------------------------------------------
+# paragraph_filter_reassemble — the segment-level QUALITY filter stage of
+# a C4/RefinedWeb-style curation pipeline: chunk each document into
+# 10-token segments, drop low-diversity (repetitive) segments, and
+# REASSEMBLE the surviving segments in their original position order into
+# the cleaned document. The keep rule is exact-integer (10*distinct >=
+# 7*len, i.e. distinct-token ratio >= 0.7 — the repetition heuristic that
+# catches "batch batch batch" boilerplate).
+#
+# Scale shape: the entire operator is ONE map-side expression tree per
+# row — tokenize, transform over the segment index sequence, filter,
+# array_join — no explode, no shuffle, no UDF. At 100 TB this is a pure
+# scan-transform stage that pipelines into whatever consumes it; the
+# reference's equivalent is a map-only streaming job
+# (STREAMING/streaming/PipeMapper.java lineage).
+# ----------------------------------------------------------------------
+
+_PFR_SEG = 10
+_PFR_NUM, _PFR_DEN = 7, 10  # keep iff distinct*DEN >= NUM*seg_len
+
+_PFR_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+), segs AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST(ceil(len(w)/{_PFR_SEG}.0) AS BIGINT)),
+           i -> w[(i*{_PFR_SEG}+1):(i*{_PFR_SEG}+{_PFR_SEG})]) AS sg
+  FROM toks WHERE len(w) > 0
+), kept AS (
+  SELECT doc_id,
+         CAST(len(sg) AS BIGINT) AS n_segments,
+         list_filter(sg,
+           s -> len(list_distinct(s)) * {_PFR_DEN} >= {_PFR_NUM} * len(s))
+           AS ksg
+  FROM segs
+)
+SELECT doc_id, n_segments,
+       CAST(len(ksg) AS BIGINT) AS n_kept,
+       CAST(len(flatten(ksg)) AS BIGINT) AS kept_tokens,
+       -- DuckDB's array_to_string over an EMPTY list yields NULL (Spark's
+       -- array_join yields ''); normalize so the all-dropped doc hashes ''
+       md5(COALESCE(array_to_string(
+             list_transform(ksg, s -> array_to_string(s, ' ')), ' '), ''))
+         AS clean_md5
+FROM kept
+"""
+
+
+@query("paragraph_filter_reassemble", _PFR_ORACLE)
+def paragraph_filter_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-diversity filter + positional reassembly, one map-side pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = fanout_small(docs).select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w"),
+    ).filter(F.size("w") > 0)
+    nseg = F.ceil(F.size("w") / F.lit(float(_PFR_SEG))).cast("long")
+    sg = F.transform(
+        F.sequence(F.lit(0).cast("long"), nseg - 1),
+        lambda i: F.slice("w", (i * _PFR_SEG + 1).cast("int"), _PFR_SEG),
+    )
+    segs = toks.select("doc_id", sg.alias("sg"))
+    ksg = F.filter(
+        F.col("sg"),
+        lambda s: F.size(F.array_distinct(s)) * _PFR_DEN >= F.lit(_PFR_NUM) * F.size(s),
+    )
+    kept = segs.select(
+        "doc_id",
+        F.size("sg").cast("bigint").alias("n_segments"),
+        ksg.alias("ksg"),
+    )
+    return kept.select(
+        "doc_id",
+        "n_segments",
+        F.size("ksg").cast("bigint").alias("n_kept"),
+        F.size(F.flatten("ksg")).cast("bigint").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform("ksg", lambda s: F.array_join(s, " ")), " "
+            )
+        ).alias("clean_md5"),
+    )

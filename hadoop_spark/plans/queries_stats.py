@@ -3008,3 +3008,200 @@ def spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (num / den).cast("decimal(18,12)").cast("double").alias("rho"),
     )
+
+
+# ----------------------------------------------------------------------
+# clamped_running_stock — per-supplier inventory level replay: receipts
+# (+qty) and returns (-qty) in shipdate order, with the level clamped at
+# zero (you cannot ship below empty). The clamp makes the recursion
+# L_t = max(0, L_{t-1} + x_t) NON-associative, so it looks like a
+# sequential fold — but the Lindley equation has the closed form
+#     L_t = S_t - min(0, min_{k<=t} S_k)
+# over the plain prefix sum S_t, which compiles to TWO keyed window sums
+# (running sum + running min), both whole-stage-codegen'd and partitioned
+# by supplier: no fold, no collect_list, no state. A clamp event at t is
+# S_t < min(0, min_{k<t} S_k), read off a lag of the running min. All
+# arithmetic is integer (quantities). At 100 TB each supplier's history
+# sorts within its hash partition — the same shape as `ewma_smooth`.
+# ----------------------------------------------------------------------
+
+_CLAMP_ORACLE = """
+WITH flow AS (
+  SELECT l_suppkey,
+         CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS BIGINT)
+           AS day,
+         l_orderkey, l_linenumber,
+         CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+              ELSE CAST(l_quantity AS BIGINT) END AS x
+  FROM lineitem
+), p1 AS (
+  SELECT l_suppkey, day, l_orderkey, l_linenumber,
+         SUM(x) OVER (PARTITION BY l_suppkey
+                      ORDER BY day, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM flow
+), p2 AS (
+  SELECT l_suppkey, day, l_orderkey, l_linenumber, s,
+         MIN(s) OVER (PARTITION BY l_suppkey
+                      ORDER BY day, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS runmin
+  FROM p1
+), pre AS (
+  SELECT l_suppkey, day, l_orderkey, l_linenumber, s, runmin,
+         LAG(runmin) OVER (PARTITION BY l_suppkey
+                           ORDER BY day, l_orderkey, l_linenumber) AS prevmin
+  FROM p2
+), lvl AS (
+  SELECT l_suppkey,
+         s - LEAST(0, runmin) AS level,
+         CASE WHEN s < LEAST(0, COALESCE(prevmin, 0)) THEN 1 ELSE 0 END
+           AS clamped,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY day DESC, l_orderkey DESC,
+                                     l_linenumber DESC) AS rn_last
+  FROM pre
+)
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(MAX(CASE WHEN rn_last = 1 THEN level END) AS BIGINT)
+         AS final_level,
+       CAST(MAX(level) AS BIGINT) AS peak_level,
+       CAST(SUM(clamped) AS BIGINT) AS n_clamps
+FROM lvl GROUP BY l_suppkey
+"""
+
+
+@query("clamped_running_stock", _CLAMP_ORACLE)
+def clamped_running_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-clamped inventory replay via the Lindley closed form (2 windows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.when(
+        F.col("l_returnflag") == "R", -F.col("l_quantity").cast("bigint")
+    ).otherwise(F.col("l_quantity").cast("bigint"))
+    flow = li.select(
+        "l_suppkey",
+        F.floor(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day"),
+        "l_orderkey",
+        "l_linenumber",
+        x.alias("x"),
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("l_suppkey").orderBy("day", "l_orderkey", "l_linenumber")
+    pre = flow.select(
+        "l_suppkey",
+        "day",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("x").over(w).alias("s"),
+    )
+    pre = pre.select(
+        "l_suppkey",
+        "day",
+        "l_orderkey",
+        "l_linenumber",
+        "s",
+        F.min("s").over(w).alias("runmin"),
+    )
+    pre = pre.select(
+        "l_suppkey",
+        "day",
+        "l_orderkey",
+        "l_linenumber",
+        "s",
+        "runmin",
+        F.lag("runmin").over(wo).alias("prevmin"),
+    )
+    lvl = pre.select(
+        "l_suppkey",
+        (F.col("s") - F.least(F.lit(0), F.col("runmin"))).alias("level"),
+        F.when(
+            F.col("s") < F.least(F.lit(0), F.coalesce(F.col("prevmin"), F.lit(0))),
+            1,
+        )
+        .otherwise(0)
+        .alias("clamped"),
+        F.row_number()
+        .over(
+            Window.partitionBy("l_suppkey").orderBy(
+                F.col("day").desc(), F.col("l_orderkey").desc(),
+                F.col("l_linenumber").desc()
+            )
+        )
+        .alias("rn_last"),
+    )
+    return lvl.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("level")))
+        .cast("bigint")
+        .alias("final_level"),
+        F.max("level").cast("bigint").alias("peak_level"),
+        F.sum("clamped").cast("bigint").alias("n_clamps"),
+    )
+
+
+# ----------------------------------------------------------------------
+# local_peaks — local-maximum detection on the daily event-count series:
+# a day is a peak when its count strictly exceeds both neighbors
+# (missing neighbor = series edge, never a peak). The prominence-lite
+# margin (count - max(neighbors)) ranks the peaks. The window runs over
+# the DAY series — one aggregation of the fact table, then a
+# calendar-bounded window; the neighbor test is lag/lead on the day-dense
+# series (the fixture's event feed has no missing days inside its span;
+# adjacency is by day INDEX so a gap would simply compare across it,
+# exactly like the reference's sorted-reduce neighbor scan).
+# ----------------------------------------------------------------------
+
+_PEAKS_ORACLE = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), w AS (
+  SELECT day, cnt,
+         LAG(cnt) OVER (ORDER BY day) AS prv,
+         LEAD(cnt) OVER (ORDER BY day) AS nxt
+  FROM d
+)
+SELECT day - (SELECT MIN(day) FROM d) AS day_index,
+       cnt,
+       CAST(cnt - GREATEST(prv, nxt) AS BIGINT) AS prominence
+FROM w
+WHERE prv IS NOT NULL AND nxt IS NOT NULL AND cnt > prv AND cnt > nxt
+"""
+
+
+@query("local_peaks", _PEAKS_ORACLE)
+def local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima of the daily event-count series."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wd = Window.orderBy("day")
+    w = d.select(
+        "day",
+        "cnt",
+        F.lag("cnt").over(wd).alias("prv"),
+        F.lead("cnt").over(wd).alias("nxt"),
+    )
+    m = d.agg(F.min("day").alias("d0"))
+    peaks = w.filter(
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("cnt") > F.col("prv"))
+        & (F.col("cnt") > F.col("nxt"))
+    )
+    return peaks.join(F.broadcast(m)).select(
+        (F.col("day") - F.col("d0")).alias("day_index"),
+        "cnt",
+        (F.col("cnt") - F.greatest("prv", "nxt")).cast("bigint").alias("prominence"),
+    )

@@ -88,3 +88,67 @@ def test_spearman_rho_perfect_monotone_is_one(spark):
         pass
     assert out is not None and len(out) == 1
     assert abs(out[0].rho - 1.0) < 1e-9, out
+
+
+def test_clamped_stock_matches_sequential_replay(spark):
+    import duckdb
+
+    rows = {
+        r.l_suppkey: r
+        for r in QUERIES["clamped_running_stock"](spark, SF_DIR).collect()
+    }
+    assert rows
+    # independent sequential replay of the Lindley recursion per supplier
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    moves = con.execute(
+        """
+        SELECT l_suppkey,
+               CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000
+                    AS BIGINT) AS day,
+               l_orderkey, l_linenumber,
+               CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+                    ELSE CAST(l_quantity AS BIGINT) END AS x
+        FROM lineitem ORDER BY l_suppkey, day, l_orderkey, l_linenumber
+        """
+    ).fetchall()
+    state: dict[int, list[int]] = {}  # supp -> [level, peak, clamps, n]
+    for supp, _day, _ok, _ln, x in moves:
+        lvl, peak, clamps, n = state.get(supp, [0, 0, 0, 0])
+        raw = lvl + x
+        if raw < 0:
+            clamps += 1
+            raw = 0
+        state[supp] = [raw, max(peak, raw), clamps, n + 1]
+    assert set(state) == set(rows)
+    for supp, (lvl, peak, clamps, n) in state.items():
+        r = rows[supp]
+        assert (r.final_level, r.peak_level, r.n_clamps, r.n_moves) == (
+            lvl,
+            peak,
+            clamps,
+            n,
+        ), (supp, r)
+
+
+def test_paragraph_filter_bounds_and_empty_hash(spark):
+    import hashlib
+
+    rows = QUERIES["paragraph_filter_reassemble"](spark, SF_DIR).collect()
+    assert rows
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_segments, r
+        assert r.kept_tokens <= 10 * r.n_kept, r
+        if r.n_kept == 0:
+            assert r.clean_md5 == empty_md5, r
+
+
+def test_local_peaks_are_isolated(spark):
+    rows = QUERIES["local_peaks"](spark, SF_DIR).orderBy("day_index").collect()
+    for r in rows:
+        assert r.prominence >= 1, r
+    idx = [r.day_index for r in rows]
+    assert all(b - a >= 2 for a, b in zip(idx, idx[1:])), idx
