@@ -3205,3 +3205,217 @@ def local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (F.col("cnt") - F.greatest("prv", "nxt")).cast("bigint").alias("prominence"),
     )
+
+
+# ----------------------------------------------------------------------
+# poisson_bootstrap_ci — bootstrap confidence interval for the mean order
+# value per priority, in the resampling form that was INVENTED for
+# map-reduce scale (Chamandy et al., "Estimating Uncertainty for Massive
+# Data Streams", Google 2012): instead of materializing B resamples, each
+# row draws a deterministic Poisson(1) weight per replicate from a
+# portable hash, so replicate b's mean is a weighted aggregate and all B
+# replicates ride ONE map-side-combined shuffle of 5*B cells. The CI is
+# an exact ordered selection over the 48 replicate means (2nd/47th of
+# 48 ≈ 95.8% interval), never an engine percentile. Every weight is an
+# integer threshold comparison on the hash; means are exact-integer
+# ratios evaluated once in IEEE double on both engines.
+# ----------------------------------------------------------------------
+
+import math as _math
+
+_BOOT_B = 48
+_BOOT_M = 1 << 20
+# cumulative Poisson(1) thresholds as integer literals shared verbatim by
+# the Spark and oracle expressions (weights cap at 4)
+_BOOT_C = [
+    int(_math.floor(sum(_math.exp(-1) / _math.factorial(j) for j in range(k + 1))
+                    * _BOOT_M))
+    for k in range(4)
+]
+
+
+def _boot_w_sql(u: str) -> str:
+    c0, c1, c2, c3 = _BOOT_C
+    return (
+        f"CASE WHEN {u} < {c0} THEN 0 WHEN {u} < {c1} THEN 1 "
+        f"WHEN {u} < {c2} THEN 2 WHEN {u} < {c3} THEN 3 ELSE 4 END"
+    )
+
+
+_BOOT_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS pri, o_orderkey,
+         CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
+  FROM orders
+), drawn AS (
+  SELECT pri, CAST(r.b AS INTEGER) AS b, cents,
+         {_boot_w_sql(
+             "(" + portable_hash64_sql("o_orderkey || ':' || r.b")
+             + f" % {_BOOT_M})")} AS w
+  FROM base CROSS JOIN UNNEST(range({_BOOT_B})) AS r(b)
+), reps AS (
+  SELECT pri, b,
+         CAST(SUM(CAST(w AS DECIMAL(38,0)) * cents) AS VARCHAR) AS swc,
+         CAST(SUM(w) AS BIGINT) AS sw
+  FROM drawn WHERE w > 0 GROUP BY pri, b
+), means AS (
+  SELECT pri, b,
+         CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS m,
+         ROW_NUMBER() OVER (PARTITION BY pri
+                            ORDER BY CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE),
+                                     b) AS rn
+  FROM reps
+)
+SELECT pri AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_reps,
+       MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo_cents,
+       MAX(CASE WHEN rn = {_BOOT_B - 1} THEN m END) AS ci_hi_cents
+FROM means GROUP BY pri
+"""
+
+
+@query("poisson_bootstrap_ci", _BOOT_ORACLE)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson(1) bootstrap CI for mean order cents per priority."""
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        (F.col("o_totalprice") * 100).cast("decimal(38,0)").cast("bigint")
+        .alias("cents"),
+    )
+    drawn = base.select(
+        "pri",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "o_orderkey",
+    )
+    u = portable_hash64(
+        F.concat_ws(":", F.col("o_orderkey"), F.col("b"))
+    ) % _BOOT_M
+    c0, c1, c2, c3 = _BOOT_C
+    w = (
+        F.when(u < c0, 0)
+        .when(u < c1, 1)
+        .when(u < c2, 2)
+        .when(u < c3, 3)
+        .otherwise(4)
+    )
+    reps = (
+        drawn.select("pri", "b", "cents", w.alias("w"))
+        .filter(F.col("w") > 0)
+        .groupBy("pri", "b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents"))
+            .cast("string")
+            .alias("swc"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+    )
+    m = F.col("swc").cast("double") / F.col("sw").cast("double")
+    means = reps.select(
+        "pri",
+        "b",
+        m.alias("m"),
+        F.row_number()
+        .over(Window.partitionBy("pri").orderBy(m, "b"))
+        .alias("rn"),
+    )
+    return means.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("m"))).alias("ci_hi_cents"),
+    )
+
+
+# ----------------------------------------------------------------------
+# isotonic_fit — exact weighted isotonic regression (the PAVA fit used to
+# CALIBRATE model scores in ML pipelines) of mean retail price against
+# part size. Pool-Adjacent-Violators is a sequential pooling algorithm,
+# but its solution has the closed minimax form
+#     fit_i = max_{j<=i} min_{k>=i} weighted_mean(y_j .. y_k)
+# which is pure relational algebra over the SIZE-BUCKET table: prefix
+# sums, a bounded pair join, a bounded (j,i,k) grid, min-then-max. The
+# fact-table scan aggregates to one row per distinct size (domain-bounded
+# — 50 here, never data-bounded), so the cubic grid is a few thousand
+# rows at ANY fact scale; every mean is an exact-integer ratio evaluated
+# once in IEEE double identically on both engines.
+# ----------------------------------------------------------------------
+
+_ISO_ORACLE = """
+WITH b AS (
+  SELECT p_size AS x,
+         CAST(COUNT(*) AS BIGINT) AS w,
+         CAST(SUM(CAST(p_retailprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS s
+  FROM part GROUP BY p_size
+), p AS (
+  SELECT x, w, s,
+         SUM(w) OVER (ORDER BY x) AS cw,
+         SUM(s) OVER (ORDER BY x) AS cs
+  FROM b
+), pairs AS (
+  SELECT j.x AS xj, k.x AS xk,
+         CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+           / CAST(k.cw - (j.cw - j.w) AS DOUBLE) AS m
+  FROM p j JOIN p k ON k.x >= j.x
+), inner_min AS (
+  SELECT g.x, pr.xj, MIN(pr.m) AS mn
+  FROM pairs pr JOIN b g ON pr.xj <= g.x AND g.x <= pr.xk
+  GROUP BY g.x, pr.xj
+)
+SELECT i.x AS p_size, i.w AS n_parts,
+       CAST(i.s AS DOUBLE) / CAST(i.w AS DOUBLE) AS raw_mean_cents,
+       MAX(im.mn) AS fit_cents
+FROM inner_min im JOIN b i ON im.x = i.x
+GROUP BY i.x, i.w, i.s
+"""
+
+
+@query("isotonic_fit", _ISO_ORACLE)
+def isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic (monotone) calibration fit via the minimax closed form."""
+    part = load_table(spark, sf_dir, "part")
+    b = shared(
+        part.groupBy(F.col("p_size").alias("x")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("w"),
+            F.sum((F.col("p_retailprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = b.select(
+        "x", "w", "s",
+        F.sum("w").over(wx).alias("cw"),
+        F.sum("s").over(wx).alias("cs"),
+    )
+    j, k = p.alias("j"), p.alias("k")
+    m = (
+        (F.col("k.cs") - (F.col("j.cs") - F.col("j.s"))).cast("double")
+        / (F.col("k.cw") - (F.col("j.cw") - F.col("j.w"))).cast("double")
+    )
+    pairs = j.join(F.broadcast(k), F.col("k.x") >= F.col("j.x")).select(
+        F.col("j.x").alias("xj"), F.col("k.x").alias("xk"), m.alias("m")
+    )
+    g = b.select(F.col("x"))
+    inner_min = (
+        pairs.join(
+            F.broadcast(g),
+            (F.col("xj") <= F.col("x")) & (F.col("x") <= F.col("xk")),
+        )
+        .groupBy("x", "xj")
+        .agg(F.min("m").alias("mn"))
+    )
+    return (
+        inner_min.join(F.broadcast(b.alias("i")), "x")
+        .groupBy(
+            F.col("x").alias("p_size"),
+            F.col("w").alias("n_parts"),
+            (F.col("s").cast("double") / F.col("w").cast("double")).alias(
+                "raw_mean_cents"
+            ),
+        )
+        .agg(F.max("mn").alias("fit_cents"))
+    )

@@ -152,3 +152,78 @@ def test_local_peaks_are_isolated(spark):
         assert r.prominence >= 1, r
     idx = [r.day_index for r in rows]
     assert all(b - a >= 2 for a, b in zip(idx, idx[1:])), idx
+
+
+def test_isotonic_fit_matches_sequential_pava(spark):
+    import duckdb
+
+    rows = QUERIES["isotonic_fit"](spark, SF_DIR).orderBy("p_size").collect()
+    assert rows
+    fits = [r.fit_cents for r in rows]
+    # monotone nondecreasing
+    assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:])), fits
+    # weighted mean is preserved by isotonic projection
+    tw = sum(r.n_parts for r in rows)
+    assert (
+        abs(
+            sum(r.n_parts * r.fit_cents for r in rows)
+            - sum(r.n_parts * r.raw_mean_cents for r in rows)
+        )
+        / tw
+        < 1e-6
+    )
+    # independent sequential Pool-Adjacent-Violators replay
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{SF_DIR}/part.parquet'")
+    buckets = con.execute(
+        """
+        SELECT p_size, CAST(COUNT(*) AS BIGINT) AS w,
+               CAST(SUM(CAST(p_retailprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+                 AS s
+        FROM part GROUP BY p_size ORDER BY p_size
+        """
+    ).fetchall()
+    pools: list[list[float]] = []  # [w, s]
+    for _x, w, s in buckets:
+        pools.append([w, s])
+        while len(pools) > 1 and (
+            pools[-2][1] * pools[-1][0] > pools[-1][1] * pools[-2][0]
+        ):  # mean(prev) > mean(last) -> pool
+            w2, s2 = pools.pop()
+            pools[-1][0] += w2
+            pools[-1][1] += s2
+    # expand pools back over buckets
+    expect: list[float] = []
+    bi = 0
+    for w, s in pools:
+        covered = 0
+        while covered < w:
+            covered += buckets[bi][1]
+            expect.append(s / w)
+            bi += 1
+    assert len(expect) == len(fits)
+    for e, f in zip(expect, fits):
+        assert abs(e - f) < 1e-6, (e, f)
+
+
+def test_poisson_bootstrap_ci_brackets_sample_mean(spark):
+    import duckdb
+
+    rows = QUERIES["poisson_bootstrap_ci"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    means = dict(
+        con.execute(
+            """
+            SELECT o_orderpriority,
+                   SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) / COUNT(*)
+            FROM orders GROUP BY 1
+            """
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.n_reps == 48, r
+        assert r.ci_lo_cents <= r.ci_hi_cents, r
+        m = float(means[r.o_orderpriority])
+        assert r.ci_lo_cents <= m <= r.ci_hi_cents, (r, m)
