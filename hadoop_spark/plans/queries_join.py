@@ -783,3 +783,66 @@ def duplicate_payment_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("a.day") - F.col("b.day")).cast("bigint").alias("day_gap"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# ivm_join_delta — incremental maintenance of a JOIN view. The view
+# V = sum of line revenue per order priority over orders ⋈ lineitem is
+# kept up to date against inserts to BOTH base tables with the textbook
+# delta algebra
+#     ΔV = agg(ΔO ⋈ L₀) ⊎ agg(O₀ ⋈ ΔL) ⊎ agg(ΔO ⋈ ΔL)
+# and then merged into V₀ = agg(O₀ ⋈ L₀) by key-wise exact-integer sum —
+# the Spark plan literally executes the three delta joins plus the merge,
+# and the oracle recomputes the view FROM SCRATCH on the full tables, so
+# the hash match IS the correctness proof of the maintenance algebra
+# (`incremental_agg_merge` proves the agg-only case; this is the join
+# case a warehouse needs for view maintenance at 100 TB, where the delta
+# joins touch only the day's inserts plus the co-partitioned base keys).
+# Splits are deterministic mod-10 key slices standing in for "yesterday's
+# snapshot" vs "today's inserts".
+# ----------------------------------------------------------------------
+
+from hadoop_spark.functions.numeric import dsum_sql as _dsum_sql
+
+_IVM_JOIN_ORACLE = f"""
+SELECT o.o_orderpriority,
+       {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 8)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("ivm_join_delta", _IVM_JOIN_ORACLE)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance: three delta joins + exact merge == recompute."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o0 = orders.filter(F.col("o_orderkey") % 10 != 0)
+    do = orders.filter(F.col("o_orderkey") % 10 == 0)
+    l0 = li.filter(F.col("l_linenumber") % 3 != 0)
+    dl = li.filter(F.col("l_linenumber") % 3 == 0)
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+
+    def view(o: DataFrame, l: DataFrame) -> DataFrame:
+        return (
+            o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(rev).alias("rc"),
+                F.count(F.lit(1)).cast("bigint").alias("nl"),
+            )
+        )
+
+    v0 = view(o0, l0)
+    d1 = view(do, l0)
+    d2 = view(o0, dl)
+    d3 = view(do, dl)
+    merged = v0.unionByName(d1).unionByName(d2).unionByName(d3)
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum("rc").cast("double").alias("revenue"),
+        F.sum("nl").cast("bigint").alias("n_lines"),
+    )

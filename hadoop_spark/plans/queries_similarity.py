@@ -906,3 +906,115 @@ def subspace_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.join(F.broadcast(t)).select(
         "block", energy.alias("energy"), share.alias("energy_share")
     )
+
+
+# ----------------------------------------------------------------------
+# jl_norm_distortion — Johnson-Lindenstrauss random projection (±1
+# signs, 64 → 16 dims) with an exact distortion audit. The sign matrix
+# is a deterministic md5-derived literal shared by both engines (the
+# DistributedCache/codebook pattern, as `_LSH_W` above); vectors are
+# re-quantized at 1e4 so every projected coordinate, squared norm, and
+# the 5*pn2 DIV 4*n2 bucket index stay EXACT integers below 2^53 (DuckDB
+# evaluates list_dot_product in doubles — the quantization scale is
+# chosen so that is still exact). The whole operator is one map-side
+# expression pass over the corpus plus a 21-cell aggregation: the shape
+# that projects 100 TB of embeddings without a shuffle beyond the final
+# histogram. Distortion profile: histogram of ||proj||^2/(K*||v||^2)
+# in 0.05 buckets, with the exact mean ratio per bucket.
+# ----------------------------------------------------------------------
+
+import hashlib as _jl_hashlib
+
+_JL_K, _JL_D, _JL_SCALE = 16, 64, 10_000
+_JL_SIGNS = [
+    [
+        1
+        if int(_jl_hashlib.md5(f"jl:{k}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0
+        else -1
+        for d in range(_JL_D)
+    ]
+    for k in range(_JL_K)
+]
+
+
+def _jl_oracle() -> str:
+    rows = ", ".join(
+        "list_dot_product(q4, [" + ", ".join(str(s) for s in sk) + "])"
+        for sk in _JL_SIGNS
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {_JL_SCALE}) AS BIGINT)) AS q4
+  FROM embeddings
+), pr AS (
+  SELECT vec_id,
+         CAST(list_dot_product(q4, q4) AS BIGINT) AS n2,
+         list_transform([{rows}], p -> CAST(p AS BIGINT) * CAST(p AS BIGINT))
+           AS p2
+  FROM q
+), r AS (
+  SELECT vec_id, n2,
+         CAST(list_sum(p2) AS BIGINT) AS pn2
+  FROM pr WHERE n2 > 0
+)
+SELECT (5 * pn2) // (4 * n2) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       -- both engines divide IDENTICAL decimal-exact sums by identical
+       -- counts: the raw IEEE quotient is bit-equal, and a final
+       -- DECIMAL(18,12) quantization would only reintroduce the
+       -- HALF_UP/HALF_EVEN tie divergence (observed 1-ulp flip)
+       {_dsum_sql(f"CAST(pn2 AS DOUBLE) / ({_JL_K}.0 * CAST(n2 AS DOUBLE))", 12)}
+         / CAST(COUNT(*) AS DOUBLE) AS mean_ratio
+FROM r GROUP BY 1
+"""
+
+
+@query("jl_norm_distortion", _jl_oracle())
+def jl_norm_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 projection 64→16 with exact-integer norm-distortion histogram."""
+    from hadoop_spark.functions.numeric import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q4 = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * _JL_SCALE).cast("bigint")
+    )
+    q = emb.select("vec_id", q4.alias("q4"))
+    projs = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("q4"),
+                    F.array(*[F.lit(s).cast("bigint") for s in sk]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            for sk in _JL_SIGNS
+        ]
+    )
+    n2 = F.aggregate(
+        F.zip_with(F.col("q4"), F.col("q4"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pr = q.select("vec_id", n2.alias("n2"), projs.alias("p"))
+    pn2 = F.aggregate(
+        F.transform("p", lambda v: v * v),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    r = pr.filter(F.col("n2") > 0).select("vec_id", "n2", pn2.alias("pn2"))
+    ratio = F.col("pn2").cast("double") / (
+        F.lit(float(_JL_K)) * F.col("n2").cast("double")
+    )
+    return r.select(
+        F.expr("(5 * pn2) DIV (4 * n2)").alias("bucket"), ratio.alias("ratio")
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (dsum(F.col("ratio"), 12) / F.count(F.lit(1)).cast("double")).alias(
+            "mean_ratio"
+        ),
+    )

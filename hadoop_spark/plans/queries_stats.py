@@ -3419,3 +3419,117 @@ def isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("mn").alias("fit_cents"))
     )
+
+
+# ----------------------------------------------------------------------
+# funnel_greedy_match — ordered-funnel completion with GREEDY step
+# matching: step k matches the EARLIEST event of its type that falls
+# strictly after the matched step k-1, per user. `funnel_counts` uses
+# first-occurrence times (first click must follow the first view), which
+# misses users whose stray early click precedes their first view; greedy
+# matching — the semantics analytics products implement — catches them.
+# The sequential scan compiles to ONE keyed window pass: a running min of
+# view times feeds the click qualifier, a running min of qualified-click
+# times feeds the purchase qualifier; one shuffle on user_id, no joins,
+# no per-user collect. All comparisons are integer microseconds.
+# ----------------------------------------------------------------------
+
+_GREEDY_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase') AND user_id IS NOT NULL
+), w1 AS (
+  SELECT user_id, event_type, t,
+         MIN(CASE WHEN event_type = 'view' THEN t END)
+           OVER (PARTITION BY user_id ORDER BY t, event_type
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmin
+  FROM e
+), w2 AS (
+  SELECT user_id, event_type, t,
+         CASE WHEN event_type = 'click' AND vmin < t THEN t END AS cq
+  FROM w1
+), w3 AS (
+  SELECT user_id, event_type, t,
+         MIN(cq) OVER (PARTITION BY user_id ORDER BY t, event_type
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cmin
+  FROM w2
+), per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+         MAX(CASE WHEN event_type = 'click' AND cmin IS NOT NULL
+                   AND cmin <= t THEN 1 ELSE 0 END) AS s2_raw,
+         MAX(CASE WHEN event_type = 'purchase' AND cmin < t
+                  THEN 1 ELSE 0 END) AS s3
+  FROM w3 GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(s1) AS BIGINT) AS step_view,
+       CAST(SUM(CASE WHEN s2_raw = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS step_click,
+       CAST(SUM(s3) AS BIGINT) AS step_purchase
+FROM per_user
+"""
+
+
+@query("funnel_greedy_match", _GREEDY_FUNNEL_ORACLE)
+def funnel_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy view->click->purchase funnel in one keyed window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+        & F.col("user_id").isNotNull()
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w1 = e.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(wrun)
+        .alias("vmin"),
+    )
+    w2 = w1.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("vmin") < F.col("t")),
+            F.col("t"),
+        ).alias("cq"),
+    )
+    w3 = w2.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.min("cq").over(wrun).alias("cmin"),
+    )
+    per_user = w3.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("cmin").isNotNull()
+                & (F.col("cmin") <= F.col("t")),
+                1,
+            ).otherwise(0)
+        ).alias("s2_raw"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("cmin") < F.col("t")),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("s1").cast("bigint").alias("step_view"),
+        F.sum(F.when(F.col("s2_raw") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("step_click"),
+        F.sum("s3").cast("bigint").alias("step_purchase"),
+    )

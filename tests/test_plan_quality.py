@@ -784,3 +784,75 @@ def test_date_dimension_is_generate_only(spark):
     plan = _plan(spark, "date_dimension")
     assert "Join" not in plan, plan
     assert _shuffles(plan) <= 1, plan
+
+
+def test_mann_kendall_pairs_join_is_broadcast(spark):
+    """The pairwise stage of both rank-trend operators runs on the
+    calendar-bounded monthly series: the self-join must be broadcast
+    (never a shuffled sort-merge of the fact table against itself), and
+    the only hash shuffles are the month aggregation + final group."""
+    for name in ("mann_kendall_trend", "theil_sen_slope"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_paragraph_filter_is_shuffle_free(spark):
+    """Segment filter + reassembly is ONE map-side expression tree: no
+    exchange, no join, no explode-regroup round trip."""
+    plan = _plan(spark, "paragraph_filter_reassemble")
+    assert _shuffles(plan) == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_clamped_stock_is_two_windows_one_shuffle(spark):
+    """The Lindley closed form compiles the non-associative clamp fold to
+    keyed windows sharing ONE hash partitioning on l_suppkey plus the
+    final aggregation — no collect_list fold, no extra exchanges."""
+    plan = _plan(spark, "clamped_running_stock")
+    assert "collect_list" not in plan, plan
+    assert _shuffles(plan) <= 2, plan
+
+
+def test_poisson_bootstrap_single_fact_shuffle(spark):
+    """All B replicates ride one map-side-combined aggregation: the plan
+    has a partial_sum below the (pri, b) exchange, and the replicate-mean
+    selection runs on the 5*B-row aggregate, never the fact table."""
+    plan = _plan(spark, "poisson_bootstrap_ci")
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_isotonic_grid_joins_are_broadcast(spark):
+    """The cubic PAVA grid is domain-bounded (distinct sizes): every join
+    in the plan must be broadcast; the fact table is touched by exactly
+    one aggregation."""
+    plan = _plan(spark, "isotonic_fit")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_funnel_greedy_single_keyed_pass(spark):
+    """Greedy funnel matching is windows + aggs over ONE user_id hash
+    partitioning (plus the 1-row final rollup): no joins, no per-user
+    collects."""
+    plan = _plan(spark, "funnel_greedy_match")
+    assert "Join" not in plan, plan
+    assert "collect_list" not in plan, plan
+    assert _shuffles(plan) <= 3, plan
+
+
+def test_ivm_join_delta_equi_joins_only(spark):
+    """The three delta joins are all equi hash/merge joins on the order
+    key — no nested-loop or cartesian fallbacks."""
+    plan = _plan(spark, "ivm_join_delta")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_jl_projection_is_map_side(spark):
+    """The JL projection + norm audit is one map-side expression pass:
+    the only exchange is the 21-cell histogram aggregation."""
+    plan = _plan(spark, "jl_norm_distortion")
+    assert "Join" not in plan, plan
+    assert _shuffles(plan) <= 1, plan

@@ -227,3 +227,60 @@ def test_poisson_bootstrap_ci_brackets_sample_mean(spark):
         assert r.ci_lo_cents <= r.ci_hi_cents, r
         m = float(means[r.o_orderpriority])
         assert r.ci_lo_cents <= m <= r.ci_hi_cents, (r, m)
+
+
+def test_funnel_greedy_dominates_first_occurrence(spark):
+    greedy = QUERIES["funnel_greedy_match"](spark, SF_DIR).collect()[0]
+    firsts = QUERIES["funnel_counts"](spark, SF_DIR).collect()[0]
+    # funnel is monotone
+    assert greedy.step_view >= greedy.step_click >= greedy.step_purchase, greedy
+    # greedy matching can only find MORE completions than first-occurrence
+    assert greedy.step_click >= firsts.step_click, (greedy, firsts)
+    assert greedy.step_purchase >= firsts.step_purchase, (greedy, firsts)
+
+
+def test_ivm_join_delta_equals_full_recompute(spark):
+    import pyspark.sql.functions as F
+    from hadoop_spark.sources.tables import load_table
+
+    got = {
+        r.o_orderpriority: r
+        for r in QUERIES["ivm_join_delta"](spark, SF_DIR).collect()
+    }
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    full = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,8)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .collect()
+    )
+    assert len(full) == len(got)
+    for r in full:
+        g = got[r.o_orderpriority]
+        assert g.n_lines == r.n_lines and g.revenue == r.revenue, (g, r)
+
+
+def test_jl_distortion_centers_on_one(spark):
+    import duckdb
+
+    rows = QUERIES["jl_norm_distortion"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_vecs for r in rows) == n
+    for r in rows:
+        lo, hi = r.bucket / 20.0, (r.bucket + 1) / 20.0
+        assert lo <= r.mean_ratio < hi + 1e-12, r
+    wmean = sum(r.n_vecs * r.mean_ratio for r in rows) / n
+    assert 0.8 < wmean < 1.2, wmean  # E[ratio] = 1 for a JL projection
