@@ -1923,3 +1923,157 @@ def countmin_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_overestimate"),
         mean_over.alias("mean_overestimate"),
     )
+
+
+# ----------------------------------------------------------------------
+# weighted_median_price — quantity-weighted median of the extended price
+# per return flag: the smallest price whose cumulative quantity reaches
+# half the total. Exact ordered selection over integer weights (the
+# revenue_deciles discipline, but WEIGHTED — an unweighted median answers
+# "the middle line item", this answers "the middle unit shipped").
+# Keyed windows on the (flag, price, unique line key) total order; one
+# shuffle on the flag, cumulative sums exact BIGINT.
+# ----------------------------------------------------------------------
+
+_WMED_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS BIGINT) AS pc,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), c AS (
+  SELECT flag, pc, qty,
+         SUM(qty) OVER (PARTITION BY flag
+                        ORDER BY pc, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(qty) OVER (PARTITION BY flag) AS tot,
+         l_orderkey, l_linenumber
+  FROM x
+), hit AS (
+  SELECT flag, pc, tot,
+         ROW_NUMBER() OVER (PARTITION BY flag
+                            ORDER BY pc, l_orderkey, l_linenumber) AS rn
+  FROM c WHERE 2 * cum >= tot
+)
+SELECT flag AS l_returnflag, pc AS weighted_median_cents,
+       CAST(tot AS BIGINT) AS total_qty
+FROM hit WHERE rn = 1
+"""
+
+
+@query("weighted_median_price", _WMED_ORACLE)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median extended price per return flag."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * 100)
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("pc"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wrun = (
+        Window.partitionBy("flag")
+        .orderBy("pc", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = x.select(
+        "flag",
+        "pc",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("qty").over(wrun).alias("cum"),
+        F.sum("qty").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    hit = c.filter(2 * F.col("cum") >= F.col("tot")).select(
+        "flag",
+        "pc",
+        "tot",
+        F.row_number()
+        .over(Window.partitionBy("flag").orderBy("pc", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("pc").alias("weighted_median_cents"),
+        F.col("tot").cast("bigint").alias("total_qty"),
+    )
+
+
+# ----------------------------------------------------------------------
+# abc_inventory_classes — ABC revenue classification of the part
+# catalog: rank parts by total line revenue, class A = parts inside the
+# first 80% of cumulative revenue, B inside 95%, C the tail. The global
+# ordered cumulative sum uses `operators/sort.global_running_sum` (range
+# repartition + per-partition scan + broadcast offsets), never a
+# single-partition window, so the ranking stage is partition-parallel at
+# catalog scale. Revenue carried as exact DECIMAL(38,8); the class
+# thresholds compare 100*cum against 80/95 * total in exact decimal.
+# ----------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8))) AS r
+  FROM lineitem GROUP BY l_partkey
+), c AS (
+  SELECT l_partkey, r,
+         SUM(r) OVER (ORDER BY r DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(r) OVER () AS tot
+  FROM rev
+), cls AS (
+  SELECT CASE WHEN 100 * cum <= 80 * tot THEN 'A'
+              WHEN 100 * cum <= 95 * tot THEN 'B' ELSE 'C' END AS abc_class,
+         r, tot
+  FROM c
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) AS class_revenue,
+       CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(MAX(tot) AS VARCHAR) AS DOUBLE) AS revenue_share
+FROM cls GROUP BY abc_class
+"""
+
+
+@query("abc_inventory_classes", _ABC_ORACLE)
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (80/95) revenue classes over a scalable global prefix sum."""
+    from hadoop_spark.operators.sort import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,8)"
+            )
+        ).alias("r")
+    )
+    cum = global_running_sum(
+        rev, "r", F.col("r").desc(), F.col("l_partkey"), out="cum"
+    )
+    tot = rev.agg(F.sum("r").alias("tot"))
+    cls = cum.join(F.broadcast(tot)).select(
+        F.when(100 * F.col("cum") <= 80 * F.col("tot"), "A")
+        .when(100 * F.col("cum") <= 95 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+        "tot",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("r").cast("string").cast("double").alias("class_revenue"),
+        (
+            F.sum("r").cast("string").cast("double")
+            / F.max("tot").cast("string").cast("double")
+        ).alias("revenue_share"),
+    )

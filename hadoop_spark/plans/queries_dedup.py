@@ -872,3 +872,91 @@ def shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
     )
     return agg.select("k", "n_shingles", "n_distinct", share.alias("dup_share"))
+
+
+# ----------------------------------------------------------------------
+# survivorship_golden_record — the MDM "golden record" stage that follows
+# clustering in an entity-resolution pipeline: within each duplicate
+# family, merge FIELD-LEVEL values by survivorship rules instead of
+# keeping one whole row (`dedup_keep_best` keeps a row; this synthesizes
+# one). Families are the 8-token prefix fingerprints of `dedup_prefix`;
+# rules: representative id = MIN(doc_id), length = MAX(n_chars),
+# source/lang = MODE with deterministic ties (higher count wins, then
+# lexicographic min — the reference's secondary-sort tie discipline).
+# Scale shape: two grouped aggregations plus a per-family window over the
+# (family × value) counts — all partial-aggregated; the mode candidates
+# per family are bounded by the value domain, never by the corpus.
+# ----------------------------------------------------------------------
+
+_SURV_ORACLE = r"""
+WITH fam AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5(array_to_string(
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       w -> w <> '')[1:8], ' ')) AS fp
+  FROM documents WHERE text IS NOT NULL
+), src_counts AS (
+  SELECT fp, source AS v, COUNT(*) AS c FROM fam GROUP BY fp, source
+), src_mode AS (
+  SELECT fp, v AS best_source FROM (
+    SELECT fp, v, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY c DESC, v) AS rn
+    FROM src_counts) WHERE rn = 1
+), lang_counts AS (
+  SELECT fp, lang AS v, COUNT(*) AS c FROM fam GROUP BY fp, lang
+), lang_mode AS (
+  SELECT fp, v AS best_lang FROM (
+    SELECT fp, v, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY c DESC, v) AS rn
+    FROM lang_counts) WHERE rn = 1
+), base AS (
+  SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
+         CAST(MAX(n_chars) AS BIGINT) AS best_n_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM fam GROUP BY fp
+)
+SELECT b.fp, b.rep_doc_id, b.best_n_chars, b.n_members,
+       s.best_source, l.best_lang
+FROM base b JOIN src_mode s ON b.fp = s.fp JOIN lang_mode l ON b.fp = l.fp
+WHERE b.n_members > 1
+"""
+
+
+@query("survivorship_golden_record", _SURV_ORACLE)
+def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship merge over prefix-fingerprint families."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    fam = shared(
+        fanout_small(docs).select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fp"),
+        )
+    )
+
+    def mode_of(col: str, out: str) -> DataFrame:
+        counts = fam.groupBy("fp", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("fp").orderBy(F.col("c").desc(), "v")
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("fp", F.col("v").alias(out))
+        )
+
+    base = fam.groupBy("fp").agg(
+        F.min("doc_id").cast("bigint").alias("rep_doc_id"),
+        F.max("n_chars").cast("bigint").alias("best_n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    return (
+        base.filter(F.col("n_members") > 1)
+        .join(mode_of("source", "best_source"), "fp")
+        .join(mode_of("lang", "best_lang"), "fp")
+        .select(
+            "fp", "rep_doc_id", "best_n_chars", "n_members",
+            "best_source", "best_lang",
+        )
+    )

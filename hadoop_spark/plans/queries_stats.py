@@ -3533,3 +3533,51 @@ def funnel_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("step_click"),
         F.sum("s3").cast("bigint").alias("step_purchase"),
     )
+
+
+# ----------------------------------------------------------------------
+# price_ending_bias — forensic round-number analysis of order totals:
+# the distribution of the cents-ending (the two digits after the decimal
+# point) against the uniform 1% expectation, the companion test to
+# `benford_digits` (leading digit) that payment auditors run for
+# hand-keyed or fabricated amounts. Pure map-side bucketing + one
+# 100-cell aggregation; the over-representation ratio is an exact
+# integer-ratio expression.
+# ----------------------------------------------------------------------
+
+_ENDING_ORACLE = """
+WITH e AS (
+  SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) % 100
+           AS ending
+  FROM orders
+), c AS (
+  SELECT ending, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS tot
+  FROM e GROUP BY ending
+)
+SELECT ending, n,
+       CAST(100 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+         AS lift_vs_uniform
+FROM c
+ORDER BY n DESC, ending
+LIMIT 10
+"""
+
+
+@query("price_ending_bias", _ENDING_ORACLE)
+def price_ending_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 over-represented cents endings of order totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    e = orders.select(
+        ((F.col("o_totalprice") * 100).cast("decimal(38,0)").cast("bigint") % 100)
+        .alias("ending")
+    )
+    c = e.groupBy("ending").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    lift = F.lit(100.0) * F.col("n").cast("double") / F.col("tot").cast("double")
+    return (
+        c.join(F.broadcast(tot))
+        .select("ending", "n", lift.alias("lift_vs_uniform"))
+        .orderBy(F.col("n").desc(), "ending")
+        .limit(10)
+    )

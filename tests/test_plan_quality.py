@@ -856,3 +856,29 @@ def test_jl_projection_is_map_side(spark):
     plan = _plan(spark, "jl_norm_distortion")
     assert "Join" not in plan, plan
     assert _shuffles(plan) <= 1, plan
+
+
+def test_abc_uses_distributed_prefix_sum(spark):
+    """The ABC cumulative share must come from the range-repartitioned
+    two-level scan (global_running_sum), never a single-partition
+    SUM() OVER (ORDER BY ...) of the whole catalog."""
+    plan = _plan(spark, "abc_inventory_classes")
+    assert "rangepartitioning" in plan, plan
+
+
+def test_weighted_median_single_flag_partitioning(spark):
+    """Weighted median is windows over ONE hash partitioning on the flag
+    plus the final selection — no joins, no collects."""
+    plan = _plan(spark, "weighted_median_price")
+    assert "Join" not in plan, plan
+    assert "collect_list" not in plan, plan
+
+
+def test_survivorship_mode_counts_are_partial_aggregated(spark):
+    """The per-family mode candidates come from grouped counts (map-side
+    partial aggregation present), and the family fingerprint is computed
+    once per row — no cartesian or nested-loop joins anywhere."""
+    plan = _plan(spark, "survivorship_golden_record")
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -284,3 +284,92 @@ def test_jl_distortion_centers_on_one(spark):
         assert lo <= r.mean_ratio < hi + 1e-12, r
     wmean = sum(r.n_vecs * r.mean_ratio for r in rows) / n
     assert 0.8 < wmean < 1.2, wmean  # E[ratio] = 1 for a JL projection
+
+
+def test_survivorship_fields_come_from_family(spark):
+    import duckdb
+
+    rows = QUERIES["survivorship_golden_record"](spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    fam = con.execute(
+        r"""
+        SELECT md5(array_to_string(
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '')[1:8], ' ')) AS fp,
+               MIN(doc_id), MAX(n_chars), COUNT(*),
+               list(DISTINCT source), list(DISTINCT lang)
+        FROM documents WHERE text IS NOT NULL GROUP BY 1
+        """
+    ).fetchall()
+    by_fp = {r[0]: r for r in fam}
+    for r in rows:
+        _, mind, maxc, cnt, srcs, langs = by_fp[r.fp]
+        assert r.n_members == cnt > 1, r
+        assert r.rep_doc_id == mind and r.best_n_chars == maxc, r
+        assert r.best_source in srcs and r.best_lang in langs, r
+
+
+def test_weighted_median_is_the_balance_point(spark):
+    import duckdb
+
+    rows = QUERIES["weighted_median_price"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    for r in rows:
+        below, at_or_below, tot = con.execute(
+            """
+            SELECT
+              SUM(CASE WHEN CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0))
+                             AS BIGINT) < ? THEN CAST(l_quantity AS BIGINT)
+                       ELSE 0 END),
+              SUM(CASE WHEN CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0))
+                             AS BIGINT) <= ? THEN CAST(l_quantity AS BIGINT)
+                       ELSE 0 END),
+              SUM(CAST(l_quantity AS BIGINT))
+            FROM lineitem WHERE l_returnflag = ?
+            """,
+            [r.weighted_median_cents, r.weighted_median_cents, r.l_returnflag],
+        ).fetchone()
+        assert tot == r.total_qty, r
+        assert 2 * below < tot <= 2 * at_or_below, (r, below, at_or_below, tot)
+
+
+def test_abc_classes_partition_the_catalog(spark):
+    import duckdb
+
+    rows = {r.abc_class: r for r in QUERIES["abc_inventory_classes"](spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    con = duckdb.connect()
+    nparts = con.execute(
+        f"SELECT COUNT(DISTINCT l_partkey) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_parts for r in rows.values()) == nparts
+    shares = {k: r.revenue_share for k, r in rows.items()}
+    assert abs(sum(shares.values()) - 1.0) < 1e-9, shares
+    assert shares["A"] <= 0.80 + 1e-9 and shares["A"] + shares["B"] <= 0.95 + 1e-9
+    # parts are ranked by revenue, so mean revenue/part decreases A->B->C
+    # (the fixture's revenue is near-uniform across parts, so A is NOT
+    # few-parts-most-revenue here — only the ordering property is invariant)
+    means = {k: r.class_revenue / r.n_parts for k, r in rows.items()}
+    assert means["A"] >= means["B"] >= means["C"], means
+
+
+def test_price_ending_bias_counts(spark):
+    import duckdb
+
+    rows = QUERIES["price_ending_bias"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n for r in rows) <= n
+    for r in rows:
+        assert 0 <= r.ending <= 99 and r.lift_vs_uniform > 0, r
