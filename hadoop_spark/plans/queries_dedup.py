@@ -960,3 +960,89 @@ def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_source", "best_lang",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# dbscan_core_flags — the density-classification stage of DBSCAN over
+# the embedding corpus: a vector is CORE when it has >= minPts neighbors
+# at cosine >= eps, BORDER when non-core but adjacent to a core vector,
+# NOISE otherwise. Built on the same blocked-GEMM pair stream as
+# `dedup_embedding` (`operators/similarity.block_near_dup_pairs` —
+# exact integer-quantized cosine, (NB+1 choose 2) block pairs, no O(n²)
+# row set in the plan); the classification itself is two grouped
+# aggregations and one equi-join of the pair stream against the core
+# flags. Reported per ground-truth label so the density structure is
+# auditable. eps=0.30/minPts=4 chosen to populate all three classes on
+# the fixture.
+# ----------------------------------------------------------------------
+
+_DBSCAN_T = 300_000  # cosine eps in micro-units
+_DBSCAN_MINPTS = 4
+
+_DBSCAN_ORACLE = f"""
+WITH {_EMB_CTE},
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM en a JOIN en b ON a.vec_id <> b.vec_id
+  WHERE {cos_q_sql(int_dot_sql('a.q', 'b.q'), 'a.n2', 'b.n2')} >= {_DBSCAN_T}
+), deg AS (
+  SELECT va AS vec_id, COUNT(*) AS nnb FROM pairs GROUP BY va
+), core AS (
+  SELECT vec_id FROM deg WHERE nnb >= {_DBSCAN_MINPTS}
+), border AS (
+  SELECT DISTINCT p.va AS vec_id
+  FROM pairs p JOIN core c ON p.vb = c.vec_id
+  WHERE p.va NOT IN (SELECT vec_id FROM core)
+), cls AS (
+  SELECT e.vec_id, emb.label,
+         CASE WHEN e.vec_id IN (SELECT vec_id FROM core) THEN 'core'
+              WHEN e.vec_id IN (SELECT vec_id FROM border) THEN 'border'
+              ELSE 'noise' END AS dbscan_class
+  FROM en e JOIN embeddings emb ON e.vec_id = emb.vec_id
+)
+SELECT label, dbscan_class, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM cls GROUP BY label, dbscan_class
+"""
+
+
+@query("dbscan_core_flags", _DBSCAN_ORACLE)
+def dbscan_core_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core/border/noise classification per label (blocked GEMM)."""
+    from hadoop_spark.operators.similarity import block_near_dup_pairs
+
+    emb = shared(
+        with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
+    )
+    half = block_near_dup_pairs(
+        emb, threshold_micro=_DBSCAN_T, num_blocks=8
+    ).select("id_a", "id_b")
+    pairs = shared(
+        half.unionByName(
+            half.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+    )
+    deg = pairs.groupBy(F.col("id_a").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("nnb")
+    )
+    core = deg.filter(F.col("nnb") >= _DBSCAN_MINPTS).select("vec_id")
+    border = (
+        pairs.join(core.withColumnRenamed("vec_id", "id_b"), "id_b")
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .join(core, "vec_id", "left_anti")
+    )
+    cls = (
+        emb.select("vec_id", "label")
+        .join(core.withColumn("is_core", F.lit(1)), "vec_id", "left")
+        .join(border.withColumn("is_border", F.lit(1)), "vec_id", "left")
+        .select(
+            "label",
+            F.when(F.col("is_core") == 1, "core")
+            .when(F.col("is_border") == 1, "border")
+            .otherwise("noise")
+            .alias("dbscan_class"),
+        )
+    )
+    return cls.groupBy("label", "dbscan_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )

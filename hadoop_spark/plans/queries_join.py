@@ -846,3 +846,138 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rc").cast("double").alias("revenue"),
         F.sum("nl").cast("bigint").alias("n_lines"),
     )
+
+
+# ----------------------------------------------------------------------
+# interval_overlap_join — interval × interval overlap (Allen's "overlaps
+# or touches") between order fulfilment windows [order day, last ship
+# day] and calendar quarters, per quarter: how many orders were IN
+# FLIGHT during the quarter and how many of those started before it.
+# `range_join_events` covers point-in-interval; this is the two-sided
+# case, compiled to the scalable BANDING plan: each interval explodes to
+# the bounded set of months it spans (fan-out = interval length / band,
+# ~4 here), quarters explode to their 3 months, the join is EQUI on the
+# month band, and the (order, quarter) pair is deduplicated before the
+# rollup. No inequality join anywhere — the shape that hash-partitions
+# at 100 TB where a theta-join would nested-loop. The oracle states the
+# same overlap as a direct inequality join (DuckDB's optimizer handles
+# the small case; the banding is the Spark-side scale plan).
+# ----------------------------------------------------------------------
+
+_IOV_ORACLE = """
+WITH ow AS (
+  SELECT o.o_orderkey,
+         CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d0,
+         CAST(MAX(epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000)
+              AS BIGINT) AS d1
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), q AS (
+  SELECT DISTINCT
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST((EXTRACT(month FROM o_orderdate) - 1) // 3 + 1 AS BIGINT) AS qt
+  FROM orders
+), qw AS (
+  SELECT yr, qt,
+         CAST(epoch_us(make_timestamp(CAST(yr AS INT),
+                                      CAST((qt - 1) * 3 + 1 AS INT),
+                                      1, 0, 0, 0.0)) // 86400000000 AS BIGINT)
+           AS q0,
+         CAST(epoch_us(CASE WHEN qt = 4
+                 THEN make_timestamp(CAST(yr + 1 AS INT), 1, 1, 0, 0, 0.0)
+                 ELSE make_timestamp(CAST(yr AS INT),
+                                     CAST(qt * 3 + 1 AS INT), 1, 0, 0, 0.0)
+               END) // 86400000000 - 1 AS BIGINT) AS q1
+  FROM q
+)
+SELECT qw.yr, qw.qt,
+       CAST(COUNT(*) AS BIGINT) AS n_in_flight,
+       CAST(SUM(CASE WHEN ow.d0 < qw.q0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_carried_in
+FROM ow JOIN qw ON ow.d0 <= qw.q1 AND ow.d1 >= qw.q0
+GROUP BY qw.yr, qw.qt
+"""
+
+
+@query("interval_overlap_join", _IOV_ORACLE)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-window × quarter overlap via month-banded equi-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    day = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) / 86_400_000_000
+    ).cast("bigint")
+    mon = lambda c: (  # noqa: E731
+        F.year(F.col(c).cast("timestamp")) * 12
+        + F.month(F.col(c).cast("timestamp"))
+        - 1
+    ).cast("bigint")
+    ow = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max(day("l_shipdate")).alias("d1"), F.max(mon("l_shipdate")).alias("m1"))
+        .select(
+            "o_orderkey",
+            day("o_orderdate").alias("d0"),
+            mon("o_orderdate").alias("m0"),
+            "d1",
+            "m1",
+        )
+    )
+    # band: one row per month the order window touches (bounded fan-out:
+    # fulfilment windows span a few months by construction)
+    ob = ow.select(
+        "o_orderkey",
+        "d0",
+        "d1",
+        F.explode(F.sequence(F.col("m0"), F.col("m1"))).alias("band"),
+    )
+    yr = F.year(F.col("o_orderdate").cast("timestamp")).cast("bigint")
+    qt = (
+        F.floor((F.month(F.col("o_orderdate").cast("timestamp")) - 1) / 3) + 1
+    ).cast("bigint")
+    q = orders.select(yr.alias("yr"), qt.alias("qt")).distinct()
+    q0d = F.make_date(F.col("yr").cast("int"), ((F.col("qt") - 1) * 3 + 1).cast("int"), F.lit(1))
+    q1d = F.date_sub(
+        F.when(
+            F.col("qt") == 4,
+            F.make_date(F.col("yr").cast("int") + 1, F.lit(1), F.lit(1)),
+        ).otherwise(
+            F.make_date(F.col("yr").cast("int"), (F.col("qt") * 3 + 1).cast("int"), F.lit(1))
+        ),
+        1,
+    )
+    qday = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(c.cast("timestamp")) / 86_400_000_000
+    ).cast("bigint")
+    qw = q.select(
+        "yr",
+        "qt",
+        qday(q0d).alias("q0"),
+        qday(q1d).alias("q1"),
+    )
+    qb = qw.select(
+        "yr",
+        "qt",
+        "q0",
+        "q1",
+        F.explode(
+            F.sequence(
+                F.col("yr") * 12 + (F.col("qt") - 1) * 3,
+                F.col("yr") * 12 + (F.col("qt") - 1) * 3 + 2,
+            )
+        ).alias("band"),
+    )
+    hits = (
+        ob.join(F.broadcast(qb), "band")
+        .filter((F.col("d0") <= F.col("q1")) & (F.col("d1") >= F.col("q0")))
+        .select("o_orderkey", "yr", "qt", "d0", "q0")
+        .distinct()
+    )
+    return hits.groupBy("yr", "qt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_flight"),
+        F.sum(F.when(F.col("d0") < F.col("q0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_carried_in"),
+    )

@@ -882,3 +882,20 @@ def test_survivorship_mode_counts_are_partial_aggregated(spark):
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dbscan_blocked_pairs_no_cartesian(spark):
+    """Density classification rides the blocked-GEMM pair stream: no
+    cartesian product / nested-loop join materializes the O(n²) pairs."""
+    plan = _plan(spark, "dbscan_core_flags")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_overlap_is_banded_equi_join(spark):
+    """The interval×interval overlap compiles to an EQUI join on the
+    month band (broadcast here; hash-partitionable in general) — never an
+    inequality-only nested-loop join."""
+    plan = _plan(spark, "interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -373,3 +373,49 @@ def test_price_ending_bias_counts(spark):
     assert sum(r.n for r in rows) <= n
     for r in rows:
         assert 0 <= r.ending <= 99 and r.lift_vs_uniform > 0, r
+
+
+def test_dbscan_classes_partition_the_corpus(spark):
+    import duckdb
+
+    rows = QUERIES["dbscan_core_flags"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    per_label = dict(
+        con.execute(
+            f"SELECT label, COUNT(*) FROM '{SF_DIR}/embeddings.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    got: dict[int, int] = {}
+    for r in rows:
+        assert r.dbscan_class in {"core", "border", "noise"}, r
+        got[r.label] = got.get(r.label, 0) + r.n_vecs
+    assert got == per_label
+
+
+def test_interval_overlap_counts_dominate_quarter_starts(spark):
+    import duckdb
+
+    rows = {
+        (r.yr, r.qt): r
+        for r in QUERIES["interval_overlap_join"](spark, SF_DIR).collect()
+    }
+    assert rows
+    con = duckdb.connect()
+    starts = dict(
+        con.execute(
+            f"""
+            SELECT (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT),
+                    CAST((EXTRACT(month FROM o_orderdate) - 1) // 3 + 1
+                         AS BIGINT)), COUNT(*)
+            FROM '{SF_DIR}/orders.parquet'
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM '{SF_DIR}/lineitem.parquet')
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    for key, n_start in starts.items():
+        r = rows[tuple(key)]
+        # every order STARTING in a quarter is in flight during it
+        assert r.n_in_flight >= n_start, (key, r, n_start)
+        assert 0 <= r.n_carried_in <= r.n_in_flight, r
