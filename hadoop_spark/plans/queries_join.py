@@ -981,3 +981,57 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_carried_in"),
     )
+
+
+# ----------------------------------------------------------------------
+# recursive_order_chain — Spark 4's WITH RECURSIVE surface (SQL-level
+# linear recursion), exercised on a computation that is genuinely
+# NON-window-expressible: each customer's credit balance replayed over
+# their order chain with a floor at zero (open orders draw credit,
+# finalized orders repay it, the balance clamps at 0). The recursion
+# anchors at each customer's first order and steps through rn+1 — depth
+# = max orders per customer (data-bounded, ~tens), width = one row per
+# customer per level. The same recursion runs verbatim in DuckDB's
+# WITH RECURSIVE — SQL-dialect parity for the one control-flow feature
+# the reference could only express as a chained MapReduce job
+# (`JobControl`, `MAPRED/jobcontrol/JobControl.java:46`). The clamp
+# recursion cross-checks `clamped_running_stock`'s Lindley closed form
+# in `tests/test_r4d_invariants.py`.
+# ----------------------------------------------------------------------
+
+_REC_CHAIN_SQL = """
+WITH RECURSIVE ranked AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CASE WHEN o_orderstatus = 'F'
+              THEN -CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT)
+              ELSE CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT)
+              END AS BIGINT) AS x,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), walk(o_custkey, rn, bal) AS (
+  SELECT o_custkey, rn, GREATEST(CAST(0 AS BIGINT), x)
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.o_custkey, r.rn, GREATEST(CAST(0 AS BIGINT), w.bal + r.x)
+  FROM walk w JOIN ranked r
+    ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1
+)
+SELECT o_custkey,
+       CAST(MAX(rn) AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN rn = mx THEN bal END) AS BIGINT) AS final_cents
+FROM (SELECT o_custkey, rn, bal,
+             MAX(rn) OVER (PARTITION BY o_custkey) AS mx
+      FROM walk)
+GROUP BY o_custkey
+"""
+
+
+@query("recursive_order_chain", _REC_CHAIN_SQL)
+def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE clamped-balance walk over each customer's orders."""
+    from hadoop_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REC_CHAIN_SQL)

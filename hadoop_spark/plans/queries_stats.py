@@ -3581,3 +3581,69 @@ def price_ending_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "ending")
         .limit(10)
     )
+
+
+# ----------------------------------------------------------------------
+# capture_recapture — Lincoln-Petersen / Chapman population estimation
+# from two deterministic hash samples: the survey-statistics trick a
+# data platform uses to estimate a TRUE entity count (here: distinct
+# customers in the order feed) when full deduplication is too expensive
+# — draw two independent 30% samples, count the overlap, estimate
+# N ≈ (n1+1)(n2+1)/(m+1) - 1. Both samples are pure functions of the
+# key (`portable_hash64` with different salts — the reference's
+# PercentFilter with two seeds, SequenceFileInputFilter.java:154), so
+# the estimate is reproducible under any partitioning. One distinct-agg
+# shuffle; the estimator is one exact-integer-fed double expression,
+# audited against the true count in the same result row.
+# ----------------------------------------------------------------------
+
+_CR_ORACLE = f"""
+WITH c AS (
+  SELECT DISTINCT o_custkey FROM orders
+), flags AS (
+  SELECT o_custkey,
+         CASE WHEN {portable_hash64_sql('o_custkey', 's1')} % 10 < 3
+              THEN 1 ELSE 0 END AS in1,
+         CASE WHEN {portable_hash64_sql('o_custkey', 's2')} % 10 < 3
+              THEN 1 ELSE 0 END AS in2
+  FROM c
+)
+SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+       CAST(SUM(in2) AS BIGINT) AS n2,
+       CAST(SUM(in1 * in2) AS BIGINT) AS m,
+       CAST((CAST(SUM(in1) AS DOUBLE) + 1) * (CAST(SUM(in2) AS DOUBLE) + 1)
+            / (CAST(SUM(in1 * in2) AS DOUBLE) + 1) - 1 AS DOUBLE) AS n_hat,
+       CAST(COUNT(*) AS BIGINT) AS true_n
+FROM flags
+"""
+
+
+@query("capture_recapture", _CR_ORACLE)
+def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the distinct-customer count."""
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select("o_custkey").distinct()
+    flags = c.select(
+        F.when(portable_hash64(F.col("o_custkey"), "s1") % 10 < 3, 1)
+        .otherwise(0)
+        .alias("in1"),
+        F.when(portable_hash64(F.col("o_custkey"), "s2") % 10 < 3, 1)
+        .otherwise(0)
+        .alias("in2"),
+    )
+    n1 = F.sum("in1").cast("bigint")
+    n2 = F.sum("in2").cast("bigint")
+    m = F.sum(F.col("in1") * F.col("in2")).cast("bigint")
+    n_hat = (
+        (n1.cast("double") + 1) * (n2.cast("double") + 1) / (m.cast("double") + 1)
+        - 1
+    )
+    return flags.agg(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        m.alias("m"),
+        n_hat.alias("n_hat"),
+        F.count(F.lit(1)).cast("bigint").alias("true_n"),
+    )

@@ -419,3 +419,53 @@ def test_interval_overlap_counts_dominate_quarter_starts(spark):
         # every order STARTING in a quarter is in flight during it
         assert r.n_in_flight >= n_start, (key, r, n_start)
         assert 0 <= r.n_carried_in <= r.n_in_flight, r
+
+
+def test_recursive_chain_matches_lindley_closed_form(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from hadoop_spark.sources.tables import load_table
+
+    got = {
+        r.o_custkey: r
+        for r in QUERIES["recursive_order_chain"](spark, SF_DIR).collect()
+    }
+    # closed form: L_n = S_n - min(0, min_k S_k) over the same signed chain
+    orders = load_table(spark, SF_DIR, "orders")
+    x = F.when(
+        F.col("o_orderstatus") == "F",
+        -(F.col("o_totalprice") * 100).cast("decimal(38,0)").cast("bigint"),
+    ).otherwise((F.col("o_totalprice") * 100).cast("decimal(38,0)").cast("bigint"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    s = orders.select("o_custkey", "o_orderdate", "o_orderkey", x.alias("x")).select(
+        "o_custkey",
+        F.sum("x").over(w).alias("s"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    agg = (
+        s.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max_by("s", "rn").alias("sn"),
+            F.min("s").alias("smin"),
+        )
+        .collect()
+    )
+    for r in agg:
+        lind = r.sn - min(0, r.smin)
+        g = got[r.o_custkey]
+        assert g.n_orders == r.n and g.final_cents == lind, (r, g)
+
+
+def test_capture_recapture_estimate_is_sane(spark):
+    r = QUERIES["capture_recapture"](spark, SF_DIR).collect()[0]
+    assert 0 < r.m <= min(r.n1, r.n2), r
+    assert r.n_hat > max(r.n1, r.n2), r
+    # Chapman estimate within 3x of truth on the fixture
+    assert r.true_n / 3 < r.n_hat < r.true_n * 3, r
