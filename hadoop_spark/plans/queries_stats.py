@@ -3224,9 +3224,14 @@ def local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 import math as _math
 
 _BOOT_B = 48
-_BOOT_M = 1 << 20
-# cumulative Poisson(1) thresholds as integer literals shared verbatim by
-# the Spark and oracle expressions (weights cap at 4)
+# One md5 per (row, group-of-8): the 32 hex chars of a single digest are
+# split into EIGHT independent 16-bit draws, so 48 replicates cost 6 md5
+# calls per row instead of 48 — the x30 scale probe showed the digest,
+# not the aggregation, dominating the one-pass plan. Thresholds are the
+# cumulative Poisson(1) CDF at 16-bit granularity, shared verbatim by
+# both engines (weights cap at 4).
+_BOOT_G = 6  # md5 groups of 8 draws each
+_BOOT_M = 1 << 16
 _BOOT_C = [
     int(_math.floor(sum(_math.exp(-1) / _math.factorial(j) for j in range(k + 1))
                     * _BOOT_M))
@@ -3247,12 +3252,16 @@ WITH base AS (
   SELECT o_orderpriority AS pri, o_orderkey,
          CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
   FROM orders
+), hashed AS (
+  SELECT pri, cents, CAST(g.g AS INTEGER) AS g,
+         md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(g.g AS VARCHAR)) AS h
+  FROM base CROSS JOIN UNNEST(range({_BOOT_G})) AS g(g)
 ), drawn AS (
-  SELECT pri, CAST(r.b AS INTEGER) AS b, cents,
+  SELECT pri, CAST(g * 8 + j.j AS INTEGER) AS b, cents,
          {_boot_w_sql(
-             "(" + portable_hash64_sql("o_orderkey || ':' || r.b")
-             + f" % {_BOOT_M})")} AS w
-  FROM base CROSS JOIN UNNEST(range({_BOOT_B})) AS r(b)
+             "CAST('0x' || substr(h, CAST(j.j * 4 + 1 AS INTEGER), 4)"
+             " AS INTEGER)")} AS w
+  FROM hashed CROSS JOIN UNNEST(range(8)) AS j(j)
 ), reps AS (
   SELECT pri, b,
          CAST(SUM(CAST(w AS DECIMAL(38,0)) * cents) AS VARCHAR) AS swc,
@@ -3286,15 +3295,27 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 100).cast("decimal(38,0)").cast("bigint")
         .alias("cents"),
     )
-    drawn = base.select(
+    hashed = base.select(
         "pri",
         "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_G - 1))).alias("g"),
         "o_orderkey",
+    ).select(
+        "pri",
+        "cents",
+        "g",
+        F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("g"))).alias("h"),
     )
-    u = portable_hash64(
-        F.concat_ws(":", F.col("o_orderkey"), F.col("b"))
-    ) % _BOOT_M
+    drawn = hashed.select(
+        "pri",
+        "cents",
+        "g",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+    )
+    u = F.conv(
+        F.col("h").substr(F.col("j") * 4 + 1, F.lit(4)), 16, 10
+    ).cast("int")
     c0, c1, c2, c3 = _BOOT_C
     w = (
         F.when(u < c0, 0)
@@ -3304,7 +3325,12 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
     )
     reps = (
-        drawn.select("pri", "b", "cents", w.alias("w"))
+        drawn.select(
+            "pri",
+            (F.col("g") * 8 + F.col("j")).cast("int").alias("b"),
+            "cents",
+            w.alias("w"),
+        )
         .filter(F.col("w") > 0)
         .groupBy("pri", "b")
         .agg(
