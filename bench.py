@@ -213,6 +213,29 @@ BENCH_QUERIES = [
     "shipment_sequence_audit",
     "subspace_energy",
     "token_position_profile",
+    # round-4d additions (recursive_order_chain excluded: 25-iteration
+    # SQL recursion is correctness surface, not a throughput headline)
+    "mann_kendall_trend",
+    "theil_sen_slope",
+    "spearman_rho",
+    "paragraph_filter_reassemble",
+    "clamped_running_stock",
+    "local_peaks",
+    "poisson_bootstrap_ci",
+    "isotonic_fit",
+    "funnel_greedy_match",
+    "ivm_join_delta",
+    "jl_norm_distortion",
+    "survivorship_golden_record",
+    "weighted_median_price",
+    "abc_inventory_classes",
+    "price_ending_bias",
+    "dbscan_core_flags",
+    "interval_overlap_join",
+    "capture_recapture",
+    "asof_nearest_events",
+    "kwic_windows",
+    "calibration_bins",
 ]
 
 

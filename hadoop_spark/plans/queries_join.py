@@ -1035,3 +1035,90 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REC_CHAIN_SQL)
+
+
+# ----------------------------------------------------------------------
+# asof_nearest_events — the NEAREST direction of the merge_asof family
+# (backward/forward/tolerance are above): each purchase matched to the
+# click closest in time in EITHER direction, ties to the earlier click.
+# Composed from the two existing union-window as-of operators (one keyed
+# shuffle each, no range-join explosion): a backward pass carries the
+# previous click, a forward pass the next, and the winner is a pure
+# row-local comparison. The oracle composes DuckDB's native ASOF both
+# ways with the same tie rule.
+# ----------------------------------------------------------------------
+
+_ASOF_NEAR_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_us(ts)
+), b AS (
+  SELECT p.event_id, p.user_id, p.ts_us, c.ts_us AS prev_click_us
+  FROM purchases p
+  ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+), f AS (
+  SELECT b.event_id, b.user_id, b.ts_us, b.prev_click_us,
+         c.ts_us AS next_click_us
+  FROM b
+  ASOF LEFT JOIN clicks c
+    ON b.user_id = c.user_id AND c.ts_us >= b.ts_us
+)
+SELECT event_id, user_id, ts_us,
+       CASE
+         WHEN prev_click_us IS NULL THEN next_click_us
+         WHEN next_click_us IS NULL THEN prev_click_us
+         WHEN ts_us - prev_click_us <= next_click_us - ts_us
+           THEN prev_click_us
+         ELSE next_click_us
+       END AS nearest_click_us
+FROM f
+"""
+
+
+@query("asof_nearest_events", _ASOF_NEAR_ORACLE)
+def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of: two union-window passes + row-local pick."""
+    from hadoop_spark.operators.join import asof_join, asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("user_id", "ts_us")
+    )
+    b = asof_join(
+        purchases,
+        clicks.withColumn("prev_click_us", F.col("ts_us")),
+        key="user_id",
+        time_col="ts_us",
+        value_cols=["prev_click_us"],
+    )
+    f = asof_join_forward(
+        b,
+        clicks.withColumn("next_click_us", F.col("ts_us")),
+        key="user_id",
+        time_col="ts_us",
+        value_cols=["next_click_us"],
+    )
+    nearest = (
+        F.when(F.col("prev_click_us").isNull(), F.col("next_click_us"))
+        .when(F.col("next_click_us").isNull(), F.col("prev_click_us"))
+        .when(
+            F.col("ts_us") - F.col("prev_click_us")
+            <= F.col("next_click_us") - F.col("ts_us"),
+            F.col("prev_click_us"),
+        )
+        .otherwise(F.col("next_click_us"))
+    )
+    return f.select(
+        "event_id", "user_id", "ts_us", nearest.alias("nearest_click_us")
+    )

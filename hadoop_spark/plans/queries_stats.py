@@ -3673,3 +3673,62 @@ def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hat.alias("n_hat"),
         F.count(F.lit(1)).cast("bigint").alias("true_n"),
     )
+
+
+# ----------------------------------------------------------------------
+# calibration_bins — the reliability diagram / expected-calibration-error
+# report every scored model ships with: events are scored by min-max-
+# normalized value (the propensity proxy), binned into 10 equal-width
+# score bins, and each bin reports predicted-vs-actual purchase rate and
+# the |gap| that sums (count-weighted) to ECE. Min/max come from one
+# 1-row aggregate broadcast back (never a global window); the mean score
+# is decimal-quantized (dsum), the actual rate an exact integer ratio,
+# and the gap a difference of engine-identical doubles — no final
+# quantization needed.
+# ----------------------------------------------------------------------
+
+_CALIB_ORACLE = f"""
+WITH mm AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+), scored AS (
+  SELECT CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         (e.value - mm.lo) / (mm.hi - mm.lo) AS s
+  FROM events e CROSS JOIN mm
+), binned AS (
+  SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, y, s FROM scored
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       {dsum_sql("s", 12)} / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS actual_rate,
+       ABS({dsum_sql("s", 12)} / CAST(COUNT(*) AS DOUBLE)
+           - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS gap
+FROM binned GROUP BY bin
+"""
+
+
+@query("calibration_bins", _CALIB_ORACLE)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (predicted vs actual rate + |gap|)."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    scored = ev.join(F.broadcast(mm)).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias("s"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("s") * 10).cast("bigint"), F.lit(9)).alias("bin"),
+        "y",
+        "s",
+    )
+    n = F.count(F.lit(1))
+    mean_score = dsum(F.col("s"), 12) / n.cast("double")
+    actual = F.sum("y").cast("double") / n.cast("double")
+    return binned.groupBy("bin").agg(
+        n.cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        mean_score.alias("mean_score"),
+        actual.alias("actual_rate"),
+        F.abs(mean_score - actual).alias("gap"),
+    )

