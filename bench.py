@@ -236,6 +236,9 @@ BENCH_QUERIES = [
     "asof_nearest_events",
     "kwic_windows",
     "calibration_bins",
+    "community_conductance",
+    "chi2_independence",
+    "privacy_risk_audit",
 ]
 
 

@@ -818,3 +818,85 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_scaled.alias("q_scaled"),
         q_contrib.alias("q_contrib"),
     )
+
+
+# ----------------------------------------------------------------------
+# community_conductance — the companion community-quality metric to
+# `graph_modularity`: conductance φ(c) = cut(c) / min(vol(c), vol(rest))
+# per brand community over the part co-purchase graph. Every term is
+# derived from the SAME two bounded aggregates modularity uses —
+# cut(c) = d_c − 2·m_c, vol(c) = d_c, vol(rest) = 2m − d_c — so the
+# whole metric is exact integer algebra with ONE final IEEE division per
+# community (identical on both engines; no quantization needed). Same
+# scale shape: one edge build, broadcast label joins, two bounded
+# aggregations.
+# ----------------------------------------------------------------------
+
+_CONDUCTANCE_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+lab AS (SELECT p_partkey, p_brand FROM part),
+e AS (
+  SELECT la.p_brand AS ba, lb.p_brand AS bb
+  FROM pairs
+  JOIN lab la ON pairs.u = la.p_partkey
+  JOIN lab lb ON pairs.v = lb.p_partkey
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+intra AS (
+  SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS m_c
+  FROM e WHERE ba = bb GROUP BY ba
+),
+degs AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+    SELECT ba AS brand FROM e UNION ALL SELECT bb FROM e
+  ) GROUP BY brand
+)
+SELECT d.brand,
+       CAST(d.d_c - 2 * COALESCE(i.m_c, 0) AS BIGINT) AS cut_edges,
+       d.d_c AS volume,
+       CAST(d.d_c - 2 * COALESCE(i.m_c, 0) AS DOUBLE)
+         / CAST(LEAST(d.d_c, 2 * (SELECT m FROM m) - d.d_c) AS DOUBLE)
+         AS conductance
+FROM degs d LEFT JOIN intra i ON d.brand = i.brand
+"""
+
+
+@query("community_conductance", _CONDUCTANCE_ORACLE)
+def community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance from exact integer cut/volume algebra."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    la = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("ba"))
+    lb = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bb"))
+    e = shared(
+        pairs.join(F.broadcast(la), "u").join(F.broadcast(lb), "v").select("ba", "bb")
+    )
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    intra = (
+        e.filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_c"))
+    )
+    degs = (
+        e.select(F.col("ba").alias("brand"))
+        .unionAll(e.select(F.col("bb").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    j = degs.join(intra, "brand", "left").join(F.broadcast(m))
+    cut = (F.col("d_c") - 2 * F.coalesce(F.col("m_c"), F.lit(0))).cast("bigint")
+    cond = cut.cast("double") / F.least(
+        F.col("d_c"), 2 * F.col("m") - F.col("d_c")
+    ).cast("double")
+    return j.select(
+        "brand",
+        cut.alias("cut_edges"),
+        F.col("d_c").alias("volume"),
+        cond.alias("conductance"),
+    )

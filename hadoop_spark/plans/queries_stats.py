@@ -3732,3 +3732,141 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         actual.alias("actual_rate"),
         F.abs(mean_score - actual).alias("gap"),
     )
+
+
+# ----------------------------------------------------------------------
+# chi2_independence — Pearson chi-square test of independence between
+# order month and priority (seasonality-of-mix check). `chi2_terms` uses
+# the statistic for feature SELECTION; this is the hypothesis-test form
+# over a full contingency table: chi² = Σ_cells (o − rc/n)²/(rc/n) with
+# o/r/c/n exact integers, each cell term evaluated once in IEEE double
+# (identical both engines) and summed under the decimal-quantized dsum
+# so the 60-cell addition order cannot flip a bit. One fact shuffle for
+# the contingency table; margins are broadcast-sized.
+# ----------------------------------------------------------------------
+
+_CHI2_IND_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mth,
+         o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+), rows_m AS (
+  SELECT mth, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY mth
+), cols_p AS (
+  SELECT pri, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY pri
+), n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT cells.mth, cells.pri,
+         POWER(CAST(cells.o AS DOUBLE)
+               - CAST(rows_m.r AS DOUBLE) * CAST(cols_p.c AS DOUBLE)
+                 / CAST(n.n AS DOUBLE), 2)
+           / (CAST(rows_m.r AS DOUBLE) * CAST(cols_p.c AS DOUBLE)
+              / CAST(n.n AS DOUBLE)) AS t
+  FROM cells JOIN rows_m USING (mth) JOIN cols_p USING (pri) CROSS JOIN n
+)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+       CAST((SELECT COUNT(*) FROM rows_m) - 1 AS BIGINT)
+         * CAST((SELECT COUNT(*) FROM cols_p) - 1 AS BIGINT) AS dof,
+       {dsum_sql("t", 8)} AS chi2
+FROM terms
+"""
+
+
+@query("chi2_independence", _CHI2_IND_ORACLE)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month × priority chi-square independence statistic."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = shared(
+        orders.groupBy(
+            F.month(F.col("o_orderdate").cast("timestamp"))
+            .cast("bigint")
+            .alias("mth"),
+            F.col("o_orderpriority").alias("pri"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rows_m = cells.groupBy("mth").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_p = cells.groupBy("pri").agg(F.sum("o").cast("bigint").alias("c"))
+    n = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    exp = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast(
+        "double"
+    )
+    t = F.pow(F.col("o").cast("double") - exp, 2) / exp
+    terms = (
+        cells.join(F.broadcast(rows_m), "mth")
+        .join(F.broadcast(cols_p), "pri")
+        .join(F.broadcast(n))
+        .select(t.alias("t"))
+    )
+    nr = rows_m.agg(F.count(F.lit(1)).alias("nr"))
+    nc = cols_p.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        terms.agg(dsum(F.col("t"), 8).alias("chi2"))
+        .join(F.broadcast(n))
+        .join(F.broadcast(nr))
+        .join(F.broadcast(nc))
+        .select(
+            F.col("n"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+            "chi2",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# privacy_risk_audit — k-anonymity + l-diversity screening before a
+# dataset release: quasi-identifiers (nation, account-balance band)
+# partition customers into equivalence classes; a class smaller than
+# k = 5 re-identifies its members, and a class whose sensitive attribute
+# (market segment) shows fewer than l = 2 distinct values discloses it
+# even at size ≥ k. Reported per nation: classes, k-violations, records
+# at risk, l-violations — the release gate a governance pipeline runs.
+# Two grouped aggregations, all exact integers; the class table is
+# bounded by the QI domain, never the customer count.
+# ----------------------------------------------------------------------
+
+_PRIV_K, _PRIV_L = 5, 2
+
+_PRIVACY_ORACLE = f"""
+WITH classes AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS sz,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN sz < {_PRIV_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS k_violations,
+       CAST(SUM(CASE WHEN sz < {_PRIV_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS records_at_risk,
+       CAST(SUM(CASE WHEN l_div < {_PRIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS l_violations
+FROM classes GROUP BY c_nationkey
+"""
+
+
+@query("privacy_risk_audit", _PRIVACY_ORACLE)
+def privacy_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit per nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.count_distinct("c_mktsegment").cast("bigint").alias("l_div"),
+    )
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("sz") < _PRIV_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k_violations"),
+        F.sum(F.when(F.col("sz") < _PRIV_K, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("records_at_risk"),
+        F.sum(F.when(F.col("l_div") < _PRIV_L, 1).otherwise(0))
+        .cast("bigint")
+        .alias("l_violations"),
+    )

@@ -923,3 +923,19 @@ def test_calibration_minmax_is_broadcast_not_window(spark):
     plan = _plan(spark, "calibration_bins")
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_chi2_margins_are_broadcast(spark):
+    """Row/column margins and n join back to the 60-cell contingency
+    table as broadcasts — the fact table shuffles exactly once."""
+    plan = _plan(spark, "chi2_independence")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_privacy_audit_two_aggregations_no_join(spark):
+    # 3 shuffles: COUNT(DISTINCT segment) plans its standard extra
+    # de-dup exchange below the two grouped aggregations
+    plan = _plan(spark, "privacy_risk_audit")
+    assert "Join" not in plan, plan
+    assert _shuffles(plan) <= 3, plan

@@ -512,3 +512,28 @@ def test_calibration_bins_cover_all_events(spark):
         assert 0 <= r.bin <= 9, r
         assert 0.0 <= r.actual_rate <= 1.0, r
         assert abs(r.gap - abs(r.mean_score - r.actual_rate)) < 1e-12, r
+
+
+def test_conductance_consistent_with_modularity(spark):
+    cond = {r.brand: r for r in QUERIES["community_conductance"](spark, SF_DIR).collect()}
+    mod = {r.brand: r for r in QUERIES["graph_modularity"](spark, SF_DIR).collect()}
+    assert set(cond) == set(mod)
+    for b, c in cond.items():
+        m = mod[b]
+        assert c.volume == m.degree_sum, (c, m)
+        assert c.cut_edges == m.degree_sum - 2 * m.intra_edges, (c, m)
+        assert 0.0 <= c.conductance <= 1.0, c
+
+
+def test_chi2_independence_shape(spark):
+    r = QUERIES["chi2_independence"](spark, SF_DIR).collect()[0]
+    assert r.dof == 44 and r.chi2 >= 0.0 and r.n > 0, r
+
+
+def test_privacy_audit_bounds(spark):
+    rows = QUERIES["privacy_risk_audit"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.k_violations <= r.n_classes, r
+        assert r.records_at_risk <= 4 * r.k_violations, r  # violating class < 5
+        assert 0 <= r.l_violations <= r.n_classes, r
