@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "community_conductance",
     "chi2_independence",
     "privacy_risk_audit",
+    "temporal_split_audit",
+    "clv_cohort_curve",
 ]
 
 

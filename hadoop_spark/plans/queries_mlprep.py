@@ -1553,3 +1553,87 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cum") / _WSS_STRIDE).cast("bigint").alias("tick"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# temporal_split_audit — the TIME-based train/test split (forecasting
+# and recommendation models must split on time, not hash — a hash split
+# leaks the future) plus the leakage report that goes with it: how many
+# customers appear on BOTH sides of the cutoff (entity overlap is
+# expected and fine for per-event labels, fatal for per-customer ones —
+# the audit row is what lets a reviewer decide). Cutoff = first day of
+# the last 20% of the observed day span, computed from a 1-row span
+# aggregate broadcast back. Two grouped aggregations; exact integers.
+# ----------------------------------------------------------------------
+
+_TSPLIT_ORACLE = """
+WITH d AS (
+  SELECT o_custkey,
+         CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day
+  FROM orders
+), span AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+), tagged AS (
+  SELECT o_custkey,
+         CASE WHEN day < lo + CAST(FLOOR((hi - lo + 1) * 0.8) AS BIGINT)
+              THEN 'train' ELSE 'test' END AS split
+  FROM d CROSS JOIN span
+), per_cust AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+  FROM tagged GROUP BY o_custkey
+)
+SELECT CAST(SUM(n_train) AS BIGINT) AS train_rows,
+       CAST(SUM(n_test) AS BIGINT) AS test_rows,
+       CAST(SUM(in_train) AS BIGINT) AS train_customers,
+       CAST(SUM(in_test) AS BIGINT) AS test_customers,
+       CAST(SUM(in_train * in_test) AS BIGINT) AS leaked_customers,
+       CAST(SUM(in_train * in_test) AS DOUBLE)
+         / CAST(SUM(in_test) AS DOUBLE) AS test_leak_frac
+FROM per_cust
+"""
+
+
+@query("temporal_split_audit", _TSPLIT_ORACLE)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 time-cutoff split + cross-side entity-leakage report."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_custkey",
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day"),
+    )
+    span = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cut = F.col("lo") + F.floor((F.col("hi") - F.col("lo") + 1) * 0.8).cast(
+        "bigint"
+    )
+    tagged = d.join(F.broadcast(span)).select(
+        "o_custkey",
+        F.when(F.col("day") < cut, "train").otherwise("test").alias("split"),
+    )
+    per_cust = tagged.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    return per_cust.agg(
+        F.sum("n_train").cast("bigint").alias("train_rows"),
+        F.sum("n_test").cast("bigint").alias("test_rows"),
+        F.sum("in_train").cast("bigint").alias("train_customers"),
+        F.sum("in_test").cast("bigint").alias("test_customers"),
+        F.sum(F.col("in_train") * F.col("in_test"))
+        .cast("bigint")
+        .alias("leaked_customers"),
+        (
+            F.sum(F.col("in_train") * F.col("in_test")).cast("double")
+            / F.sum("in_test").cast("double")
+        ).alias("test_leak_frac"),
+    )

@@ -3870,3 +3870,88 @@ def privacy_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("l_violations"),
     )
+
+
+# ----------------------------------------------------------------------
+# clv_cohort_curve — cumulative revenue per customer by acquisition
+# cohort: customers are grouped by first-order month, and each cohort's
+# revenue is accumulated over months-since-acquisition (the CLV payback
+# curve next to `cohort_retention`'s count triangle). Cohort assignment
+# is one keyed min; the curve is a cumulative window over the
+# (cohort × age) aggregate — calendar-bounded, never data-sized. Revenue
+# exact integer cents; the per-customer rate one final IEEE division.
+# ----------------------------------------------------------------------
+
+_CLV_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+         CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, MIN(mi) AS cohort FROM o GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cohort
+), cells AS (
+  SELECT f.cohort, o.mi - f.cohort AS age,
+         CAST(SUM(o.cents) AS BIGINT) AS rev
+  FROM o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort, o.mi - f.cohort
+), curve AS (
+  SELECT cohort, age,
+         SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM cells
+)
+SELECT c.cohort, c.age, CAST(c.cum_rev AS BIGINT) AS cum_rev_cents,
+       s.cohort_size,
+       CAST(c.cum_rev AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS cum_rev_per_customer
+FROM curve c JOIN sizes s ON c.cohort = s.cohort
+WHERE c.age <= 12
+"""
+
+
+@query("clv_cohort_curve", _CLV_ORACLE)
+def clv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer by acquisition cohort (age ≤ 12)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    o = shared(
+        orders.select(
+            "o_custkey",
+            (F.year(ts) * 12 + F.month(ts)).cast("bigint").alias("mi"),
+            (F.col("o_totalprice") * 100)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("mi").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort", (F.col("mi") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = cells.select(
+        "cohort", "age", F.sum("rev").over(w).alias("cum_rev")
+    ).filter(F.col("age") <= 12)
+    return curve.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "age",
+        F.col("cum_rev").cast("bigint").alias("cum_rev_cents"),
+        "cohort_size",
+        (F.col("cum_rev").cast("double") / F.col("cohort_size").cast("double"))
+        .alias("cum_rev_per_customer"),
+    )

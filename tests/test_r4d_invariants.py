@@ -537,3 +537,32 @@ def test_privacy_audit_bounds(spark):
         assert 0 <= r.k_violations <= r.n_classes, r
         assert r.records_at_risk <= 4 * r.k_violations, r  # violating class < 5
         assert 0 <= r.l_violations <= r.n_classes, r
+
+
+def test_temporal_split_is_consistent(spark):
+    import duckdb
+
+    r = QUERIES["temporal_split_audit"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    n, nc = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()
+    assert r.train_rows + r.test_rows == n, r
+    assert r.train_rows > r.test_rows, r  # 80/20 by time
+    assert max(r.train_customers, r.test_customers) <= nc, r
+    assert r.leaked_customers <= min(r.train_customers, r.test_customers), r
+    assert abs(r.test_leak_frac - r.leaked_customers / r.test_customers) < 1e-12
+
+
+def test_clv_curve_is_monotone_per_cohort(spark):
+    rows = QUERIES["clv_cohort_curve"](spark, SF_DIR).orderBy("cohort", "age").collect()
+    assert rows
+    last: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r.age <= 12, r
+        prev = last.get(r.cohort, 0)
+        assert r.cum_rev_cents >= prev, r  # cumulative never decreases
+        last[r.cohort] = r.cum_rev_cents
+        assert (
+            abs(r.cum_rev_per_customer - r.cum_rev_cents / r.cohort_size) < 1e-9
+        ), r
