@@ -241,6 +241,9 @@ BENCH_QUERIES = [
     "privacy_risk_audit",
     "temporal_split_audit",
     "clv_cohort_curve",
+    "catalog_coverage_curve",
+    "churn_risk_flags",
+    "json_nested_shred",
 ]
 
 

@@ -3955,3 +3955,166 @@ def clv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_rev").cast("double") / F.col("cohort_size").cast("double"))
         .alias("cum_rev_per_customer"),
     )
+
+
+# ----------------------------------------------------------------------
+# catalog_coverage_curve — assortment penetration over time: by month,
+# the cumulative number of DISTINCT parts ever ordered and the fraction
+# of the catalog covered (the coupon-collector read that sizes how fast
+# a marketplace explores its catalog). Cumulative distinct is first-seen
+# month per part (one keyed min) + a cumulative count over the
+# calendar-bounded month axis — the sliding-COUNT-DISTINCT trap (state
+# proportional to data) never appears.
+# ----------------------------------------------------------------------
+
+_COVERAGE_ORACLE = """
+WITH firsts AS (
+  SELECT l_partkey,
+         MIN(CAST(EXTRACT(year FROM l_shipdate) * 12
+                  + EXTRACT(month FROM l_shipdate) AS BIGINT)) AS mi
+  FROM lineitem GROUP BY l_partkey
+), per_month AS (
+  SELECT mi, CAST(COUNT(*) AS BIGINT) AS new_parts FROM firsts GROUP BY mi
+), curve AS (
+  SELECT mi, new_parts,
+         SUM(new_parts) OVER (ORDER BY mi
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_parts
+  FROM per_month
+)
+SELECT mi, new_parts, CAST(cum_parts AS BIGINT) AS cum_parts,
+       CAST(cum_parts AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM part) AS DOUBLE) AS catalog_frac
+FROM curve
+"""
+
+
+@query("catalog_coverage_curve", _COVERAGE_ORACLE)
+def catalog_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-parts-ordered curve by month."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ts = F.col("l_shipdate").cast("timestamp")
+    firsts = li.groupBy("l_partkey").agg(
+        F.min((F.year(ts) * 12 + F.month(ts)).cast("bigint")).alias("mi")
+    )
+    per_month = firsts.groupBy("mi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_parts")
+    )
+    w = Window.orderBy("mi").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = part.agg(F.count(F.lit(1)).alias("n_catalog"))
+    curve = per_month.select(
+        "mi", "new_parts", F.sum("new_parts").over(w).alias("cum_parts")
+    )
+    return curve.join(F.broadcast(tot)).select(
+        "mi",
+        "new_parts",
+        F.col("cum_parts").cast("bigint").alias("cum_parts"),
+        (F.col("cum_parts").cast("double") / F.col("n_catalog").cast("double"))
+        .alias("catalog_frac"),
+    )
+
+
+# ----------------------------------------------------------------------
+# churn_risk_flags — per-nation churn watch: a customer is AT RISK when
+# the gap from their last order to the feed's end exceeds 3× their own
+# median reorder gap (minimum 3 orders — you cannot call churn on one
+# purchase). Median gap is an exact per-customer ordered selection over
+# the gap window (`rolling_median`'s discipline); the staleness test is
+# all-integer day arithmetic against the 1-row feed watermark broadcast
+# back. Reported per nation so the result is domain-bounded.
+# ----------------------------------------------------------------------
+
+_CHURN_ORACLE = """
+WITH d AS (
+  SELECT o.o_custkey, c.c_nationkey,
+         CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), wm AS (SELECT MAX(day) AS feed_end FROM d),
+gaps AS (
+  SELECT o_custkey, c_nationkey, day,
+         day - LAG(day) OVER (PARTITION BY o_custkey ORDER BY day)
+           AS gap
+  FROM d
+), med AS (
+  SELECT o_custkey,
+         MAX(c_nationkey) AS c_nationkey,
+         CAST(MAX(day) AS BIGINT) AS last_day,
+         CAST(COUNT(*) + 1 AS BIGINT) AS n_orders
+  FROM gaps WHERE gap IS NOT NULL GROUP BY o_custkey
+), medsel AS (
+  SELECT g.o_custkey,
+         MAX(CASE WHEN rn = (cnt + 1) // 2 THEN gap END) AS med_gap
+  FROM (
+    SELECT o_custkey, gap,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY gap, day) AS rn,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+    FROM gaps WHERE gap IS NOT NULL
+  ) g GROUP BY g.o_custkey
+)
+SELECT m.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN m.n_orders >= 3
+                      AND (SELECT feed_end FROM wm) - m.last_day
+                          > 3 * s.med_gap
+                     THEN 1 ELSE 0 END) AS BIGINT) AS at_risk
+FROM med m JOIN medsel s ON m.o_custkey = s.o_custkey
+GROUP BY m.c_nationkey
+"""
+
+
+@query("churn_risk_flags", _CHURN_ORACLE)
+def churn_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose current silence exceeds 3× their median reorder gap."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    d = orders.select(
+        "o_custkey",
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day"),
+    ).join(F.broadcast(cust), "o_custkey")
+    wo = Window.partitionBy("o_custkey").orderBy("day")
+    gaps = d.select(
+        "o_custkey",
+        "c_nationkey",
+        "day",
+        (F.col("day") - F.lag("day").over(wo)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    wm = d.agg(F.max("day").alias("feed_end"))
+    med = gaps.groupBy("o_custkey").agg(
+        F.max("c_nationkey").alias("c_nationkey"),
+        F.max("day").cast("bigint").alias("last_day"),
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_orders"),
+    )
+    ranked = gaps.select(
+        "o_custkey",
+        "gap",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("gap", "day"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("cnt"),
+    )
+    medsel = ranked.groupBy("o_custkey").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("cnt") + 1) / 2), F.col("gap")
+            )
+        ).alias("med_gap")
+    )
+    j = med.join(medsel, "o_custkey").join(F.broadcast(wm))
+    at_risk = F.when(
+        (F.col("n_orders") >= 3)
+        & (F.col("feed_end") - F.col("last_day") > 3 * F.col("med_gap")),
+        1,
+    ).otherwise(0)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(at_risk).cast("bigint").alias("at_risk"),
+    )

@@ -1335,3 +1335,83 @@ def kwic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("w", left_start, left_len), " ").alias("left_ctx"),
         F.array_join(F.slice("w", p + 1, F.lit(3)), " ").alias("right_ctx"),
     )
+
+
+# ----------------------------------------------------------------------
+# json_nested_shred — deep semi-structured processing: each order is
+# serialized into a NESTED JSON document (customer object + line-item
+# array built with to_json over collect_list of structs), then shredded
+# back — typed schema parse, array explode, inner-field aggregation.
+# `json_props_agg` covers the flat case; this is the
+# document-database-export shape (array-of-objects inside an object)
+# that exercises from_json with nested array schemas + inline explode.
+# The JSON text itself never crosses an Exchange un-aggregated: build
+# and shred happen in the same stage; the oracle replays the shred with
+# DuckDB's JSON path functions over an identically-constructed document.
+# ----------------------------------------------------------------------
+
+_SHRED_ORACLE = """
+WITH doc AS (
+  SELECT o.o_orderkey,
+         to_json(struct_pack(
+           cust := struct_pack(key := o.o_custkey, pri := o.o_orderpriority),
+           lines := list(struct_pack(ln := l.l_linenumber,
+                                     qty := CAST(l.l_quantity AS BIGINT))
+                         ORDER BY l.l_linenumber)
+         )) AS j
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_custkey, o.o_orderpriority
+), shredded AS (
+  SELECT json_extract_string(j, '$.cust.pri') AS pri,
+         CAST(json_extract(u.line, '$.qty') AS BIGINT) AS qty
+  FROM doc, UNNEST(CAST(json_extract(j, '$.lines') AS JSON[])) AS u(line)
+)
+SELECT pri AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(qty) AS BIGINT) AS total_qty
+FROM shredded GROUP BY pri
+"""
+
+
+@query("json_nested_shred", _SHRED_ORACLE)
+def json_nested_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON build → typed parse → array explode → aggregate."""
+    from pyspark.sql import Window as W  # noqa: F401
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    doc = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey", "o_orderpriority")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").cast("bigint").alias("qty"),
+                    )
+                )
+            ).alias("lines")
+        )
+        .select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("o_custkey").alias("key"),
+                        F.col("o_orderpriority").alias("pri"),
+                    ).alias("cust"),
+                    F.col("lines").alias("lines"),
+                )
+            ).alias("j")
+        )
+    )
+    schema = "cust STRUCT<key: BIGINT, pri: STRING>, lines ARRAY<STRUCT<ln: BIGINT, qty: BIGINT>>"
+    parsed = doc.select(F.from_json("j", schema).alias("p"))
+    shredded = parsed.select(
+        F.col("p.cust.pri").alias("pri"),
+        F.explode("p.lines").alias("line"),
+    ).select("pri", F.col("line.qty").alias("qty"))
+    return shredded.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+    )

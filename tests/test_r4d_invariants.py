@@ -566,3 +566,45 @@ def test_clv_curve_is_monotone_per_cohort(spark):
         assert (
             abs(r.cum_rev_per_customer - r.cum_rev_cents / r.cohort_size) < 1e-9
         ), r
+
+
+def test_catalog_coverage_is_monotone_to_one(spark):
+    rows = QUERIES["catalog_coverage_curve"](spark, SF_DIR).orderBy("mi").collect()
+    assert rows
+    cums = [r.cum_parts for r in rows]
+    assert all(a < b for a, b in zip(cums, cums[1:])), cums
+    assert rows[-1].catalog_frac <= 1.0 + 1e-12
+    assert sum(r.new_parts for r in rows) == rows[-1].cum_parts
+
+
+def test_churn_flags_bounded_by_eligible_customers(spark):
+    rows = QUERIES["churn_risk_flags"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.at_risk <= r.n_customers, r
+
+
+def test_json_shred_matches_direct_aggregation(spark):
+    import pyspark.sql.functions as F
+    from hadoop_spark.sources.tables import load_table
+
+    got = {
+        r.o_orderpriority: r
+        for r in QUERIES["json_nested_shred"](spark, SF_DIR).collect()
+    }
+    # the JSON round trip must not lose or duplicate a single line
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    direct = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+        .collect()
+    )
+    assert len(direct) == len(got)
+    for r in direct:
+        g = got[r.o_orderpriority]
+        assert (g.n_lines, g.total_qty) == (r.n_lines, r.total_qty), (g, r)
