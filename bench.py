@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "catalog_coverage_curve",
     "churn_risk_flags",
     "json_nested_shred",
+    "image_channel_stats",
+    "audio_peak_normalize",
 ]
 
 

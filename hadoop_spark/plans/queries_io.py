@@ -1557,3 +1557,144 @@ def functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ndv_x") == F.col("ndv_xy")).alias("fd_holds"),
         (F.col("ndv_xy") - F.col("ndv_x")).cast("bigint").alias("violations"),
     )
+
+
+# ----------------------------------------------------------------------
+# image_channel_stats — per-channel normalization statistics over REAL-
+# decoded P6 images (the mean/std-per-channel pass every vision pipeline
+# runs before training): exact integer count/sum/min/max per (image,
+# channel) from `operators/multimodal.channel_stats` (Arrow-batched
+# mapInPandas, 1→3 rows per image), plus the IEEE-exact channel mean.
+# The oracle replays the deterministic pixel-generator formula grouped
+# by i % 3 — a channel-stride bug cannot hash-match.
+# ----------------------------------------------------------------------
+
+_CHANNEL_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id, CAST(r.i AS BIGINT) % 3 AS channel,
+         (d.doc_id * 7919 + CAST(r.i AS BIGINT)) % 256 AS v
+  FROM documents d CROSS JOIN (SELECT unnest(range(288)) AS i) r
+  WHERE d.doc_id % 2 = 0
+)
+SELECT doc_id, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(MIN(v) AS BIGINT) AS min_val,
+       CAST(MAX(v) AS BIGINT) AS max_val,
+       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_val
+FROM px GROUP BY doc_id, channel
+"""
+
+
+@query("image_channel_stats", _CHANNEL_ORACLE)
+def image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel exact pixel statistics over real-decoded P6 images."""
+    from pyspark.sql.types import BinaryType
+
+    from hadoop_spark.operators.multimodal import channel_stats, make_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+
+    @pandas_udf(BinaryType())
+    def ppm_bytes(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda s: make_ppm(int(s)))
+
+    media = as_media(
+        even.withColumn("payload", ppm_bytes("doc_id")), "doc_id", "payload", "image"
+    )
+    stats = channel_stats(media)
+    return stats.select(
+        "doc_id",
+        "channel",
+        "n_values",
+        "sum_val",
+        "min_val",
+        "max_val",
+        (F.col("sum_val").cast("double") / F.col("n_values").cast("double"))
+        .alias("mean_val"),
+    )
+
+
+# ----------------------------------------------------------------------
+# audio_peak_normalize — the gain-staging step before audio feature
+# extraction: per real-decoded PCM clip, the integer peak |sample| and
+# the micro-quantized normalization gain round(32767e6 / peak) that
+# scales the clip to full range. Rounding is explicit half-up in the
+# Python decoder (floor(x + 0.5)) to match both engines' positive ROUND;
+# everything else is exact integers. Same Arrow-batched decode path as
+# `audio_rms_windows`/`audio_silence_trim`.
+# ----------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH samples AS (
+  SELECT d.doc_id,
+         ABS((d.doc_id * 31 + CAST(r.i AS BIGINT) * 17) % 65536 - 32768)
+           AS a
+  FROM documents d CROSS JOIN (SELECT unnest(range(128)) AS i) r
+  WHERE d.doc_id % 2 = 1 AND r.i < 64 + d.doc_id % 64
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(MAX(a) AS BIGINT) AS peak,
+       CAST(ROUND(32767000000.0 / CAST(MAX(a) AS DOUBLE)) AS BIGINT)
+         AS gain_micro
+FROM samples GROUP BY doc_id
+"""
+
+
+@query("audio_peak_normalize", _PEAK_ORACLE)
+def audio_peak_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-normalization gain plan over real-decoded PCM clips."""
+    import math
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from hadoop_spark.operators.multimodal import as_media, decode_wav, make_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+
+    @pandas_udf(BinaryType())
+    def wav_bytes(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda s: make_wav(int(s)))
+
+    media = as_media(
+        odd.withColumn("payload", wav_bytes("doc_id")), "doc_id", "payload", "audio"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("peak", LongType()),
+            StructField("gain_micro", LongType()),
+        ]
+    )
+
+    def run(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "peak": [], "gain_micro": []}
+            for i, p in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(p)), "rb") as w:
+                        n = w.getnframes()
+                        raw = w.readframes(n)
+                    samples = struct.unpack(f"<{n}h", raw)
+                except Exception:
+                    continue  # malformed media: skip row, never fail the task
+                peak = max(abs(s) for s in samples)
+                out["doc_id"].append(int(i))
+                out["n_samples"].append(n)
+                out["peak"].append(peak)
+                # explicit half-up to match SQL ROUND on positive doubles
+                out["gain_micro"].append(
+                    int(math.floor(32767_000_000.0 / peak + 0.5))
+                )
+            yield pd.DataFrame(out)
+
+    _ = decode_wav  # documented shared decode path (full parse used above)
+    return media.mapInPandas(run, schema)

@@ -116,3 +116,37 @@ def test_image_patches_skips_truncated_body(spark):
     out = image_patches(as_media(df, "doc_id", "payload", kind="image"))
     got = {r.doc_id for r in out.collect()}
     assert got == {1}
+
+
+def test_channel_stats_skips_truncated_payloads(spark):
+    """A truncated P6 body (valid header, short pixels) must be skipped,
+    never fail the task or emit partial channels."""
+    from hadoop_spark.operators.multimodal import as_media, channel_stats, make_ppm
+
+    def make(i: int) -> bytes:
+        b = make_ppm(i)
+        return b[: len(b) - 10] if i % 2 == 0 else b  # truncate evens
+
+    df = spark.createDataFrame(
+        [(i, bytearray(make(i))) for i in range(6)], "doc_id long, p binary"
+    )
+    media = as_media(df, "doc_id", "p", "image")
+    rows = channel_stats(media).collect()
+    ids = {r.doc_id for r in rows}
+    assert ids == {1, 3, 5}, ids  # truncated evens skipped entirely
+    assert len(rows) == 9  # 3 channels per surviving image
+    for r in rows:
+        assert 0 <= r.min_val <= r.max_val <= 255, r
+
+
+def test_audio_peak_gain_inverts_peak(spark):
+    from hadoop_spark.plans import QUERIES, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = QUERIES["audio_peak_normalize"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.peak <= 32768, r
+        # gain * peak ≈ 32767e6 within half a micro-unit * peak
+        assert abs(r.gain_micro * r.peak - 32767_000_000) <= r.peak / 2 + 1, r
