@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "json_nested_shred",
     "image_channel_stats",
     "audio_peak_normalize",
+    "stream_bloom_membership",
 ]
 
 

@@ -1356,3 +1356,89 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# stream_bloom_membership — the streaming Bloom filter drained into a
+# membership probe: per event type, a 1008-bit filter over user ids is
+# built in keyed state (bit-OR — commutative and idempotent, the
+# replay-proof state algebra), then a fixed probe panel (10 user ids
+# that exist, 10 that don't) is tested against the drained filter. The
+# oracle rebuilds bit membership relationally: a probe's bit is set iff
+# SOME user's hash landed on it — so a false positive is REPRODUCED
+# identically by both engines, not smoothed over. Completes the
+# streaming state-algebra trio: KMV set-union, count-vector addition,
+# bit-OR.
+# ----------------------------------------------------------------------
+
+_BLOOM_ST_BITS = 16 * 63
+_BLOOM_PROBES = list(range(10)) + [10_000_000 + i for i in range(10)]
+
+_BLOOM_ST_ORACLE = f"""
+WITH bits AS (
+  SELECT DISTINCT event_type,
+         {portable_hash64_sql('user_id', salt='#bl0')} % {_BLOOM_ST_BITS} AS b
+  FROM events WHERE user_id IS NOT NULL
+  UNION
+  SELECT DISTINCT event_type,
+         {portable_hash64_sql('user_id', salt='#bl1')} % {_BLOOM_ST_BITS} AS b
+  FROM events WHERE user_id IS NOT NULL
+), probes AS (
+  SELECT e.event_type, CAST(p.v AS BIGINT) AS probe_id,
+         {portable_hash64_sql('p.v', salt='#bl0')} % {_BLOOM_ST_BITS} AS p0,
+         {portable_hash64_sql('p.v', salt='#bl1')} % {_BLOOM_ST_BITS} AS p1
+  FROM (SELECT DISTINCT event_type FROM events WHERE user_id IS NOT NULL) e
+  CROSS JOIN (SELECT unnest({_BLOOM_PROBES!r}) AS v) p
+)
+SELECT pr.event_type, pr.probe_id,
+       CASE WHEN EXISTS (SELECT 1 FROM bits b
+                         WHERE b.event_type = pr.event_type AND b.b = pr.p0)
+             AND EXISTS (SELECT 1 FROM bits b
+                         WHERE b.event_type = pr.event_type AND b.b = pr.p1)
+            THEN 1 ELSE 0 END AS in_bloom
+FROM probes pr
+"""
+
+
+@query("stream_bloom_membership", _BLOOM_ST_ORACLE)
+def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming Bloom filter probed by a fixed member/non-member panel."""
+    from hadoop_spark.functions.hashing import portable_hash64
+    from hadoop_spark.streaming.windows import (
+        _BLOOM_WORDS_ST,
+        load_events_stream,
+        run_to_memory,
+        stateful_bloom_membership,
+    )
+
+    stream = stateful_bloom_membership(load_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "q_stream_bloom", output_mode="update")
+    final = got.groupBy("event_type").agg(
+        *[F.max(f"w{i}").alias(f"w{i}") for i in range(_BLOOM_WORDS_ST)]
+    )
+    probes = final.select(
+        "event_type",
+        *[F.col(f"w{i}") for i in range(_BLOOM_WORDS_ST)],
+        F.explode(
+            F.array(*[F.lit(p).cast("bigint") for p in _BLOOM_PROBES])
+        ).alias("probe_id"),
+    )
+    p0 = portable_hash64(F.col("probe_id"), salt="#bl0") % _BLOOM_ST_BITS
+    p1 = portable_hash64(F.col("probe_id"), salt="#bl1") % _BLOOM_ST_BITS
+    arr = "array(" + ", ".join(f"w{i}" for i in range(_BLOOM_WORDS_ST)) + ")"
+    withp = probes.withColumn("p0", p0).withColumn("p1", p1)
+
+    def bit_set(col: str) -> str:
+        # shiftright with a COLUMN bit count only exists in SQL form
+        return (
+            f"(shiftright(element_at({arr}, CAST({col} / 63 AS INT) + 1),"
+            f" CAST({col} % 63 AS INT)) & 1L) = 1L"
+        )
+
+    return withp.select(
+        "event_type",
+        "probe_id",
+        F.when(
+            F.expr(bit_set("p0")) & F.expr(bit_set("p1")), 1
+        ).otherwise(0).alias("in_bloom"),
+    )

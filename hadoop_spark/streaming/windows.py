@@ -568,3 +568,52 @@ def stateful_capped_sample(events: DataFrame, k: int = 8) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_BLOOM_WORDS_ST = 16
+_BLOOM_BITS_ST = _BLOOM_WORDS_ST * 63  # 63 usable bits/word: BIGINT is signed
+
+
+def stateful_bloom_membership(events: DataFrame) -> DataFrame:
+    """Streaming Bloom filter as keyed state: per event type, a 1008-bit
+    filter (16 longs × 63 bits — bit 63 is left clear so the state stays
+    inside signed BIGINT) over the double-hashed user ids. Bit-OR is
+    commutative AND idempotent, so micro-batch slicing and at-least-once
+    replay cannot change the drained filter — the third state algebra in
+    the suite next to KMV set-union and count-vector addition. Hashing
+    runs JVM-side before the state operator; state is 128 B per key.
+    Each update emits the current words; OR-monotonicity means the final
+    filter is the element-wise MAX of the updates."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    hashed = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type",
+        (portable_hash64(F.col("user_id"), salt="#bl0") % _BLOOM_BITS_ST).alias("b0"),
+        (portable_hash64(F.col("user_id"), salt="#bl1") % _BLOOM_BITS_ST).alias("b1"),
+    )
+    out_schema = "event_type string, " + ", ".join(
+        f"w{i} bigint" for i in range(_BLOOM_WORDS_ST)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        words = list(state.get[0]) if state.exists else [0] * _BLOOM_WORDS_ST
+        for pdf in pdfs:
+            for col in ("b0", "b1"):
+                for b in pdf[col].tolist():
+                    b = int(b)
+                    words[b // 63] |= 1 << (b % 63)
+        state.update((words,))
+        row = {"event_type": [key[0]]}
+        row.update({f"w{i}": [words[i]] for i in range(_BLOOM_WORDS_ST)})
+        yield pd.DataFrame(row)
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="words array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

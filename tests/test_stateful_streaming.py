@@ -198,3 +198,28 @@ def test_streaming_ohlc_is_batch_slicing_independent(spark, tmp_path):
         .parquet(split_dir)
     )
     assert drained(one, "t_ohlc_one") == drained(many, "t_ohlc_many")
+
+
+def test_stream_bloom_has_no_false_negatives(spark):
+    """Every user id that actually occurs for an event type MUST test
+    positive in the drained filter — Bloom filters may false-positive,
+    never false-negative. The probe panel's first half are real users."""
+    import duckdb
+
+    from hadoop_spark.plans import QUERIES, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = QUERIES["stream_bloom_membership"](spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    present = set(
+        con.execute(
+            f"""SELECT DISTINCT event_type, user_id
+                FROM '{SF_DIR}/events.parquet'
+                WHERE user_id IS NOT NULL AND user_id < 10"""
+        ).fetchall()
+    )
+    by_key = {(r.event_type, r.probe_id): r.in_bloom for r in rows}
+    for et, uid in present:
+        assert by_key[(et, uid)] == 1, (et, uid)
