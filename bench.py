@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "image_channel_stats",
     "audio_peak_normalize",
     "stream_bloom_membership",
+    "cuped_adjusted_ab",
 ]
 
 

@@ -4118,3 +4118,117 @@ def churn_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum(at_risk).cast("bigint").alias("at_risk"),
     )
+
+
+# ----------------------------------------------------------------------
+# cuped_adjusted_ab — variance-reduced experiment readout (CUPED, the
+# industry-standard A/B adjustment): per user, X = pre-period spend and
+# Y = post-period spend (first/second half of the feed's day span, each
+# user's arm a deterministic hash); θ = cov(X,Y)/var(X) estimated from
+# the pooled exact integer sufficient statistics, and each arm reports
+# mean(Y) and the CUPED-adjusted mean(Y) − θ·(mean(X) − mean(X_pooled)).
+# All moments are DECIMAL(38,0) sums of scale-4 integer spend — the
+# `linreg_per_group` discipline — with the θ and adjustment expressions
+# evaluated once in IEEE double identically on both engines.
+# ----------------------------------------------------------------------
+
+_CUPED_ORACLE = f"""
+WITH d AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+  FROM events WHERE user_id IS NOT NULL
+), span AS (SELECT MIN(day) AS lo FROM d),
+per_user AS (
+  SELECT user_id,
+         {portable_hash64_sql('user_id', salt='#cuped')} % 2 AS arm,
+         CAST(SUM(CASE WHEN day < lo + 15 THEN v ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN day >= lo + 15 THEN v ELSE 0 END) AS BIGINT) AS y
+  FROM d CROSS JOIN span GROUP BY user_id
+), pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS VARCHAR) AS DOUBLE)
+           AS sxx,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS VARCHAR) AS DOUBLE)
+           AS sxy
+  FROM per_user
+), arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS ax,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS ay
+  FROM per_user GROUP BY arm
+)
+SELECT a.arm, a.n_users,
+       a.ay / a.n_users / 10000 AS raw_mean_post,
+       (a.ay / a.n_users
+        - ((p.n * p.sxy - p.sx * p.sy) / (p.n * p.sxx - p.sx * p.sx))
+          * (a.ax / a.n_users - p.sx / p.n)) / 10000 AS cuped_mean_post,
+       (p.n * p.sxy - p.sx * p.sy) / (p.n * p.sxx - p.sx * p.sx) AS theta
+FROM arms a CROSS JOIN pooled p
+"""
+
+
+@query("cuped_adjusted_ab", _CUPED_ORACLE)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced per-arm post-period means."""
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    d = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day"),
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint").alias("v"),
+    )
+    span = d.agg(F.min("day").alias("lo"))
+    per_user = (
+        d.join(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("lo") + 15, F.col("v")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("day") >= F.col("lo") + 15, F.col("v")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            (portable_hash64(F.col("user_id"), "#cuped") % 2).alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    per_user = shared(per_user)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dd(F.sum(d38("x"))).alias("sx"),
+        dd(F.sum(d38("y"))).alias("sy"),
+        dd(F.sum(d38("x") * F.col("x"))).alias("sxx"),
+        dd(F.sum(d38("x") * F.col("y"))).alias("sxy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        dd(F.sum(d38("x"))).alias("ax"),
+        dd(F.sum(d38("y"))).alias("ay"),
+    )
+    j = arms.join(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    nu = F.col("n_users").cast("double")
+    theta = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    raw = F.col("ay") / nu / 10000
+    adj = (
+        F.col("ay") / nu
+        - theta * (F.col("ax") / nu - F.col("sx") / nd)
+    ) / 10000
+    return j.select(
+        "arm",
+        "n_users",
+        raw.alias("raw_mean_post"),
+        adj.alias("cuped_mean_post"),
+        theta.alias("theta"),
+    )

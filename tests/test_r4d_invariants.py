@@ -608,3 +608,16 @@ def test_json_shred_matches_direct_aggregation(spark):
     for r in direct:
         g = got[r.o_orderpriority]
         assert (g.n_lines, g.total_qty) == (r.n_lines, r.total_qty), (g, r)
+
+
+def test_cuped_preserves_pooled_mean_and_reduces_gap_sanity(spark):
+    rows = {r.arm: r for r in QUERIES["cuped_adjusted_ab"](spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    a, b = rows[0], rows[1]
+    assert a.theta == b.theta
+    # CUPED is a mean-preserving reallocation: the user-weighted average
+    # of adjusted means equals the user-weighted average of raw means
+    tot = a.n_users + b.n_users
+    raw = (a.n_users * a.raw_mean_post + b.n_users * b.raw_mean_post) / tot
+    adj = (a.n_users * a.cuped_mean_post + b.n_users * b.cuped_mean_post) / tot
+    assert abs(raw - adj) < 1e-6, (raw, adj)
