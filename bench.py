@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     "audio_peak_normalize",
     "stream_bloom_membership",
     "cuped_adjusted_ab",
+    "ab_quantile_effect",
+    "srm_check",
 ]
 
 

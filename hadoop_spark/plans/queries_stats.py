@@ -4232,3 +4232,128 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.alias("cuped_mean_post"),
         theta.alias("theta"),
     )
+
+
+# ----------------------------------------------------------------------
+# ab_quantile_effect — quantile treatment effects: the per-decile gap
+# between the two experiment arms' event-value distributions (means hide
+# tail effects; QTE is how experimentation platforms report them). Arms
+# are deterministic hash assignments; each arm's d10..d90 are exact
+# nearest-rank cuts from ONE value histogram (`operators/stats.
+# group_quantiles` — never a per-arm sort), unpivoted and joined so each
+# row is (quantile, control, treatment, diff). Values scale-4 integers;
+# the diff is integer-exact.
+# ----------------------------------------------------------------------
+
+from hadoop_spark.operators.stats import group_quantiles, group_quantiles_sql  # noqa: E402
+
+_QTE_QS = {f"q{i}0": i / 10.0 for i in range(1, 10)}
+
+
+def _qte_oracle() -> str:
+    stack = " UNION ALL ".join(
+        f"SELECT arm, '{name}' AS q, {name} AS v FROM cuts"
+        for name in _QTE_QS
+    )
+    return f"""
+WITH src AS (
+  SELECT {portable_hash64_sql('user_id', salt='#qte')} % 2 AS arm,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+{group_quantiles_sql("src", "arm", "v", _QTE_QS, "cuts")},
+long AS ({stack})
+SELECT a.q AS quantile,
+       a.v AS control_v,
+       b.v AS treatment_v,
+       CAST(b.v - a.v AS BIGINT) AS qte
+FROM long a JOIN long b ON a.q = b.q AND a.arm = 0 AND b.arm = 1
+"""
+
+
+@query("ab_quantile_effect", _qte_oracle())
+def ab_quantile_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile treatment effect between hash-assigned arms."""
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    src = ev.select(
+        (portable_hash64(F.col("user_id"), "#qte") % 2).alias("arm"),
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint").alias("v"),
+    )
+    cuts = group_quantiles(src, "arm", "v", _QTE_QS)
+    long = None
+    for name in _QTE_QS:
+        part = cuts.select(
+            "arm", F.lit(name).alias("q"), F.col(name).alias("v")
+        )
+        long = part if long is None else long.unionByName(part)
+    a = long.filter(F.col("arm") == 0).select(
+        F.col("q").alias("quantile"), F.col("v").alias("control_v")
+    )
+    b = long.filter(F.col("arm") == 1).select(
+        F.col("q").alias("quantile"), F.col("v").alias("treatment_v")
+    )
+    return a.join(b, "quantile").select(
+        "quantile",
+        "control_v",
+        "treatment_v",
+        (F.col("treatment_v") - F.col("control_v")).cast("bigint").alias("qte"),
+    )
+
+
+# ----------------------------------------------------------------------
+# srm_check — the sample-ratio-mismatch guardrail every experiment
+# platform runs before reading any metric: the per-arm USER counts must
+# be compatible with the designed 50/50 split; chi² (1 dof) =
+# (n0 − n1)²/(n0 + n1), flagged above the 95% critical value 3.841. A
+# failed SRM invalidates the experiment regardless of lift. One distinct
+# aggregation; the statistic is one IEEE expression over exact counts.
+# ----------------------------------------------------------------------
+
+_SRM_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         {portable_hash64_sql('user_id', salt='#cuped')} % 2 AS arm
+  FROM events WHERE user_id IS NOT NULL
+), c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM u
+)
+SELECT n0, n1,
+       CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+         / CAST(n0 + n1 AS DOUBLE) AS chi2,
+       CASE WHEN CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE) > 3.841 THEN 1 ELSE 0 END
+         AS srm_flag
+FROM c
+"""
+
+
+@query("srm_check", _SRM_ORACLE)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch chi² over the hash-assigned arms."""
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = ev.select(
+        "user_id",
+        (portable_hash64(F.col("user_id"), "#cuped") % 2).alias("arm"),
+    ).distinct()
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    diff = (F.col("n0") - F.col("n1")).cast("double")
+    chi2 = diff * diff / (F.col("n0") + F.col("n1")).cast("double")
+    return c.select(
+        "n0",
+        "n1",
+        chi2.alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag"),
+    )

@@ -621,3 +621,27 @@ def test_cuped_preserves_pooled_mean_and_reduces_gap_sanity(spark):
     raw = (a.n_users * a.raw_mean_post + b.n_users * b.raw_mean_post) / tot
     adj = (a.n_users * a.cuped_mean_post + b.n_users * b.cuped_mean_post) / tot
     assert abs(raw - adj) < 1e-6, (raw, adj)
+
+
+def test_qte_quantiles_are_monotone_within_arm(spark):
+    rows = QUERIES["ab_quantile_effect"](spark, SF_DIR).orderBy("quantile").collect()
+    assert len(rows) == 9
+    cv = [r.control_v for r in rows]
+    tv = [r.treatment_v for r in rows]
+    assert all(a <= b for a, b in zip(cv, cv[1:])), cv
+    assert all(a <= b for a, b in zip(tv, tv[1:])), tv
+    for r in rows:
+        assert r.qte == r.treatment_v - r.control_v, r
+
+
+def test_srm_counts_cover_all_users(spark):
+    import duckdb
+
+    r = QUERIES["srm_check"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    n = con.execute(
+        f"""SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'
+            WHERE user_id IS NOT NULL"""
+    ).fetchone()[0]
+    assert r.n0 + r.n1 == n, r
+    assert r.srm_flag in (0, 1) and r.chi2 >= 0.0, r
