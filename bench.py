@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "cuped_adjusted_ab",
     "ab_quantile_effect",
     "srm_check",
+    "p_chart_control_limits",
+    "rich_club_coefficient",
 ]
 
 

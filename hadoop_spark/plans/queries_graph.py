@@ -900,3 +900,105 @@ def community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_c").alias("volume"),
         cond.alias("conductance"),
     )
+
+
+# ----------------------------------------------------------------------
+# rich_club_coefficient — do the hubs of the part co-purchase graph
+# preferentially connect to each other? φ(k) = 2·E_k / (N_k·(N_k−1))
+# over the subgraph of nodes with degree > k, swept over a k grid in ONE
+# pass: degrees join onto both edge endpoints once, and every k
+# threshold is a conditional aggregate over the same carried degrees
+# (`predicate_sweep`'s one-scan discipline applied to graph topology).
+# All counting exact integers; φ is one IEEE division per grid row.
+# ----------------------------------------------------------------------
+
+_RICH_CLUB_KS = [2, 4, 8, 16, 32, 64]
+
+def _rich_club_oracle() -> str:
+    e_terms = ", ".join(
+        f"CAST(SUM(CASE WHEN du > {k} AND dv > {k} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS e{k}"
+        for k in _RICH_CLUB_KS
+    )
+    n_terms = ", ".join(
+        f"CAST(SUM(CASE WHEN d > {k} THEN 1 ELSE 0 END) AS BIGINT) AS n{k}"
+        for k in _RICH_CLUB_KS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT e{k} FROM es) AS e_club,"
+        f" (SELECT n{k} FROM ns) AS n_club"
+        for k in _RICH_CLUB_KS
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY node
+), ed AS (
+  SELECT p.u, p.v, du.d AS du, dv.d AS dv
+  FROM pairs p JOIN deg du ON p.u = du.node JOIN deg dv ON p.v = dv.node
+), es AS (SELECT {e_terms} FROM ed),
+ns AS (SELECT {n_terms} FROM deg)
+SELECT k, e_club, n_club,
+       CASE WHEN n_club >= 2
+            THEN 2.0 * CAST(e_club AS DOUBLE)
+                 / (CAST(n_club AS DOUBLE) * (CAST(n_club AS DOUBLE) - 1))
+            ELSE 0.0 END AS phi
+FROM ({rows})
+"""
+
+
+@query("rich_club_coefficient", _rich_club_oracle())
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club φ(k) over a degree-threshold grid in one edge pass."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = shared(cooccurrence_pairs(li, "l_orderkey", "l_partkey"))
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    deg = shared(deg)
+    ed = (
+        pairs.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    es = ed.agg(
+        *[
+            F.sum(
+                F.when((F.col("du") > k) & (F.col("dv") > k), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"e{k}")
+            for k in _RICH_CLUB_KS
+        ]
+    )
+    ns = deg.agg(
+        *[
+            F.sum(F.when(F.col("d") > k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{k}")
+            for k in _RICH_CLUB_KS
+        ]
+    )
+    grid = None
+    base = es.join(F.broadcast(ns))
+    for k in _RICH_CLUB_KS:
+        row = base.select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col(f"e{k}").alias("e_club"),
+            F.col(f"n{k}").alias("n_club"),
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    nc = F.col("n_club").cast("double")
+    phi = F.when(
+        F.col("n_club") >= 2,
+        2.0 * F.col("e_club").cast("double") / (nc * (nc - 1)),
+    ).otherwise(0.0)
+    return grid.select("k", "e_club", "n_club", phi.alias("phi"))

@@ -4357,3 +4357,86 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag"),
     )
+
+
+# ----------------------------------------------------------------------
+# p_chart_control_limits — statistical process control over the weekly
+# late-commit proportion (lineitem shipped >30 days after its order):
+# each week's defect rate is charted against the POOLED rate's 3σ
+# binomial control limits p̄ ± 3·sqrt(p̄(1−p̄)/n_week), the Shewhart
+# p-chart a fulfilment operation runs. Counts exact integers; p̄ and the
+# per-week limits are single IEEE expressions (sqrt of a correctly-
+# rounded quotient — identical both engines); the out-of-control flag
+# compares those identical doubles. One fact-fact join (the bucketed-
+# layout shape) + one week aggregation + a broadcast pooled row.
+# ----------------------------------------------------------------------
+
+_PCHART_ORACLE = """
+WITH j AS (
+  SELECT CAST(epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 604800000000
+              AS BIGINT) AS wk,
+         CASE WHEN epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+                   - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                   > 30 * 86400000000 THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), wkagg AS (
+  SELECT wk, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(late) AS BIGINT) AS n_late
+  FROM j GROUP BY wk
+), pooled AS (
+  SELECT CAST(SUM(n_late) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS pbar
+  FROM wkagg
+)
+SELECT w.wk - (SELECT MIN(wk) FROM wkagg) AS week_index,
+       w.n, w.n_late,
+       CAST(w.n_late AS DOUBLE) / CAST(w.n AS DOUBLE) AS p_week,
+       p.pbar,
+       CASE WHEN ABS(CAST(w.n_late AS DOUBLE) / CAST(w.n AS DOUBLE) - p.pbar)
+                 > 3 * SQRT(p.pbar * (1 - p.pbar) / CAST(w.n AS DOUBLE))
+            THEN 1 ELSE 0 END AS out_of_control
+FROM wkagg w CROSS JOIN pooled p
+"""
+
+
+@query("p_chart_control_limits", _PCHART_ORACLE)
+def p_chart_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart of the weekly late-shipment proportion."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.floor(us("l_shipdate") / 604_800_000_000).cast("bigint").alias("wk"),
+        F.when(
+            us("l_shipdate") - us("o_orderdate") > 30 * 86_400_000_000, 1
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    wkagg = shared(
+        j.groupBy("wk").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("late").cast("bigint").alias("n_late"),
+        )
+    )
+    pooled = wkagg.agg(
+        (F.sum("n_late").cast("double") / F.sum("n").cast("double")).alias("pbar")
+    )
+    w0 = wkagg.agg(F.min("wk").alias("wk0"))
+    pw = F.col("n_late").cast("double") / F.col("n").cast("double")
+    lim = 3 * F.sqrt(
+        F.col("pbar") * (1 - F.col("pbar")) / F.col("n").cast("double")
+    )
+    return (
+        wkagg.join(F.broadcast(pooled))
+        .join(F.broadcast(w0))
+        .select(
+            (F.col("wk") - F.col("wk0")).alias("week_index"),
+            "n",
+            "n_late",
+            pw.alias("p_week"),
+            "pbar",
+            F.when(F.abs(pw - F.col("pbar")) > lim, 1)
+            .otherwise(0)
+            .alias("out_of_control"),
+        )
+    )

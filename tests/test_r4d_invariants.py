@@ -645,3 +645,28 @@ def test_srm_counts_cover_all_users(spark):
     ).fetchone()[0]
     assert r.n0 + r.n1 == n, r
     assert r.srm_flag in (0, 1) and r.chi2 >= 0.0, r
+
+
+def test_p_chart_pooled_rate_is_weighted_mean(spark):
+    rows = QUERIES["p_chart_control_limits"](spark, SF_DIR).collect()
+    assert rows
+    tot_n = sum(r.n for r in rows)
+    tot_late = sum(r.n_late for r in rows)
+    pbar = rows[0].pbar
+    assert all(abs(r.pbar - pbar) < 1e-15 for r in rows)
+    assert abs(pbar - tot_late / tot_n) < 1e-12, (pbar, tot_late, tot_n)
+    for r in rows:
+        assert 0.0 <= r.p_week <= 1.0 and r.out_of_control in (0, 1), r
+
+
+def test_rich_club_is_monotone_in_k_population(spark):
+    rows = QUERIES["rich_club_coefficient"](spark, SF_DIR).orderBy("k").collect()
+    assert rows
+    ns = [r.n_club for r in rows]
+    es = [r.e_club for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:])), ns  # clubs shrink with k
+    assert all(a >= b for a, b in zip(es, es[1:])), es
+    for r in rows:
+        max_e = r.n_club * (r.n_club - 1) // 2
+        assert 0 <= r.e_club <= max_e, r
+        assert 0.0 <= r.phi <= 1.0, r
