@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "srm_check",
     "p_chart_control_limits",
     "rich_club_coefficient",
+    "slo_burn_rate",
+    "hierarchical_share",
 ]
 
 

@@ -2077,3 +2077,91 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("tot").cast("string").cast("double")
         ).alias("revenue_share"),
     )
+
+
+# ----------------------------------------------------------------------
+# hierarchical_share — percent-of-parent at every level of the
+# region ▷ nation ▷ customer-segment hierarchy in ONE fact pass: revenue
+# aggregated once at the leaf grain, parents recovered by re-aggregating
+# the leaf table (bounded by the dimension domain, never the fact
+# table), shares as exact-integer-cent ratios. The BI "% of parent"
+# staple that naive implementations compute with three fact scans or a
+# data-sized window.
+# ----------------------------------------------------------------------
+
+_HSHARE_ORACLE = """
+WITH leaf AS (
+  SELECT r.r_name AS region, n.n_name AS nation, c.c_mktsegment AS segment,
+         CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2, 3
+), nat AS (
+  SELECT region, nation, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM leaf GROUP BY 1, 2
+), reg AS (
+  SELECT region, CAST(SUM(cents) AS BIGINT) AS cents FROM nat GROUP BY 1
+), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS cents FROM reg)
+SELECT l.region, l.nation, l.segment,
+       l.cents AS seg_cents,
+       CAST(l.cents AS DOUBLE) / CAST(n.cents AS DOUBLE) AS share_of_nation,
+       CAST(n.cents AS DOUBLE) / CAST(r.cents AS DOUBLE) AS nation_share_of_region,
+       CAST(r.cents AS DOUBLE) / CAST(t.cents AS DOUBLE) AS region_share_of_total
+FROM leaf l
+JOIN nat n ON l.region = n.region AND l.nation = n.nation
+JOIN reg r ON l.region = r.region
+CROSS JOIN tot t
+"""
+
+
+@query("hierarchical_share", _HSHARE_ORACLE)
+def hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent across region ▷ nation ▷ segment from one fact pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    leaf = shared(
+        orders.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    natl = leaf.groupBy("region", "nation").agg(
+        F.sum("cents").cast("bigint").alias("ncents")
+    )
+    regl = natl.groupBy("region").agg(
+        F.sum("ncents").cast("bigint").alias("rcents")
+    )
+    tot = regl.agg(F.sum("rcents").cast("bigint").alias("tcents"))
+    return (
+        leaf.join(F.broadcast(natl), ["region", "nation"])
+        .join(F.broadcast(regl), "region")
+        .join(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "segment",
+            F.col("cents").alias("seg_cents"),
+            (F.col("cents").cast("double") / F.col("ncents").cast("double"))
+            .alias("share_of_nation"),
+            (F.col("ncents").cast("double") / F.col("rcents").cast("double"))
+            .alias("nation_share_of_region"),
+            (F.col("rcents").cast("double") / F.col("tcents").cast("double"))
+            .alias("region_share_of_total"),
+        )
+    )

@@ -4440,3 +4440,61 @@ def p_chart_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("out_of_control"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# slo_burn_rate — SRE error-budget burn: per hour, the error-event rate
+# divided by the budget (1 − SLO); burn > 14.4 is the standard
+# page-immediately threshold (burns a 30-day budget in 2 days). Counts
+# exact integers from one hour aggregation; the burn ratio is one IEEE
+# expression; the flag compares engine-identical doubles against the
+# repr-exact literal.
+# ----------------------------------------------------------------------
+
+_SLO = 0.95  # synthetic feed's error share is ~20%, so budget = 5% burns hot
+
+_SLO_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors
+  FROM events GROUP BY 1
+)
+SELECT hr - (SELECT MIN(hr) FROM h) AS hour_index,
+       n, errors,
+       -- burn = (err/n)/(1-SLO) is algebraically 20*err/n at SLO=0.95;
+       -- the reciprocal 20 is EXACTLY representable, so the whole burn is
+       -- one multiply (exact, integer-valued) + one correctly-rounded
+       -- division — dividing by the non-representable 0.05 instead was
+       -- observed to round differently across engines (1-ulp flip)
+       (20.0 * CAST(errors AS DOUBLE)) / CAST(n AS DOUBLE) AS burn_rate,
+       CASE WHEN (20.0 * CAST(errors AS DOUBLE)) / CAST(n AS DOUBLE) > 14.4
+            THEN 1 ELSE 0 END AS page_now
+FROM h
+"""
+
+
+@query("slo_burn_rate", _SLO_ORACLE)
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-budget burn rate against a 95% SLO."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("bigint").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("errors"),
+    )
+    h0 = h.agg(F.min("hr").alias("hr0"))
+    # 20 = 1/(1-SLO) exactly representable: multiply-then-divide is
+    # engine-identical where divide-by-0.05 was not (see oracle note)
+    burn = (20.0 * F.col("errors").cast("double")) / F.col("n").cast("double")
+    return h.join(F.broadcast(h0)).select(
+        (F.col("hr") - F.col("hr0")).alias("hour_index"),
+        "n",
+        "errors",
+        burn.alias("burn_rate"),
+        F.when(burn > 14.4, 1).otherwise(0).alias("page_now"),
+    )

@@ -670,3 +670,33 @@ def test_rich_club_is_monotone_in_k_population(spark):
         max_e = r.n_club * (r.n_club - 1) // 2
         assert 0 <= r.e_club <= max_e, r
         assert 0.0 <= r.phi <= 1.0, r
+
+
+def test_slo_burn_is_scaled_error_rate(spark):
+    rows = QUERIES["slo_burn_rate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.burn_rate - 20.0 * r.errors / r.n) < 1e-12, r
+        assert r.page_now == (1 if r.burn_rate > 14.4 else 0), r
+
+
+def test_hierarchical_shares_sum_to_one_per_parent(spark):
+    rows = QUERIES["hierarchical_share"](spark, SF_DIR).collect()
+    assert rows
+    from collections import defaultdict
+
+    seg_by_nation = defaultdict(float)
+    nat_share = {}
+    reg_share = {}
+    for r in rows:
+        seg_by_nation[(r.region, r.nation)] += r.share_of_nation
+        nat_share[(r.region, r.nation)] = r.nation_share_of_region
+        reg_share[r.region] = r.region_share_of_total
+    for k, s in seg_by_nation.items():
+        assert abs(s - 1.0) < 1e-9, (k, s)
+    by_region = defaultdict(float)
+    for (reg, _nat), s in nat_share.items():
+        by_region[reg] += s
+    for k, s in by_region.items():
+        assert abs(s - 1.0) < 1e-9, (k, s)
+    assert abs(sum(reg_share.values()) - 1.0) < 1e-9, reg_share
