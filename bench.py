@@ -254,6 +254,9 @@ BENCH_QUERIES = [
     "rich_club_coefficient",
     "slo_burn_rate",
     "hierarchical_share",
+    "ann_mrr",
+    "pit_feature_join",
+    "business_day_latency",
 ]
 
 

@@ -1122,3 +1122,101 @@ def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "event_id", "user_id", "ts_us", nearest.alias("nearest_click_us")
     )
+
+
+# ----------------------------------------------------------------------
+# pit_feature_join — point-in-time-correct feature retrieval (the
+# feature-store join): each order row is enriched with the customer's
+# history STRICTLY BEFORE that order (prior order count, prior spend) —
+# the leakage-free construction a training pipeline must use where a
+# naive join would see the future. Compiles to one keyed window with a
+# [-inf, -1] frame: no self-join, no as-of lookup table, one shuffle on
+# the customer key.
+# ----------------------------------------------------------------------
+
+_PIT_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(COALESCE(COUNT(*) OVER w, 0) AS BIGINT) AS prior_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) OVER w, 0)
+            AS BIGINT) AS prior_spend_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+@query("pit_feature_join", _PIT_ORACLE)
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free prior-history features per order (one keyed window)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("prior_orders"),
+        F.coalesce(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)")).over(w),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prior_spend_cents"),
+    )
+
+
+# ----------------------------------------------------------------------
+# business_day_latency — order→ship latency in BUSINESS days via the
+# closed-form weekday prefix count G(d) = 5·⌊(d+3)/7⌋ + min((d+3) mod 7,
+# 5) over epoch days (day 0 = Thursday; +3 anchors the week on Monday),
+# so weekdays in (d0, d1] = G(d1+1) − G(d0+1) — pure integer arithmetic,
+# no calendar table, TZ-immune (`date_dimension`'s civil-arithmetic
+# discipline). Reported as the business-day latency histogram.
+# ----------------------------------------------------------------------
+
+_BIZLAT_ORACLE = """
+WITH d AS (
+  SELECT CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d0,
+         CAST(epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d1
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), g AS (
+  SELECT (5 * ((d1 + 1 + 3) // 7) + LEAST((d1 + 1 + 3) % 7, 5))
+         - (5 * ((d0 + 1 + 3) // 7) + LEAST((d0 + 1 + 3) % 7, 5)) AS bizdays
+  FROM d
+)
+SELECT CAST(bizdays AS BIGINT) AS bizdays,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM g GROUP BY bizdays
+"""
+
+
+@query("business_day_latency", _BIZLAT_ORACLE)
+def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day ship-latency histogram from closed-form weekday counts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    day = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) / 86_400_000_000
+    ).cast("bigint")
+
+    def G(d):  # weekday prefix count at epoch day d (Monday-anchored)
+        m = d + 3
+        return 5 * F.floor(m / 7) + F.least(m % 7, F.lit(5))
+
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        (G(day("l_shipdate") + 1) - G(day("o_orderdate") + 1))
+        .cast("bigint")
+        .alias("bizdays")
+    )
+    return j.groupBy("bizdays").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )

@@ -1018,3 +1018,57 @@ def jl_norm_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_ratio"
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# ann_mrr — mean reciprocal rank of the exact nearest neighbor inside
+# the IVF top-k: the ranking-quality companion to `ann_recall` (recall
+# counts membership; MRR penalizes the index for burying the true #1).
+# Reciprocal ranks are EXACT integers via the LCM trick (60/r for
+# r ≤ 5), summed exactly; the final MRR is one IEEE division. Composes
+# the two existing ANN plans — no new index machinery.
+# ----------------------------------------------------------------------
+
+_MRR_LCM = 60  # lcm(1..IVF_TOP_K)
+
+_ANN_MRR_ORACLE = f"""
+WITH brute AS ({_BRUTE_ORACLE}),
+ivf AS ({_IVF_ORACLE}),
+true1 AS (
+  SELECT query_id, neighbor_id FROM brute WHERE rnk = 1
+), hit AS (
+  SELECT t.query_id, i.rnk
+  FROM true1 t JOIN ivf i
+    ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+)
+SELECT CAST((SELECT COUNT(*) FROM true1) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(SUM({_MRR_LCM} // rnk) AS BIGINT) AS rr_scaled,
+       CAST(SUM({_MRR_LCM} // rnk) AS DOUBLE)
+         / ({_MRR_LCM}.0 * CAST((SELECT COUNT(*) FROM true1) AS DOUBLE))
+         AS mrr
+FROM hit
+"""
+
+
+@query("ann_mrr", _ANN_MRR_ORACLE)
+def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR of the exact #1 neighbor within the IVF top-k (LCM-exact)."""
+    brute = ann_cosine_topk(spark, sf_dir).filter(F.col("rnk") == 1)
+    ivf = ann_ivf_topk(spark, sf_dir)
+    true1 = brute.select("query_id", "neighbor_id")
+    hit = ivf.join(true1, ["query_id", "neighbor_id"]).select("query_id", "rnk")
+    nq = true1.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    agg = hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.sum(F.floor(_MRR_LCM / F.col("rnk"))).cast("bigint").alias("rr_scaled"),
+    )
+    return agg.join(F.broadcast(nq)).select(
+        "n_queries",
+        "n_hits",
+        "rr_scaled",
+        (
+            F.col("rr_scaled").cast("double")
+            / (float(_MRR_LCM) * F.col("n_queries").cast("double"))
+        ).alias("mrr"),
+    )

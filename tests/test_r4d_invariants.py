@@ -700,3 +700,50 @@ def test_hierarchical_shares_sum_to_one_per_parent(spark):
     for k, s in by_region.items():
         assert abs(s - 1.0) < 1e-9, (k, s)
     assert abs(sum(reg_share.values()) - 1.0) < 1e-9, reg_share
+
+
+def test_ann_mrr_consistent_with_recall(spark):
+    r = QUERIES["ann_mrr"](spark, SF_DIR).collect()[0]
+    assert 0 <= r.n_hits <= r.n_queries, r
+    assert 0.0 <= r.mrr <= 1.0, r
+    if r.n_hits == r.n_queries and r.rr_scaled == 60 * r.n_queries:
+        assert abs(r.mrr - 1.0) < 1e-12  # all true #1s ranked first
+
+
+def test_pit_features_are_strictly_prior(spark):
+    import pyspark.sql.functions as F
+
+    df = QUERIES["pit_feature_join"](spark, SF_DIR)
+    # first order per customer must have zero history
+    firsts = df.groupBy("o_custkey").agg(
+        F.min("prior_orders").alias("mn"), F.count(F.lit(1)).alias("n")
+    )
+    rows = firsts.collect()
+    assert all(r.mn == 0 for r in rows), rows[:5]
+    # max prior_orders per customer == n-1 (strict precedence)
+    mx = df.groupBy("o_custkey").agg(F.max("prior_orders").alias("mx"))
+    j = {r.o_custkey: r.mx for r in mx.collect()}
+    for r in rows:
+        assert j[r.o_custkey] == r.n - 1, (r, j[r.o_custkey])
+
+
+def test_business_day_latency_weekday_formula(spark):
+    import datetime
+
+    # independent check of the weekday prefix count on a known range
+    def G(d):
+        m = d + 3
+        return 5 * (m // 7) + min(m % 7, 5)
+
+    epoch = datetime.date(1970, 1, 1)
+    for d0 in range(0, 400, 7):
+        for span in (0, 1, 3, 9, 30):
+            d1 = d0 + span
+            expect = sum(
+                1
+                for d in range(d0 + 1, d1 + 1)
+                if (epoch + datetime.timedelta(days=d)).weekday() < 5
+            )
+            assert G(d1 + 1) - G(d0 + 1) == expect, (d0, d1)
+    rows = QUERIES["business_day_latency"](spark, SF_DIR).collect()
+    assert sum(r.n_lines for r in rows) > 0
