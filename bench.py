@@ -257,6 +257,9 @@ BENCH_QUERIES = [
     "ann_mrr",
     "pit_feature_join",
     "business_day_latency",
+    "latency_percentile_trend",
+    "dispersion_index",
+    "substitute_candidates",
 ]
 
 

@@ -1002,3 +1002,63 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         2.0 * F.col("e_club").cast("double") / (nc * (nc - 1)),
     ).otherwise(0.0)
     return grid.select("k", "e_club", "n_club", phi.alias("phi"))
+
+
+# ----------------------------------------------------------------------
+# substitute_candidates — merchandising's anti-affinity mining: pairs of
+# POPULAR parts that are never bought together (high individual demand,
+# zero co-occurrence → substitute/cannibalization candidates, the dual
+# of `assoc_rules`' complements). The pair space is capped to the top-50
+# parts by order count BEFORE expansion (bounded 1225 candidates at any
+# scale), and the absent-edge check is an anti-join against the
+# co-occurrence edge set — never an all-pairs scan of the catalog.
+# ----------------------------------------------------------------------
+
+_SUBST_TOP = 50
+
+_SUBST_ORACLE = f"""
+WITH pop AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem GROUP BY l_partkey
+  ORDER BY n_orders DESC, l_partkey LIMIT {_SUBST_TOP}
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         a.n_orders AS nu, b.n_orders AS nv
+  FROM pop a JOIN pop b ON a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT p.u, p.v, p.nu, p.nv,
+       CAST(p.nu * p.nv AS BIGINT) AS demand_product
+FROM pairs p LEFT JOIN edges e ON p.u = e.u AND p.v = e.v
+WHERE e.u IS NULL
+"""
+
+
+@query("substitute_candidates", _SUBST_ORACLE)
+def substitute_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popular part pairs with ZERO co-occurrence (substitute mining)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pop = shared(
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "l_partkey")
+        .limit(_SUBST_TOP)
+    )
+    a = pop.select(F.col("l_partkey").alias("u"), F.col("n_orders").alias("nu"))
+    b = pop.select(F.col("l_partkey").alias("v"), F.col("n_orders").alias("nv"))
+    pairs = a.join(F.broadcast(b), F.col("u") < F.col("v"))
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    return (
+        pairs.join(edges, ["u", "v"], "left_anti")
+        .select(
+            "u",
+            "v",
+            "nu",
+            "nv",
+            (F.col("nu") * F.col("nv")).cast("bigint").alias("demand_product"),
+        )
+    )

@@ -4498,3 +4498,114 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         burn.alias("burn_rate"),
         F.when(burn > 14.4, 1).otherwise(0).alias("page_now"),
     )
+
+
+# ----------------------------------------------------------------------
+# latency_percentile_trend — the ops dashboard's weekly p50/p90 latency
+# trend (order→ship days): exact nearest-rank cuts per week from ONE
+# value histogram (`group_quantiles` — any number of percentiles, one
+# partial-aggregated shuffle), never a per-week sort or an engine
+# percentile aggregate. Integer day latencies; week axis calendar-
+# bounded.
+# ----------------------------------------------------------------------
+
+_LPT_QS = {"p50": 0.50, "p90": 0.90}
+
+_LPT_ORACLE = f"""
+WITH src AS (
+  SELECT CAST(epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 604800000000
+              AS BIGINT) AS wk,
+         CAST(epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+              - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS lat
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+{group_quantiles_sql("src", "wk", "lat", _LPT_QS, "q")}
+SELECT wk - (SELECT MIN(wk) FROM src) AS week_index,
+       CAST(p50 AS BIGINT) AS p50_days,
+       CAST(p90 AS BIGINT) AS p90_days
+FROM q
+"""
+
+
+@query("latency_percentile_trend", _LPT_ORACLE)
+def latency_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p90 ship latency from one histogram shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    src = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.floor(us("l_shipdate") / 604_800_000_000).cast("bigint").alias("wk"),
+        (
+            F.floor(us("l_shipdate") / 86_400_000_000)
+            - F.floor(us("o_orderdate") / 86_400_000_000)
+        )
+        .cast("bigint")
+        .alias("lat"),
+    )
+    src = shared(src)
+    cuts = group_quantiles(src, "wk", "lat", _LPT_QS)
+    w0 = src.agg(F.min("wk").alias("wk0"))
+    return cuts.join(F.broadcast(w0)).select(
+        (F.col("wk") - F.col("wk0")).alias("week_index"),
+        F.col("p50").cast("bigint").alias("p50_days"),
+        F.col("p90").cast("bigint").alias("p90_days"),
+    )
+
+
+# ----------------------------------------------------------------------
+# dispersion_index — the count-model diagnostic for lines-per-order:
+# index of dispersion D = var/mean (Poisson ⇒ 1; D>1 overdispersed ⇒
+# negative-binomial modeling). Exact integer sufficient statistics
+# (n, Σk, Σk²) as DECIMAL(38,0); variance uses the population form so D
+# is one final double expression from exact integers.
+# ----------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH k AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS lines
+  FROM lineitem GROUP BY l_orderkey
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(lines AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+           AS sk,
+         CAST(CAST(SUM(CAST(lines AS DECIMAL(38,0)) * lines) AS VARCHAR)
+              AS DOUBLE) AS skk
+  FROM k
+)
+SELECT n,
+       sk / CAST(n AS DOUBLE) AS mean_lines,
+       (skk / CAST(n AS DOUBLE))
+         - (sk / CAST(n AS DOUBLE)) * (sk / CAST(n AS DOUBLE)) AS var_lines,
+       ((skk / CAST(n AS DOUBLE))
+         - (sk / CAST(n AS DOUBLE)) * (sk / CAST(n AS DOUBLE)))
+         / (sk / CAST(n AS DOUBLE)) AS dispersion
+FROM s
+"""
+
+
+@query("dispersion_index", _DISPERSION_ORACLE)
+def dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio of basket size (Poissonness check)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lines")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d38("lines")).cast("string").cast("double").alias("sk"),
+        F.sum(d38("lines") * F.col("lines"))
+        .cast("string")
+        .cast("double")
+        .alias("skk"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sk") / nd
+    var = F.col("skk") / nd - mean * mean
+    return s.select(
+        "n",
+        mean.alias("mean_lines"),
+        var.alias("var_lines"),
+        (var / mean).alias("dispersion"),
+    )

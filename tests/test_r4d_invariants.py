@@ -747,3 +747,50 @@ def test_business_day_latency_weekday_formula(spark):
             assert G(d1 + 1) - G(d0 + 1) == expect, (d0, d1)
     rows = QUERIES["business_day_latency"](spark, SF_DIR).collect()
     assert sum(r.n_lines for r in rows) > 0
+
+
+def test_latency_trend_p90_dominates_p50(spark):
+    rows = QUERIES["latency_percentile_trend"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_days <= r.p90_days, r
+
+
+def test_dispersion_matches_direct_moments(spark):
+    import duckdb
+
+    r = QUERIES["dispersion_index"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    n, mean, var = con.execute(
+        f"""
+        SELECT COUNT(*), AVG(c), VAR_POP(c) FROM (
+          SELECT COUNT(*) AS c FROM '{SF_DIR}/lineitem.parquet'
+          GROUP BY l_orderkey)
+        """
+    ).fetchone()
+    assert r.n == n
+    assert abs(r.mean_lines - mean) < 1e-9
+    assert abs(r.var_lines - var) < 1e-6
+    assert r.dispersion > 0, r
+
+
+def test_substitutes_have_zero_cooccurrence(spark):
+    import duckdb
+
+    rows = QUERIES["substitute_candidates"](spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    sample = rows[:20]
+    for r in sample:
+        co = con.execute(
+            """
+            SELECT COUNT(*) FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey = ? AND b.l_partkey = ?
+            """,
+            [r.u, r.v],
+        ).fetchone()[0]
+        assert co == 0, (r, co)
