@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "latency_percentile_trend",
     "dispersion_index",
     "substitute_candidates",
+    "doc_quality_ensemble_gate",
+    "activity_islands",
 ]
 
 

@@ -1477,3 +1477,67 @@ def paragraph_filter_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
+
+# ----------------------------------------------------------------------
+# doc_quality_ensemble_gate — the final KEEP/DROP gate of a curation
+# pipeline with per-reason accounting: a document is dropped when it is
+# too short (< 20 tokens), too repetitive (distinct/total < 0.3), or
+# language-mismatched (the n-gram `lang_id` prediction ≠ the label); the
+# report counts documents BY FIRST FAILING REASON per source — the
+# dashboard a curation run publishes next to `dataset_card`. One
+# map-side expression pass (token array, diversity ratio in exact
+# integers, the shared lang-marker score) + one grouped aggregation over
+# the (source × verdict) domain.
+# ----------------------------------------------------------------------
+
+from hadoop_spark.functions.text import lang_id as _lang_id  # noqa: E402
+from hadoop_spark.functions.text import lang_id_sql as _lang_id_sql  # noqa: E402
+
+_GATE_MIN_TOKENS = 20
+_GATE_DIV_NUM, _GATE_DIV_DEN = 3, 10  # drop iff distinct*DEN < NUM*total
+
+_GATE_ORACLE = rf"""
+WITH feats AS (
+  SELECT source, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w,
+         {_lang_id_sql("text")} AS pred
+  FROM documents WHERE text IS NOT NULL
+), flags AS (
+  SELECT source,
+         CASE
+           WHEN len(w) < {_GATE_MIN_TOKENS} THEN 'too_short'
+           WHEN len(list_distinct(w)) * {_GATE_DIV_DEN}
+                < {_GATE_DIV_NUM} * len(w) THEN 'repetitive'
+           WHEN pred <> lang THEN 'lang_mismatch'
+           ELSE 'keep' END AS verdict
+  FROM feats
+)
+SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM flags GROUP BY source, verdict
+"""
+
+
+@query("doc_quality_ensemble_gate", _GATE_ORACLE)
+def doc_quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop curation gate with first-failing-reason accounting."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    feats = docs.select(
+        "source",
+        "lang",
+        w.alias("w"),
+        _lang_id(F.col("text")).alias("pred"),
+    )
+    verdict = (
+        F.when(F.size("w") < _GATE_MIN_TOKENS, "too_short")
+        .when(
+            F.size(F.array_distinct("w")) * _GATE_DIV_DEN
+            < _GATE_DIV_NUM * F.size("w"),
+            "repetitive",
+        )
+        .when(F.col("pred") != F.col("lang"), "lang_mismatch")
+        .otherwise("keep")
+    )
+    return feats.select("source", verdict.alias("verdict")).groupBy(
+        "source", "verdict"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

@@ -4609,3 +4609,52 @@ def dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_lines"),
         (var / mean).alias("dispersion"),
     )
+
+
+# ----------------------------------------------------------------------
+# activity_islands — gaps-and-islands with RANGE output: each user's
+# maximal runs of consecutive active days as (start, end, length) rows
+# (`login_streaks` reports the max length; downstream session/coverage
+# logic needs the actual ranges). Island id = day − dense day rank per
+# user (the classic difference trick — one keyed window), then one
+# grouped aggregation per island.
+# ----------------------------------------------------------------------
+
+_ISLANDS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL
+), marked AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d
+)
+SELECT user_id,
+       CAST(MIN(day) AS BIGINT) AS start_day,
+       CAST(MAX(day) AS BIGINT) AS end_day,
+       CAST(COUNT(*) AS BIGINT) AS run_days
+FROM marked GROUP BY user_id, island
+"""
+
+
+@query("activity_islands", _ISLANDS_ORACLE)
+def activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal consecutive-day activity ranges per user."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    d = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day"),
+    ).distinct()
+    island = F.col("day") - F.row_number().over(
+        W.partitionBy("user_id").orderBy("day")
+    )
+    marked = d.select("user_id", "day", island.alias("island"))
+    return marked.groupBy("user_id", "island").agg(
+        F.min("day").cast("bigint").alias("start_day"),
+        F.max("day").cast("bigint").alias("end_day"),
+        F.count(F.lit(1)).cast("bigint").alias("run_days"),
+    ).drop("island")

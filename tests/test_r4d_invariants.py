@@ -794,3 +794,39 @@ def test_substitutes_have_zero_cooccurrence(spark):
             [r.u, r.v],
         ).fetchone()[0]
         assert co == 0, (r, co)
+
+
+def test_gate_verdicts_partition_the_corpus(spark):
+    import duckdb
+
+    rows = QUERIES["doc_quality_ensemble_gate"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    per_source = dict(
+        con.execute(
+            f"""SELECT source, COUNT(*) FROM '{SF_DIR}/documents.parquet'
+                WHERE text IS NOT NULL GROUP BY source"""
+        ).fetchall()
+    )
+    got: dict[str, int] = {}
+    verdicts = set()
+    for r in rows:
+        verdicts.add(r.verdict)
+        got[r.source] = got.get(r.source, 0) + r.n_docs
+    assert got == per_source
+    assert verdicts <= {"keep", "too_short", "repetitive", "lang_mismatch"}
+    assert "keep" in verdicts
+
+
+def test_activity_islands_are_maximal_and_disjoint(spark):
+    rows = QUERIES["activity_islands"](spark, SF_DIR).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        assert r.run_days == r.end_day - r.start_day + 1, r
+        per_user[r.user_id].append((r.start_day, r.end_day))
+    for u, spans in per_user.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, (u, (s1, e1), (s2, e2))  # maximality: gap >= 1
