@@ -1034,6 +1034,11 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
+    # The recursion's true size is n_customers x max_orders_per_customer
+    # (width x depth, both data-bounded); Spark's default 1M-row safety
+    # valve trips at ~30x the test scale (found by scripts/scale_probe.py),
+    # so raise it defensively the way _prep pins session invariants.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
     return spark.sql(_REC_CHAIN_SQL)
 
 
