@@ -262,6 +262,9 @@ BENCH_QUERIES = [
     "substitute_candidates",
     "doc_quality_ensemble_gate",
     "activity_islands",
+    "langid_prf1",
+    "revenue_waterfall",
+    "daily_active_span",
 ]
 
 

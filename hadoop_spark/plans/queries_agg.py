@@ -2165,3 +2165,47 @@ def hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("region_share_of_total"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# revenue_waterfall — the BI revenue bridge per order priority: gross
+# extended price, minus the discount give-back, plus the tax collected,
+# to net charge — each leg an exact decimal-quantized sum from ONE fact
+# pass (the `tpch_q1` arithmetic reshaped into the waterfall the finance
+# review reads). Legs reconcile exactly: net = gross − discount + tax at
+# the quantization scale, pinned in tests.
+# ----------------------------------------------------------------------
+
+from hadoop_spark.functions.numeric import dsum_sql  # noqa: E402
+
+_WATERFALL_ORACLE = f"""
+SELECT l_returnflag,
+       {dsum_sql('l_extendedprice', 8)} AS gross,
+       {dsum_sql('l_extendedprice * l_discount', 8)} AS discount_given,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * l_tax', 8)}
+         AS tax_collected,
+       {dsum_sql('l_extendedprice', 8)}
+         - {dsum_sql('l_extendedprice * l_discount', 8)}
+         + {dsum_sql('l_extendedprice * (1 - l_discount) * l_tax', 8)}
+         AS net_charge
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("revenue_waterfall", _WATERFALL_ORACLE)
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross → discount → tax → net revenue bridge per return flag."""
+    from hadoop_spark.functions.numeric import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    gross = dsum(F.col("l_extendedprice"), 8)
+    disc = dsum(F.col("l_extendedprice") * F.col("l_discount"), 8)
+    tax = dsum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax"), 8
+    )
+    return li.groupBy("l_returnflag").agg(
+        gross.alias("gross"),
+        disc.alias("discount_given"),
+        tax.alias("tax_collected"),
+        (gross - disc + tax).alias("net_charge"),
+    )

@@ -4658,3 +4658,44 @@ def activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").cast("bigint").alias("end_day"),
         F.count(F.lit(1)).cast("bigint").alias("run_days"),
     ).drop("island")
+
+
+# ----------------------------------------------------------------------
+# daily_active_span — engagement depth: per (user, day), the span from
+# first to last event in minutes, rolled up into the span histogram (the
+# "how long are users around each day" read next to DAU counts). Two
+# grouped aggregations, all integer microsecond arithmetic; the span
+# axis is bounded by the day (≤ 1440 buckets).
+# ----------------------------------------------------------------------
+
+_SPAN_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 60000000 AS BIGINT)
+           AS span_min
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+)
+SELECT span_min,
+       CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM s GROUP BY span_min
+"""
+
+
+@query("daily_active_span", _SPAN_ORACLE)
+def daily_active_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-(user, day) first-to-last activity spans (minutes)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    us = F.unix_micros("ts")
+    s = ev.groupBy(
+        "user_id",
+        F.floor(us / 86_400_000_000).cast("bigint").alias("day"),
+    ).agg(
+        F.floor((F.max(us) - F.min(us)) / 60_000_000)
+        .cast("bigint")
+        .alias("span_min")
+    )
+    return s.groupBy("span_min").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_days")
+    )

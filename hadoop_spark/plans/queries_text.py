@@ -1415,3 +1415,103 @@ def json_nested_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum("qty").cast("bigint").alias("total_qty"),
     )
+
+
+# ----------------------------------------------------------------------
+# langid_prf1 — per-class precision/recall/F1 derived from the language
+# confusion matrix (`langid_confusion` reports the matrix; a model card
+# reports PRF1). tp / predicted-positives / actual-positives are exact
+# integers from one grouped count; each metric is one IEEE ratio, F1
+# computed from the exact integer identity 2·tp / (pred_pos + act_pos)
+# — never from the two already-divided floats.
+# ----------------------------------------------------------------------
+
+_PRF1_ORACLE = f"""
+WITH pred AS (
+  SELECT lang AS labeled_lang, {tx.lang_id_sql("text")} AS pred_lang
+  FROM documents WHERE text IS NOT NULL
+), cells AS (
+  SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), act AS (
+  SELECT labeled_lang AS cls, CAST(SUM(n) AS BIGINT) AS act_pos
+  FROM cells GROUP BY 1
+), prd AS (
+  SELECT pred_lang AS cls, CAST(SUM(n) AS BIGINT) AS pred_pos
+  FROM cells GROUP BY 1
+), tp AS (
+  SELECT labeled_lang AS cls, n AS tp FROM cells
+  WHERE labeled_lang = pred_lang
+)
+SELECT a.cls,
+       COALESCE(t.tp, 0) AS tp,
+       COALESCE(p.pred_pos, 0) AS pred_pos,
+       a.act_pos,
+       CASE WHEN COALESCE(p.pred_pos, 0) > 0
+            THEN CAST(COALESCE(t.tp, 0) AS DOUBLE)
+                 / CAST(p.pred_pos AS DOUBLE) ELSE 0.0 END AS precision_,
+       CAST(COALESCE(t.tp, 0) AS DOUBLE) / CAST(a.act_pos AS DOUBLE)
+         AS recall_,
+       CASE WHEN COALESCE(p.pred_pos, 0) + a.act_pos > 0
+            THEN 2.0 * CAST(COALESCE(t.tp, 0) AS DOUBLE)
+                 / CAST(COALESCE(p.pred_pos, 0) + a.act_pos AS DOUBLE)
+            ELSE 0.0 END AS f1
+FROM act a
+LEFT JOIN prd p ON a.cls = p.cls
+LEFT JOIN tp t ON a.cls = t.cls
+"""
+
+
+@query("langid_prf1", _PRF1_ORACLE)
+def langid_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the n-gram language identifier."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cells = shared(
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            tx.lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    act = cells.groupBy(F.col("labeled_lang").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("act_pos")
+    )
+    prd = cells.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("pred_pos")
+    )
+    tp = cells.filter(F.col("labeled_lang") == F.col("pred_lang")).select(
+        F.col("labeled_lang").alias("cls"), F.col("n").alias("tp")
+    )
+    j = (
+        act.join(F.broadcast(prd), "cls", "left")
+        .join(F.broadcast(tp), "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.col("pred_pos"), F.lit(0))
+            .cast("bigint")
+            .alias("pred_pos"),
+            "act_pos",
+        )
+    )
+    prec = F.when(
+        F.col("pred_pos") > 0,
+        F.col("tp").cast("double") / F.col("pred_pos").cast("double"),
+    ).otherwise(0.0)
+    rec = F.col("tp").cast("double") / F.col("act_pos").cast("double")
+    f1 = F.when(
+        F.col("pred_pos") + F.col("act_pos") > 0,
+        2.0
+        * F.col("tp").cast("double")
+        / (F.col("pred_pos") + F.col("act_pos")).cast("double"),
+    ).otherwise(0.0)
+    return j.select(
+        "cls",
+        "tp",
+        "pred_pos",
+        "act_pos",
+        prec.alias("precision_"),
+        rec.alias("recall_"),
+        f1.alias("f1"),
+    )

@@ -830,3 +830,42 @@ def test_activity_islands_are_maximal_and_disjoint(spark):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1 + 1, (u, (s1, e1), (s2, e2))  # maximality: gap >= 1
+
+
+def test_prf1_consistent_with_confusion(spark):
+    prf = {r.cls: r for r in QUERIES["langid_prf1"](spark, SF_DIR).collect()}
+    conf = QUERIES["langid_confusion"](spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    act = defaultdict(int)
+    prd = defaultdict(int)
+    tp = defaultdict(int)
+    for r in conf:
+        act[r.labeled_lang] += r.n
+        prd[r.pred_lang] += r.n
+        if r.labeled_lang == r.pred_lang:
+            tp[r.labeled_lang] = r.n
+    for cls, r in prf.items():
+        assert r.act_pos == act[cls] and r.pred_pos == prd.get(cls, 0), (cls, r)
+        assert r.tp == tp.get(cls, 0), (cls, r)
+        assert 0.0 <= r.precision_ <= 1.0 and 0.0 <= r.recall_ <= 1.0, r
+        lo, hi = sorted([r.precision_, r.recall_])
+        assert lo - 1e-12 <= r.f1 <= hi + 1e-12 or r.f1 == 0.0, r
+
+
+def test_waterfall_reconciles(spark):
+    rows = QUERIES["revenue_waterfall"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (
+            abs(r.net_charge - (r.gross - r.discount_given + r.tax_collected))
+            < 1e-6
+        ), r
+        assert 0 < r.discount_given < r.gross, r
+
+
+def test_daily_span_bounded_by_a_day(spark):
+    rows = QUERIES["daily_active_span"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.span_min <= 1440, r
