@@ -265,6 +265,9 @@ BENCH_QUERIES = [
     "langid_prf1",
     "revenue_waterfall",
     "daily_active_span",
+    "naive_forecast_mae",
+    "multigrain_distinct",
+    "attribute_split_profile",
 ]
 
 

@@ -4699,3 +4699,129 @@ def daily_active_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("span_min").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_user_days")
     )
+
+
+# ----------------------------------------------------------------------
+# naive_forecast_mae — the forecast-eval floor: predict each order's
+# value as the SAME customer's previous order value, report MAE/bias in
+# exact integer cents per priority (`seasonal_baseline` grades the
+# series-level naive model; this is the entity-level one every fancier
+# model must beat). One keyed lag window + one aggregation.
+# ----------------------------------------------------------------------
+
+_NAIVE_MAE_ORACLE = """
+WITH w AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) AS c,
+         LAG(CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(ABS(c - prev)) AS BIGINT) AS abs_err_cents,
+       CAST(SUM(c - prev) AS BIGINT) AS bias_cents,
+       CAST(SUM(ABS(c - prev)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mae_cents
+FROM w WHERE prev IS NOT NULL
+GROUP BY o_orderpriority
+"""
+
+
+@query("naive_forecast_mae", _NAIVE_MAE_ORACLE)
+def naive_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous-order naive predictor MAE/bias per priority (exact cents)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = (F.col("o_totalprice") * 100).cast("decimal(38,0)").cast("bigint")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    scored = orders.select(
+        "o_orderpriority", c.alias("c"), F.lag(c).over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return scored.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum(F.abs(F.col("c") - F.col("prev")))
+        .cast("bigint")
+        .alias("abs_err_cents"),
+        F.sum(F.col("c") - F.col("prev")).cast("bigint").alias("bias_cents"),
+        (
+            F.sum(F.abs(F.col("c") - F.col("prev"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mae_cents"),
+    )
+
+
+# ----------------------------------------------------------------------
+# multigrain_distinct — exact COUNT DISTINCT users at day, week, AND
+# month grain from ONE fact-table deduplication: exact distinct counts
+# are NOT re-aggregable (a week's distinct is not the sum of its days'),
+# but the (user, day) DEDUP IS the sufficient input for every coarser
+# grain — so the fact table is deduplicated once and each coarser grain
+# re-dedups the (already tiny) finer pair set. The cascade is the shape
+# that makes exact multi-grain DAU/WAU/MAU affordable at 100 TB; the
+# sketch alternative (`hll_sketch`/KMV) trades it for mergeability.
+# ----------------------------------------------------------------------
+
+_MULTIGRAIN_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL
+), d AS (
+  SELECT 'day' AS grain, day AS grain_key,
+         CAST(COUNT(*) AS BIGINT) AS distinct_users
+  FROM ud GROUP BY day
+), uw AS (
+  SELECT DISTINCT user_id, day // 7 AS wk FROM ud
+), w AS (
+  SELECT 'week' AS grain, wk AS grain_key,
+         CAST(COUNT(*) AS BIGINT) AS distinct_users
+  FROM uw GROUP BY wk
+), um AS (
+  SELECT DISTINCT user_id, day // 30 AS mo FROM ud
+), m AS (
+  SELECT 'month30' AS grain, mo AS grain_key,
+         CAST(COUNT(*) AS BIGINT) AS distinct_users
+  FROM um GROUP BY mo
+)
+SELECT * FROM d UNION ALL SELECT * FROM w UNION ALL SELECT * FROM m
+"""
+
+
+@query("multigrain_distinct", _MULTIGRAIN_ORACLE)
+def multigrain_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users at day/week/month30 grain from one fact dedup."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = shared(
+        ev.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("day"),
+        ).distinct()
+    )
+
+    def grain(df, key, label):
+        return (
+            df.distinct()
+            .groupBy(F.col(key).alias("grain_key"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_users"))
+            .select(
+                F.lit(label).alias("grain"), "grain_key", "distinct_users"
+            )
+        )
+
+    d = grain(ud.select("user_id", "day"), "day", "day")
+    w = grain(
+        ud.select("user_id", (F.col("day") / 7).cast("bigint").alias("wk")),
+        "wk",
+        "week",
+    )
+    m = grain(
+        ud.select("user_id", (F.col("day") / 30).cast("bigint").alias("mo")),
+        "mo",
+        "month30",
+    )
+    return d.unionByName(w).unionByName(m)

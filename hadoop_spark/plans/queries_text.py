@@ -1515,3 +1515,55 @@ def langid_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec.alias("recall_"),
         f1.alias("f1"),
     )
+
+
+# ----------------------------------------------------------------------
+# attribute_split_profile — dimension-attribute shredding: the part
+# name "cold widget" is two positional attributes (modifier, noun);
+# shred once map-side (try_element_at so a malformed single-token name
+# degrades to NULL instead of failing the task) and profile the
+# (noun × p_type) demand matrix with revenue — the conformance audit a
+# warehouse runs before trusting a parsed attribute in a hierarchy. One
+# broadcast dim join + one grouped aggregation.
+# ----------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_type,
+         string_split(p_name, ' ')[1] AS modifier,
+         string_split(p_name, ' ')[2] AS noun
+  FROM part
+)
+SELECT p.noun, p.p_type,
+       CAST(COUNT(DISTINCT p.p_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+GROUP BY p.noun, p.p_type
+"""
+
+
+@query("attribute_split_profile", _ATTR_ORACLE)
+def attribute_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(noun × type) demand/revenue profile from the shredded part name."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = F.split(F.col("p_name"), " ")
+    p = part.select(
+        "p_partkey",
+        "p_type",
+        F.try_element_at(sp, F.lit(1)).alias("modifier"),
+        F.try_element_at(sp, F.lit(2)).alias("noun"),
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("noun", "p_type")
+        .agg(
+            F.count_distinct("p_partkey").cast("bigint").alias("n_parts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum((F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

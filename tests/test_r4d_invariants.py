@@ -869,3 +869,44 @@ def test_daily_span_bounded_by_a_day(spark):
     assert rows
     for r in rows:
         assert 0 <= r.span_min <= 1440, r
+
+
+def test_naive_mae_bias_bounds(spark):
+    rows = QUERIES["naive_forecast_mae"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.bias_cents) <= r.abs_err_cents, r
+        assert abs(r.mae_cents - r.abs_err_cents / r.n_scored) < 1e-9, r
+
+
+def test_multigrain_distinct_is_monotone_in_grain(spark):
+    import duckdb
+
+    rows = QUERIES["multigrain_distinct"](spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.grain, []).append(r.distinct_users)
+    con = duckdb.connect()
+    total = con.execute(
+        f"""SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'
+            WHERE user_id IS NOT NULL"""
+    ).fetchone()[0]
+    # coarser grain -> each bucket sees at least as many distinct users
+    # as its busiest finer bucket, and never more than the population
+    assert max(by["week"]) >= max(by["day"]) or len(by["day"]) == 1
+    assert max(by["month30"]) <= total
+    for g in by.values():
+        assert all(v <= total for v in g)
+
+
+def test_attribute_split_covers_all_lines(spark):
+    import duckdb
+
+    rows = QUERIES["attribute_split_profile"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    n = con.execute(
+        f"""SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet' l
+            WHERE l.l_partkey IN (
+              SELECT p_partkey FROM '{SF_DIR}/part.parquet')"""
+    ).fetchone()[0]
+    assert sum(r.n_lines for r in rows) == n
