@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "naive_forecast_mae",
     "multigrain_distinct",
     "attribute_split_profile",
+    "error_cascade_rate",
+    "rank_stability",
 ]
 
 

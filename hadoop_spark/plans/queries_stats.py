@@ -4825,3 +4825,178 @@ def multigrain_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month30",
     )
     return d.unionByName(w).unionByName(m)
+
+
+# ----------------------------------------------------------------------
+# error_cascade_rate — retry-storm detection: the share of error events
+# followed by ANOTHER error from the same user within 60 s (cascades
+# mean clients are hammering a broken path; isolated errors are noise).
+# One keyed lead() window over the error stream in integer microseconds,
+# rolled up per event hour so the ops dashboard sees the storm start.
+# ----------------------------------------------------------------------
+
+_CASCADE_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'error' AND user_id IS NOT NULL
+), w AS (
+  SELECT user_id, t,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+  FROM e
+), h AS (
+  SELECT CAST(t // 3600000000 AS BIGINT) AS hr,
+         CASE WHEN nxt IS NOT NULL AND nxt - t <= 60000000
+              THEN 1 ELSE 0 END AS cascaded
+  FROM w
+)
+SELECT hr - (SELECT MIN(hr) FROM h) AS hour_index,
+       CAST(COUNT(*) AS BIGINT) AS n_errors,
+       CAST(SUM(cascaded) AS BIGINT) AS n_cascaded,
+       CAST(SUM(cascaded) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS cascade_rate
+FROM h GROUP BY hr
+"""
+
+
+@query("error_cascade_rate", _CASCADE_ORACLE)
+def error_cascade_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly share of errors re-fired by the same user within 60 s."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error") & F.col("user_id").isNotNull()
+    )
+    e = ev.select("user_id", F.unix_micros("ts").alias("t"))
+    w = e.select(
+        "t",
+        F.lead("t").over(W.partitionBy("user_id").orderBy("t")).alias("nxt"),
+    )
+    h = w.select(
+        F.floor(F.col("t") / 3_600_000_000).cast("bigint").alias("hr"),
+        F.when(
+            F.col("nxt").isNotNull() & (F.col("nxt") - F.col("t") <= 60_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("cascaded"),
+    )
+    h0 = h.agg(F.min("hr").alias("hr0"))
+    g = h.groupBy("hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+        F.sum("cascaded").cast("bigint").alias("n_cascaded"),
+    )
+    return g.join(F.broadcast(h0)).select(
+        (F.col("hr") - F.col("hr0")).alias("hour_index"),
+        "n_errors",
+        "n_cascaded",
+        (F.col("n_cascaded").cast("double") / F.col("n_errors").cast("double"))
+        .alias("cascade_rate"),
+    )
+
+
+# ----------------------------------------------------------------------
+# rank_stability — does part importance persist across years? Spearman
+# rank correlation between each part's first-year and last-year revenue
+# ranks (parts present in both), on the same doubled-average-rank
+# integer algebra as `spearman_rho` — the catalog-drift read that
+# decides whether last year's top-sellers still deserve their shelf
+# space. Two year aggregates from one scan, one join on partkey, exact
+# DECIMAL(38) rank moments, one final double.
+# ----------------------------------------------------------------------
+
+_RANK_STAB_ORACLE = """
+WITH yr AS (
+  SELECT l_partkey,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS y,
+         CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1, 2
+), span AS (
+  SELECT MIN(y) AS y0, MAX(y) AS y1 FROM yr
+), both_yr AS (
+  SELECT a.l_partkey, a.cents AS c0, b.cents AS c1
+  FROM yr a JOIN yr b ON a.l_partkey = b.l_partkey
+  CROSS JOIN span s
+  WHERE a.y = s.y0 AND b.y = s.y1
+), r AS (
+  SELECT 2 * RANK() OVER (ORDER BY c0) + COUNT(*) OVER (PARTITION BY c0) - 1
+           AS ra,
+         2 * RANK() OVER (ORDER BY c1) + COUNT(*) OVER (PARTITION BY c1) - 1
+           AS rb
+  FROM both_yr
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ra AS DECIMAL(38,0))) AS VARCHAR) AS sa,
+         CAST(SUM(CAST(rb AS DECIMAL(38,0))) AS VARCHAR) AS sb,
+         CAST(SUM(CAST(ra AS DECIMAL(38,0)) * rb) AS VARCHAR) AS sab,
+         CAST(SUM(CAST(ra AS DECIMAL(38,0)) * ra) AS VARCHAR) AS saa,
+         CAST(SUM(CAST(rb AS DECIMAL(38,0)) * rb) AS VARCHAR) AS sbb
+  FROM r
+)
+SELECT n,
+       CAST(CAST(
+         (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+         / SQRT(GREATEST(
+             (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)),
+             1e-300))
+       AS DECIMAL(18,12)) AS DOUBLE) AS rank_corr
+FROM s
+"""
+
+
+@query("rank_stability", _RANK_STAB_ORACLE)
+def rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman correlation of part revenue ranks: first vs last year."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = shared(
+        li.groupBy(
+            "l_partkey",
+            F.year(F.col("l_shipdate").cast("timestamp")).cast("bigint").alias("y"),
+        ).agg(
+            F.sum((F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    span = yr.agg(F.min("y").alias("y0"), F.max("y").alias("y1"))
+    a = yr.join(F.broadcast(span)).filter(F.col("y") == F.col("y0")).select(
+        "l_partkey", F.col("cents").alias("c0")
+    )
+    b = yr.join(F.broadcast(span)).filter(F.col("y") == F.col("y1")).select(
+        "l_partkey", F.col("cents").alias("c1")
+    )
+    both = a.join(b, "l_partkey")
+    ra = 2 * F.rank().over(W.orderBy("c0")) + F.count(F.lit(1)).over(
+        W.partitionBy("c0")
+    ) - 1
+    rb = 2 * F.rank().over(W.orderBy("c1")) + F.count(F.lit(1)).over(
+        W.partitionBy("c1")
+    ) - 1
+    r = both.select(ra.alias("ra"), rb.alias("rb"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d38("ra")).cast("string").alias("sa"),
+        F.sum(d38("rb")).cast("string").alias("sb"),
+        F.sum(d38("ra") * F.col("rb")).cast("string").alias("sab"),
+        F.sum(d38("ra") * F.col("ra")).cast("string").alias("saa"),
+        F.sum(d38("rb") * F.col("rb")).cast("string").alias("sbb"),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    num = dd("n") * dd("sab") - dd("sa") * dd("sb")
+    den = F.sqrt(
+        F.greatest(
+            (dd("n") * dd("saa") - dd("sa") * dd("sa"))
+            * (dd("n") * dd("sbb") - dd("sb") * dd("sb")),
+            F.lit(1e-300),
+        )
+    )
+    return s.select(
+        "n", (num / den).cast("decimal(18,12)").cast("double").alias("rank_corr")
+    )

@@ -910,3 +910,16 @@ def test_attribute_split_covers_all_lines(spark):
               SELECT p_partkey FROM '{SF_DIR}/part.parquet')"""
     ).fetchone()[0]
     assert sum(r.n_lines for r in rows) == n
+
+
+def test_error_cascade_rate_bounds(spark):
+    rows = QUERIES["error_cascade_rate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_cascaded <= r.n_errors, r
+        assert abs(r.cascade_rate - r.n_cascaded / r.n_errors) < 1e-12, r
+
+
+def test_rank_stability_in_correlation_range(spark):
+    r = QUERIES["rank_stability"](spark, SF_DIR).collect()[0]
+    assert r.n >= 2 and -1.0 <= r.rank_corr <= 1.0, r
