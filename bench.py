@@ -338,6 +338,19 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The driver captures only the tail of stdout; the full per-query dict
+    # above can exceed that capture (227+ queries ≈ 8 KB truncated the r4
+    # line head). Emit a compact total-only line LAST so the driver always
+    # has a parseable JSON line.
+    compact = {
+        "metric": "headline_query_set_total",
+        "value": out["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": out["sf"],
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -29,6 +29,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Cap for the size-guarded broadcast hint below. 128 MiB of Catalyst's
+# sizeInBytes estimate (≈ compressed parquet bytes for a scan) expands to
+# well under the 8 GB broadcast hard limit in memory, and every dim table
+# at bench scale (sf ≤ 1) is a few MB — so the guard keeps the star-join
+# plan at bench scale and degrades to Catalyst's own choice (sort-merge,
+# AQE-re-planned) when the same table is SF-scaled to 100 TB.
+_BCAST_MAX_BYTES = 128 << 20
+
+
+def bcast_if_small(df: DataFrame, max_bytes: int = _BCAST_MAX_BYTES) -> DataFrame:
+    """A broadcast hint that DEGRADES instead of OOMing the driver.
+
+    `F.broadcast(dim)` is the right star-join plan while `dim` is small —
+    the DistributedCache map-side join (`DistributedCache.java:87`) — but a
+    FORCED hint never falls back: at TPC-H 100 TB `customer` is ~15 B rows
+    and the hint becomes a driver OOM / 8 GB broadcast-limit error instead
+    of a sort-merge join. This guard reads Catalyst's own driver-side
+    `sizeInBytes` statistic (parquet footers; no job is run) and only
+    attaches the hint below `max_bytes` — the same degrade discipline as
+    the `_UGC_BCAST_MAX` vocabulary cap in `plans/queries_lm.py`."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:  # estimation unavailable → let Catalyst decide alone
+        return df
+    return F.broadcast(df) if est <= max_bytes else df
+
+
 def composite_inner(key: str, *sources: DataFrame) -> DataFrame:
     """`inner(a,b,...)`: emit only keys present in ALL sources, full cross
     product of per-source matches (`InnerJoinRecordReader.java:34`)."""

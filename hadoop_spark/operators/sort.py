@@ -113,7 +113,12 @@ def global_rank(df: DataFrame, *cols: Column | str, out: str = "rank") -> DataFr
 
     n = max(2, df.sparkSession.sparkContext.defaultParallelism)
     parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    # persist() pins ONE materialization of the range exchange: the sizes
+    # branch and the main branch otherwise each plan their OWN exchange
+    # (no ReuseExchange, verified empirically), and RangePartitioner
+    # samples boundaries per-exchange — mismatched boundaries would join
+    # offsets against the wrong partition ids.
+    with_pid = parted.withColumn("__pid", F.spark_partition_id()).persist()
     sizes = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = sizes.select(
@@ -153,8 +158,13 @@ def global_running_sum(
     v = F.col(value) if isinstance(value, str) else value
     n = max(2, df.sparkSession.sparkContext.defaultParallelism)
     parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    with_pid = parted.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__v", v
+    # Single pinned materialization of the range exchange — see
+    # global_rank for why (independent exchanges may sample different
+    # boundaries, mis-keying the offset join).
+    with_pid = (
+        parted.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", v)
+        .persist()
     )
     sizes = with_pid.groupBy("__pid").agg(F.sum("__v").alias("__t"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -169,5 +179,57 @@ def global_running_sum(
     return (
         with_pid.join(F.broadcast(offsets), "__pid")
         .withColumn(out, F.sum("__v").over(w_in) + F.col("__off"))
+        .drop("__pid", "__off", "__v")
+    )
+
+
+def global_running_max(
+    df: DataFrame,
+    value: Column | str,
+    *cols: Column | str,
+    out: str = "runmax",
+    inclusive: bool = False,
+) -> DataFrame:
+    """Scalable exact global PREFIX MAX of `value` in `cols` order — the
+    distributed form of `MAX(x) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING [AND 1 PRECEDING])`, which Spark would otherwise execute as
+    a SINGLE-partition window over the whole table. Same two-level scan
+    as :func:`global_running_sum`: range-repartition on the sort key,
+    running max WITHIN each partition, then combine with the prefix max
+    of the PRECEDING partitions' totals (a tiny #partitions-row window,
+    broadcast back). `cols` must be a unique key.
+
+    With ``inclusive=False`` (the default, the watermark-replay shape)
+    the first global row gets NULL — no preceding row exists — exactly
+    like the single-partition exclusive window it replaces."""
+    from pyspark.sql import Window
+
+    v = F.col(value) if isinstance(value, str) else value
+    n = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    # Single pinned materialization of the range exchange — see
+    # global_rank for why.
+    with_pid = (
+        parted.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", v)
+        .persist()
+    )
+    totals = with_pid.groupBy("__pid").agg(F.max("__v").alias("__t"))
+    # Prefix max over partitions STRICTLY BEFORE pid: O(#partitions) rows.
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select("__pid", F.max("__t").over(w_off).alias("__off"))
+    upper = 0 if inclusive else -1
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    # greatest() skips NULLs: first row of a partition has NULL within-max
+    # (exclusive mode) and partition 0 has NULL offset; only the very
+    # first global row ends up NULL overall — matching the exclusive
+    # single-partition window's semantics exactly.
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.greatest(F.max("__v").over(w_in), F.col("__off")))
         .drop("__pid", "__off", "__v")
     )

@@ -49,67 +49,62 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's correctness run checks the FIRST 50 registry entries per
 # round, so the window is rotated each round until every query has a green
-# driver row (rotation ledger: COVERAGE.md). Round 4's window = the red r3
-# row (source_profile, oracle typing fixed this round) + 49 queries that
-# have never had a driver row in r1-r3 (text-tail, cluster, ALL of stream,
-# ALL of mlprep, workloads head). The remaining never-checked queries are
-# scheduled for the r5 window.
-#
-# ROUND-5 PLAN (next session: replace _R4_WINDOW with _R5_WINDOW): take
-# the 50 ledger rows marked "r5 scheduled" in COVERAGE.md (io tails,
-# graph, lm, stats, cluster remainders, r4-first-half additions); the
-# ~41 r4b additions (ledger: "r6 scheduled") fill round 6's window.
-_R4_WINDOW = [
-    "source_profile",
-    "repetition_signals",
-    "source_cap_sample",
-    "tfidf_topterms",
-    "word_lift",
-    "kmeans_assign",
-    "ann_pq_adc",
-    "ann_pq_recall",
-    "ann_ivfpq_topk",
-    "cluster_purity",
-    "tumbling_window",
-    "sliding_window",
-    "session_window_agg",
-    "stream_dedup",
-    "late_events",
-    "stateful_running_agg",
-    "hierarchical_rollup",
-    "stream_stream_join",
-    "incremental_merge",
-    "batch_sessionize",
-    "time_weighted_avg",
-    "ohlc_bars",
-    "cohort_retention",
-    "funnel_counts",
-    "stream_static_enrich",
-    "stream_kmv_distinct",
-    "stream_windowed_kmv",
-    "session_funnel_pipeline",
-    "validity_intervals",
-    "top_movers",
-    "pivot_flag_status",
-    "heavy_hitters",
-    "train_test_split",
-    "gap_fill_events",
-    "numeric_profile",
-    "zscore_by_group",
-    "sequence_packing",
-    "decontaminate",
-    "stratified_sample",
-    "data_quality_audit",
-    "gap_fill_interp",
-    "numeric_histogram",
-    "pretrain_mix",
-    "mixture_sample",
-    "length_buckets",
-    "teragen_sort",
-    "teravalidate",
-    "pi_estimate",
-    "random_text_stats",
-    "xml_records",
+# driver row (rotation ledger: COVERAGE.md). Round 5's window = the 50
+# ledger rows marked "r5 scheduled": io tails (compression, commit,
+# multimodal plumbing), graph head (pagerank/bfs/triangles), lm/text
+# remainders, stats remainders, and the r4-first-half additions. The r4b
+# additions (ledger: "r6 scheduled") fill round 6's window.
+_R5_WINDOW = [
+    "bad_record_skip",
+    "multi_input_union",
+    "search_fanout_nqueens",
+    "job_pipeline",
+    "bigram_counts",
+    "inverted_index",
+    "triangle_count",
+    "lsh_candidate_quality",
+    "pipe_counter_rows",
+    "gzip_text_read",
+    "multimodal_decode",
+    "schema_evolution_read",
+    "distcp_roundtrip",
+    "compact_small_files",
+    "pipe_shipped_script",
+    "multi_named_outputs",
+    "combine_small_read",
+    "auto_input_mixed",
+    "partition_overwrite",
+    "pyds_fixed_width_roundtrip",
+    "image_patch_grid",
+    "audio_rms_windows",
+    "dedup_paragraph",
+    "bigram_lm_score",
+    "quality_classifier",
+    "chunk_documents",
+    "incremental_dedup",
+    "bpe_pair_counts",
+    "chi2_terms",
+    "source_tv_divergence",
+    "token_gini",
+    "pagerank",
+    "bfs_hops",
+    "ewma_smooth",
+    "linreg_per_group",
+    "anomaly_mad",
+    "winsorized_stats",
+    "linreg_residuals",
+    "pareto_frontier",
+    "repeated_substrings",
+    "fuzzy_match_names",
+    "event_transitions",
+    "bpe_learn_merges",
+    "assoc_rules",
+    "attribution_touch",
+    "benford_digits",
+    "degree_distribution",
+    "kmeans_iterate",
+    "temperature_mix",
+    "label_propagation",
 ]
 
 
@@ -143,10 +138,10 @@ def load_all() -> None:
     # Deterministic window rotation: pull this round's 50-query window to
     # the front of the registry (dict order IS driver order); everything
     # else keeps its registration order behind it.
-    missing = [n for n in _R4_WINDOW if n not in QUERIES]
+    missing = [n for n in _R5_WINDOW if n not in QUERIES]
     if missing:  # a renamed query must fail loudly, not silently shrink
-        raise RuntimeError(f"_R4_WINDOW names not registered: {missing}")
-    front = {n: QUERIES[n] for n in _R4_WINDOW}
+        raise RuntimeError(f"_R5_WINDOW names not registered: {missing}")
+    front = {n: QUERIES[n] for n in _R5_WINDOW}
     rest = {n: f for n, f in QUERIES.items() if n not in front}
     QUERIES.clear()
     QUERIES.update(front)

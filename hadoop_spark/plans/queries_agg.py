@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.functions.hashing import portable_hash64_sql
 from hadoop_spark.operators.aggregate import aggregate, value_histogram
+from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table, shared
 
@@ -1243,7 +1244,7 @@ def market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     sr = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(bcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
         .agg(
             F.sum((F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
@@ -1660,7 +1661,7 @@ def cube_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     cube = shared(
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            bcast_if_small(cust.select("c_custkey", "c_nationkey")),
             orders.o_custkey == F.col("c_custkey"),
         )
         .join(
@@ -2126,7 +2127,7 @@ def hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region")
     leaf = shared(
         orders.join(
-            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            bcast_if_small(cust), F.col("o_custkey") == F.col("c_custkey")
         )
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import dsum, dsum_sql
 from hadoop_spark.operators.graph import cooccurrence_pairs, symmetrize
+from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table, shared
 
@@ -784,7 +785,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     la = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("ba"))
     lb = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bb"))
     e = shared(
-        pairs.join(F.broadcast(la), "u").join(F.broadcast(lb), "v").select("ba", "bb")
+        pairs.join(bcast_if_small(la), "u").join(bcast_if_small(lb), "v").select("ba", "bb")
     )
     m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     intra = (
@@ -875,7 +876,7 @@ def community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     la = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("ba"))
     lb = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bb"))
     e = shared(
-        pairs.join(F.broadcast(la), "u").join(F.broadcast(lb), "v").select("ba", "bb")
+        pairs.join(bcast_if_small(la), "u").join(bcast_if_small(lb), "v").select("ba", "bb")
     )
     m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     intra = (

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.functions.hashing import portable_hash64_sql
 from hadoop_spark.functions.numeric import dsum, dsum_sql
+from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table, shared
 
@@ -2381,7 +2382,7 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     j = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        bcast_if_small(cust.select("c_custkey", "c_nationkey")),
         orders.o_custkey == F.col("c_custkey"),
     ).select(
         F.col("c_nationkey").alias("nationkey"),
@@ -4079,7 +4080,7 @@ def churn_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("day"),
-    ).join(F.broadcast(cust), "o_custkey")
+    ).join(bcast_if_small(cust), "o_custkey")
     wo = Window.partitionBy("o_custkey").orderBy("day")
     gaps = d.select(
         "o_custkey",

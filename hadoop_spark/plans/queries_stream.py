@@ -128,11 +128,10 @@ FROM wm WHERE ts_us < wm_us
 @query("late_events", _LATE_ORACLE)
 def late_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which events a 10-min watermark would drop, replayed in batch over a
-    hash-shuffled (out-of-order) arrival sequence.
-    NB: the running max over arrival order is a single global window — in
-    batch this is the one intentionally non-scalable demo (watermark
-    tracking is O(1) state per partition in the real stream; see
-    tests/test_streaming.py for the streaming execution)."""
+    hash-shuffled (out-of-order) arrival sequence. The running max over
+    arrival order rides `global_running_max`'s two-level scan (no
+    single-partition window anywhere); the real streaming execution is in
+    tests/test_streaming.py."""
     from hadoop_spark.functions.hashing import portable_hash64
 
     ev = load_table(spark, sf_dir, "events").withColumn(

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_spark.functions import text as tx
+from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import fanout_small, load_table, shared
 
@@ -1557,7 +1558,7 @@ def attribute_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(sp, F.lit(2)).alias("noun"),
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(bcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("noun", "p_type")
         .agg(
             F.count_distinct("p_partkey").cast("bigint").alias("n_parts"),

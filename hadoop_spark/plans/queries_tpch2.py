@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import davg_sql, dsum, dsum_sql
+from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table, shared
 
@@ -78,7 +79,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     return (
-        shipped.join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+        shipped.join(bcast_if_small(part), shipped.l_partkey == part.p_partkey)
         .join(F.broadcast(euro), shipped.l_suppkey == euro.s_suppkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "p_size")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
@@ -158,8 +159,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(bcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
+        .join(bcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(
@@ -217,10 +218,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bcast_if_small(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(bcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
+        .join(bcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
@@ -258,9 +259,9 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bcast_if_small(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(bcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -377,7 +378,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bcast_if_small(part), li.l_partkey == part.p_partkey)
         .agg((F.lit(100.0) * dsum(promo, 8) / dsum(rev, 8)).alias("promo_revenue"))
     )
 
@@ -418,7 +419,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("best_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(bcast_if_small(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -440,7 +441,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bcast_if_small(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -469,7 +470,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bcast_if_small(part), li.l_partkey == part.p_partkey)
         .join(avgq, F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg((dsum(F.col("l_extendedprice"), 8) / F.lit(7.0)).alias("avg_yearly"))
@@ -495,7 +496,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides along as a post-join filter Catalyst can partially push."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(bcast_if_small(part), li.l_partkey == part.p_partkey)
     q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     cond = (
         ((b == "Brand#1") & s.between(1, 10) & q.between(1, 15))
@@ -533,7 +534,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     shipped = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bcast_if_small(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum(F.col("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 100)
@@ -612,7 +613,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(bcast_if_small(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -109,17 +109,22 @@ def late_events(events: DataFrame, *arrival_cols: str) -> DataFrame:
     order (`arrival_cols`, default event_id), track the running max event
     time, and flag events older than (running max − 10 min) — exactly the
     rows a 10-minute watermark would drop. Returns the dropped rows with
-    their lateness."""
-    from pyspark.sql import Window
+    their lateness.
+
+    The running max rides :func:`global_running_max`'s two-level scan
+    (range-partition on arrival key → per-partition running max →
+    broadcast prefix-max of per-partition maxes), so NO stage funnels the
+    whole table through one task — the batch twin now scales like the
+    real streaming watermark (O(1) state per partition)."""
+    from hadoop_spark.operators.sort import global_running_max
 
     arrival_cols = arrival_cols or ("event_id",)
-    w = Window.orderBy(
-        *[F.col(c).asc() for c in arrival_cols]
-    ).rowsBetween(Window.unboundedPreceding, -1)
     ts_us = F.unix_micros("ts")
-    running_max = F.max(ts_us).over(w)
+    with_max = global_running_max(
+        events, ts_us, *arrival_cols, out="__runmax", inclusive=False
+    )
     return (
-        events.withColumn("wm_us", running_max - WATERMARK_DELAY_US)
+        with_max.withColumn("wm_us", F.col("__runmax") - WATERMARK_DELAY_US)
         .filter(ts_us < F.col("wm_us"))
         .select(
             "event_id",
@@ -245,8 +250,12 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     Works identically on a batch `events` frame (the oracle-checked
     catalog query) and a readStream frame (tests/test_streaming.py) —
     the unified-API contract."""
+    from hadoop_spark.operators.join import bcast_if_small
+
     joined = events.join(
-        F.broadcast(dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        bcast_if_small(
+            dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        ),
         "user_id",
     )
     return (

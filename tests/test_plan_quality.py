@@ -939,3 +939,16 @@ def test_privacy_audit_two_aggregations_no_join(spark):
     plan = _plan(spark, "privacy_risk_audit")
     assert "Join" not in plan, plan
     assert _shuffles(plan) <= 3, plan
+
+
+def test_late_events_running_max_is_two_level(spark):
+    """late_events' batch watermark replay must run the PARALLEL prefix
+    max (range-repartition on arrival key → per-partition running max →
+    broadcast prefix-max of per-partition totals): the only
+    single-partition work is the #partitions-row offset table. A plain
+    MAX-OVER global window here would drag every event through one task
+    at 100× scale."""
+    plan = _plan(spark, "late_events")
+    assert "rangepartitioning" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "BroadcastExchange" in plan, plan
