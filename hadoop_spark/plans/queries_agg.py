@@ -2210,3 +2210,77 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         tax.alias("tax_collected"),
         (gross - disc + tax).alias("net_charge"),
     )
+
+
+# ----------------------------------------------------------------------
+# value_iter_reset — reducer value-iterator MARK/RESET parity
+# (`MR-CORE/mapred/BackupStore.java:630`, exercised by
+# `MR-JC .../mapreduce/TestValueIterReset.java`): the reference lets a
+# reducer mark the value iterator, drain it once, reset, and iterate the
+# SAME group's values again — the canonical use being a two-pass
+# statistic (first pass for the mean, second for per-value deviations).
+# Spark's `applyInPandas` hands the reducer the whole group as an Arrow
+# batch, so re-iteration is free; the two explicit sequential passes
+# below are the BackupStore analog, and all arithmetic is integer cents
+# (|v·n − Σv| avoids the mean division) so the result is bit-exact
+# against the oracle. Scale: one shuffle on the group key; a group is
+# buffered in memory exactly as BackupStore buffers (and spills) it —
+# for groups beyond memory the relational rewrite is the two-aggregation
+# join this oracle itself uses.
+# ----------------------------------------------------------------------
+
+_VIR_ORACLE = """
+WITH g AS (
+  SELECT l_suppkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), s AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM g GROUP BY l_suppkey
+)
+SELECT g.l_suppkey,
+       MAX(s.n) AS n,
+       MAX(s.sum_cents) AS sum_cents,
+       CAST(SUM(ABS(g.cents * s.n - s.sum_cents)) AS BIGINT) AS absdev_num
+FROM g JOIN s ON g.l_suppkey = s.l_suppkey
+GROUP BY g.l_suppkey
+"""
+
+
+@query("value_iter_reset", _VIR_ORACLE)
+def value_iter_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass per-group reducer (mean, then total |deviation|·n) that
+    re-iterates the group's buffered values — BackupStore mark/reset
+    parity (`mapred/BackupStore.java:630`, `TestValueIterReset.java`)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def two_pass(pdf):
+        import pandas as pd
+
+        vals = pdf["cents"].tolist()
+        # pass 1: drain the iterator for count + sum (the marked pass)
+        n = 0
+        total = 0
+        for v in vals:
+            n += 1
+            total += int(v)
+        # reset(): iterate the SAME buffered values a second time
+        absdev = 0
+        for v in vals:
+            absdev += abs(int(v) * n - total)
+        return pd.DataFrame(
+            {
+                "l_suppkey": [int(pdf["l_suppkey"].iloc[0])],
+                "n": [n],
+                "sum_cents": [total],
+                "absdev_num": [absdev],
+            }
+        )
+
+    return li.groupBy("l_suppkey").applyInPandas(
+        two_pass,
+        "l_suppkey bigint, n bigint, sum_cents bigint, absdev_num bigint",
+    )

@@ -1034,11 +1034,17 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    # The recursion's true size is n_customers x max_orders_per_customer
-    # (width x depth, both data-bounded); Spark's default 1M-row safety
-    # valve trips at ~30x the test scale (found by scripts/scale_probe.py),
-    # so raise it defensively the way _prep pins session invariants.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
+    # The recursion's true size is n_customers + n_orders rows total
+    # (anchor + one row per order); Spark's default 1M-row safety valve
+    # trips at ~30x the test scale (found by scripts/scale_probe.py). A
+    # try/finally restore would reset the conf before the lazy plan
+    # EXECUTES, so instead raise it to a DATA-BOUNDED value (4x the exact
+    # row budget) — the runaway-recursion valve stays armed for any
+    # genuinely divergent recursion that runs later in the same session.
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    bound = max(1_000_000, 4 * (n_orders + n_cust))
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))
     return spark.sql(_REC_CHAIN_SQL)
 
 

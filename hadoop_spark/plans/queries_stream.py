@@ -421,10 +421,10 @@ WITH ev AS (
   FROM events
 )
 SELECT user_id, bar,
-       arg_min(v_micro, k) AS open_micro,
+       (MIN(struct_pack(k := k, v := v_micro))).v AS open_micro,
        CAST(MAX(v_micro) AS BIGINT) AS high_micro,
        CAST(MIN(v_micro) AS BIGINT) AS low_micro,
-       arg_max(v_micro, k) AS close_micro,
+       (MAX(struct_pack(k := k, v := v_micro))).v AS close_micro,
        CAST(COUNT(*) AS BIGINT) AS n_ticks
 FROM ev GROUP BY user_id, bar
 """
@@ -444,11 +444,15 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") * 4096 + F.col("event_id") % 4096).alias("k"),
         F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
     )
+    # min/max over the (k, v_micro) struct, not min_by/max_by on k alone:
+    # k can collide (same microsecond ts, event_id equal mod 4096), and on
+    # a k-tie min_by is engine/partition-order nondeterministic while the
+    # lexicographic struct order stays total.
     return ev.groupBy("user_id", "bar").agg(
-        F.min_by("v_micro", "k").alias("open_micro"),
+        F.min(F.struct("k", "v_micro")).getField("v_micro").alias("open_micro"),
         F.max("v_micro").alias("high_micro"),
         F.min("v_micro").alias("low_micro"),
-        F.max_by("v_micro", "k").alias("close_micro"),
+        F.max(F.struct("k", "v_micro")).getField("v_micro").alias("close_micro"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
 
@@ -981,10 +985,10 @@ WITH ev AS (
   FROM events
 )
 SELECT event_type, bar,
-       arg_min(v_micro, k) AS open_micro,
+       (MIN(struct_pack(k := k, v := v_micro))).v AS open_micro,
        CAST(MAX(v_micro) AS BIGINT) AS high_micro,
        CAST(MIN(v_micro) AS BIGINT) AS low_micro,
-       arg_max(v_micro, k) AS close_micro,
+       (MAX(struct_pack(k := k, v := v_micro))).v AS close_micro,
        CAST(COUNT(*) AS BIGINT) AS n_ticks
 FROM ev GROUP BY event_type, bar
 """
