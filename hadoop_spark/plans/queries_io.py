@@ -1698,3 +1698,106 @@ def audio_peak_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ = decode_wav  # documented shared decode path (full parse used above)
     return media.mapInPandas(run, schema)
+
+
+# ----------------------------------------------------------------------
+# distcp_incremental — DistCp snapshot-diff sync (`hadoop-tools/
+# hadoop-distcp/.../DistCp.java:60`, the `-diff <from> <to>` mode): a
+# mirror holds snapshot A; the source advances to snapshot B; the sync
+# must re-copy ONLY the partitions that changed, never the whole table.
+# Change detection is a per-partition content fingerprint (bit_xor of
+# row hashes — order-insensitive, overflow-free, computed map-side on
+# both sides), so diffing two 100 TB mirrors shuffles one 8-byte hash
+# per partition key. The changed-partition list is O(#partitions) driver
+# data (the same cardinality as a partition listing), and the copy is a
+# dynamic-partition-overwrite job-committed write of just those
+# partitions. The `synced` flag in the result encodes WHICH partitions
+# were re-copied, so a lazy full recopy (or a missed change) cannot
+# hash-match the oracle; file-level laziness (untouched partitions'
+# files not rewritten) is pinned in tests/test_distcp_incremental.py.
+# ----------------------------------------------------------------------
+
+_DISTCP_INC_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(CASE WHEN event_type = 'error'
+                               THEN value * 2 ELSE value END
+                          AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT)
+         AS synced
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("distcp_incremental", _DISTCP_INC_ORACLE)
+def distcp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-partitions-only mirror sync: snapshot A mirrored, source
+    advances to B ('error' values doubled), per-partition bit_xor row
+    fingerprints picked the changed slice, only that slice re-copied."""
+    from hadoop_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("value"),
+    )
+    mirror = _scratch(sf_dir, "distcp_inc_mirror")
+    # 1. the mirror holds snapshot A
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(mirror)
+    # 2. the source advances to snapshot B
+    snap_b = ev.withColumn(
+        "value",
+        F.when(
+            F.col("event_type") == "error",
+            (F.col("value") * 2).cast("decimal(18,4)"),
+        ).otherwise(F.col("value")),
+    )
+
+    def fp(df):
+        h = portable_hash64(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("|"),
+                F.col("value").cast("string"),
+            )
+        )
+        return (
+            df.select("event_type", h.alias("h"))
+            .groupBy("event_type")
+            .agg(F.expr("bit_xor(h)").alias("fp"))
+        )
+
+    src_fp = fp(snap_b).withColumnRenamed("fp", "src_fp")
+    dst_fp = fp(
+        spark.read.schema(ev.schema).parquet(mirror)
+    ).withColumnRenamed("fp", "dst_fp")
+    diff = src_fp.join(dst_fp, "event_type", "full_outer").filter(
+        ~F.col("src_fp").eqNullSafe(F.col("dst_fp"))
+    )
+    # O(#partitions) rows — the same driver-side cardinality as DistCp's
+    # copy listing of changed paths.
+    changed = [r["event_type"] for r in diff.select("event_type").collect()]
+    # 3. re-copy ONLY the changed partitions (dynamic overwrite commits
+    # per-partition; untouched partitions' files are not rewritten)
+    if changed:
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                snap_b.filter(F.col("event_type").isin(changed))
+                .write.mode("overwrite")
+                .partitionBy("event_type")
+                .parquet(mirror)
+            )
+        finally:
+            spark.conf.set(mode_key, prev)
+    back = spark.read.schema(ev.schema).parquet(mirror)
+    synced = F.when(F.col("event_type").isin(changed), 1).otherwise(0)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("double").alias("sum_value"),
+        F.max(synced).cast("bigint").alias("synced"),
+    )
