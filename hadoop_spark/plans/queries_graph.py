@@ -183,8 +183,9 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_nationkey") == 0)
         .select(F.col("s_suppkey").alias("node"), F.lit(0).alias("seed_d"))
     )
-    # seeds is nation-sized-small relative to the graph: broadcast it
-    dists = nodes.join(F.broadcast(seeds), "node", "left").select(
+    # seeds is one nation's suppliers — graph-small but SF-scaling, so
+    # the broadcast is size-guarded
+    dists = nodes.join(bcast_if_small(seeds), "node", "left").select(
         "node", F.coalesce(F.col("seed_d"), F.lit(_INF)).alias("dist")
     )
     for _ in range(_HOPS):
@@ -311,7 +312,7 @@ def weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_nationkey") == 0)
         .select(F.col("s_suppkey").alias("node"), F.lit(0).alias("seed_d"))
     )
-    dists = nodes.join(F.broadcast(seeds), "node", "left").select(
+    dists = nodes.join(bcast_if_small(seeds), "node", "left").select(
         "node", F.coalesce(F.col("seed_d"), F.lit(_WSSSP_INF)).alias("dist")
     )
     for _ in range(_WSSSP_ROUNDS):
@@ -467,9 +468,9 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     ej = (
-        edges.join(F.broadcast(deg.select("s", F.col("dg").alias("dx"))), "s")
+        edges.join(bcast_if_small(deg.select("s", F.col("dg").alias("dx"))), "s")
         .join(
-            F.broadcast(
+            bcast_if_small(
                 deg.select(F.col("s").alias("d"), F.col("dg").alias("dy"))
             ),
             "d",
