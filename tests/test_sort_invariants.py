@@ -60,3 +60,46 @@ def test_key_slice_partitioning_colocates_prefixes(spark):
         .agg(F.countDistinct("pid").alias("n_pids"))
     )
     assert check.filter(F.col("n_pids") > 1).count() == 0
+
+
+def test_global_running_max_matches_single_partition_window(spark):
+    """Two-level prefix max == the single-partition exclusive window it
+    replaces, on a shuffled-arrival events sample (the late_events
+    shape), including the NULL for the very first global row."""
+    from pyspark.sql import Window
+
+    from hadoop_spark.operators.sort import global_running_max
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", F.unix_micros("ts").alias("v"))
+        .withColumn("arr", F.hash("event_id").cast("bigint"))
+        .limit(5000)
+    )
+    got = global_running_max(ev, "v", "arr", "event_id", out="m")
+    w = Window.orderBy("arr", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = ev.withColumn("m", F.max("v").over(w))
+    cols = ["event_id", "m"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+def test_global_running_max_inclusive(spark):
+    from pyspark.sql import Window
+
+    from hadoop_spark.operators.sort import global_running_max
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", F.col("value").alias("v"))
+        .limit(2000)
+    )
+    got = global_running_max(ev, "v", "event_id", out="m", inclusive=True)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = ev.withColumn("m", F.max("v").over(w))
+    assert sorted(map(tuple, got.select("event_id", "m").collect())) == sorted(
+        map(tuple, want.select("event_id", "m").collect())
+    )
