@@ -270,6 +270,91 @@ BENCH_QUERIES = [
     "attribute_split_profile",
     "error_cascade_rate",
     "rank_stability",
+    # round 5: widen the headline set to the rest of the substantive
+    # in-engine queries — the full TPC-H suite, the join family, the
+    # remaining dedup/ANN/text/agg/stream operators, and the round's
+    # additions. (IO/pipe roundtrips stay out: they time scratch-disk
+    # writes, not engine plans.)
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "asof_join_events",
+    "range_join_events",
+    "bucketed_join_agg",
+    "salted_skew_join",
+    "broadcast_dim_join",
+    "semi_join",
+    "anti_join",
+    "join_multiplicity",
+    "composite_join_inner",
+    "composite_join_outer",
+    "override_join",
+    "map_lookup_enrich",
+    "recursive_order_chain",
+    "late_events",
+    "ohlc_bars",
+    "batch_sessionize",
+    "cohort_retention",
+    "funnel_counts",
+    "time_weighted_avg",
+    "stream_dedup",
+    "stateful_running_agg",
+    "incremental_merge",
+    "top_movers",
+    "validity_intervals",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_keep_best",
+    "incremental_dedup",
+    "ann_ivf_topk",
+    "ann_ivf_materialized",
+    "ann_recall",
+    "ann_pq_recall",
+    "lsh_candidate_quality",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "vocab_coverage",
+    "pii_scrub",
+    "chi2_terms",
+    "bpe_learn_merges",
+    "bpe_pair_counts",
+    "cube_agg",
+    "rollup_agg",
+    "grouping_sets",
+    "percentile_profile",
+    "countmin_sketch",
+    "kmv_distinct_sketch",
+    "uniq_approx",
+    "zscore_by_group",
+    "numeric_profile",
+    "stratified_sample",
+    "data_quality_audit",
+    "benford_digits",
+    "degree_distribution",
+    "ewma_smooth",
+    "linreg_per_group",
+    "attribution_touch",
+    "value_iter_reset",
+    "global_topk",
+    "topk_per_group",
+    "running_totals",
+    "total_order_rank",
 ]
 
 
