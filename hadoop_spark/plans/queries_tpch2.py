@@ -80,7 +80,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shipped.join(bcast_if_small(part), shipped.l_partkey == part.p_partkey)
-        .join(F.broadcast(euro), shipped.l_suppkey == euro.s_suppkey)
+        .join(bcast_if_small(euro), shipped.l_suppkey == euro.s_suppkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "p_size")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
