@@ -1706,9 +1706,11 @@ def audio_peak_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror holds snapshot A; the source advances to snapshot B; the sync
 # must re-copy ONLY the partitions that changed, never the whole table.
 # Change detection is a per-partition content fingerprint (bit_xor of
-# row hashes — order-insensitive, overflow-free, computed map-side on
-# both sides), so diffing two 100 TB mirrors shuffles one 8-byte hash
-# per partition key. The changed-partition list is O(#partitions) driver
+# row hashes — order-insensitive, overflow-free, computed map-side): the
+# mirror side comes from an O(#partitions)-row MANIFEST written at
+# mirror time, so a sync scans only the SOURCE — the mirror is never
+# re-read to be diffed (the lakehouse equivalent of the HDFS snapshots
+# the reference's `-diff` relies on). The changed-partition list is O(#partitions) driver
 # data (the same cardinality as a partition listing), and the copy is a
 # dynamic-partition-overwrite job-committed write of just those
 # partitions. The `synced` flag in the result encodes WHICH partitions
@@ -1769,10 +1771,16 @@ def distcp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("bit_xor(h)").alias("fp"))
         )
 
+    # The mirror's fingerprints come from a MANIFEST written at mirror
+    # time (O(#partitions) rows), not from rescanning the mirror: at
+    # 100 TB the sync then costs one scan of the SOURCE plus a
+    # partition-count-sized join — the mirror is only ever read to be
+    # served, never to be diffed (HDFS snapshots play this role for the
+    # reference's `-diff`; the manifest is the lakehouse equivalent).
+    manifest = _scratch(sf_dir, "distcp_inc_manifest")
+    fp(ev).write.mode("overwrite").parquet(manifest)
     src_fp = fp(snap_b).withColumnRenamed("fp", "src_fp")
-    dst_fp = fp(
-        spark.read.schema(ev.schema).parquet(mirror)
-    ).withColumnRenamed("fp", "dst_fp")
+    dst_fp = spark.read.parquet(manifest).withColumnRenamed("fp", "dst_fp")
     diff = src_fp.join(dst_fp, "event_type", "full_outer").filter(
         ~F.col("src_fp").eqNullSafe(F.col("dst_fp"))
     )
@@ -1794,6 +1802,9 @@ def distcp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set(mode_key, prev)
+        # refresh the manifest so the NEXT sync diffs against current
+        # mirror state (same O(#partitions) write)
+        fp(snap_b).write.mode("overwrite").parquet(manifest)
     back = spark.read.schema(ev.schema).parquet(mirror)
     synced = F.when(F.col("event_type").isin(changed), 1).otherwise(0)
     return back.groupBy("event_type").agg(
