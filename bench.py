@@ -302,7 +302,8 @@ BENCH_QUERIES = [
     "composite_join_outer",
     "override_join",
     "map_lookup_enrich",
-    "recursive_order_chain",
+    # recursive_order_chain stays excluded (r4d note above): 25-iteration
+    # SQL recursion is correctness surface, not a throughput headline
     "late_events",
     "ohlc_bars",
     "batch_sessionize",
@@ -385,9 +386,10 @@ def main() -> None:
     # compilation, not execution.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    unknown = [n for n in BENCH_QUERIES if n not in QUERIES]
+    if unknown:  # a renamed query must fail loudly, not silently shrink
+        raise RuntimeError(f"BENCH_QUERIES names not registered: {unknown}")
     for name in BENCH_QUERIES:
-        if name not in QUERIES:
-            continue
         runs: list[float] = []
         for it in range(3):
             # Cold, self-contained runs: earlier queries' (and the previous

@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 _BCAST_MAX_BYTES = 128 << 20
 
 
-def bcast_if_small(df: DataFrame, max_bytes: int = _BCAST_MAX_BYTES) -> DataFrame:
+def bcast_if_small(
+    df: DataFrame,
+    max_bytes: int = _BCAST_MAX_BYTES,
+    gauge: DataFrame | None = None,
+) -> DataFrame:
     """A broadcast hint that DEGRADES instead of OOMing the driver.
 
     `F.broadcast(dim)` is the right star-join plan while `dim` is small —
@@ -48,13 +52,21 @@ def bcast_if_small(df: DataFrame, max_bytes: int = _BCAST_MAX_BYTES) -> DataFram
     of a sort-merge join. This guard reads Catalyst's own driver-side
     `sizeInBytes` statistic (parquet footers; no job is run) and only
     attaches the hint below `max_bytes` — the same degrade discipline as
-    the `_UGC_BCAST_MAX` vocabulary cap in `plans/queries_lm.py`."""
+    the `_UGC_BCAST_MAX` vocabulary cap in `plans/queries_lm.py`.
+
+    For a JOIN-derived dim Catalyst's basic stats multiply the input
+    sizes (a filtered supplier⋈nation⋈region measures GBs while the true
+    output is KBs); pass the base table as `gauge` — an inner join's
+    output cannot exceed it, so its estimate is the honest upper bound
+    that still scales with SF."""
     try:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
-    except Exception:  # estimation unavailable → let Catalyst decide alone
-        return df
+        # py4j hands scala.math.BigInt back as a plain Python int for
+        # values that fit; str() round-trip covers both representations
+        src = gauge if gauge is not None else df
+        raw = src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = int(str(raw))
+    except Exception:  # estimation unavailable (e.g. streaming) →
+        return df  # let Catalyst decide alone
     return F.broadcast(df) if est <= max_bytes else df
 
 

@@ -118,6 +118,10 @@ def global_rank(df: DataFrame, *cols: Column | str, out: str = "rank") -> DataFr
     # (no ReuseExchange, verified empirically), and RangePartitioner
     # samples boundaries per-exchange — mismatched boundaries would join
     # offsets against the wrong partition ids.
+    # The cache entry lives until session end (lazy consumers forbid an
+    # in-operator unpersist); callers running many queries in one session
+    # should clearCache() between them the way bench.py does — entries
+    # are MEMORY_AND_DISK, so worst case they spill, never OOM.
     with_pid = parted.withColumn("__pid", F.spark_partition_id()).persist()
     sizes = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -1722,10 +1722,13 @@ def audio_peak_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DISTCP_INC_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(CAST(SUM(CAST(CASE WHEN event_type = 'error'
-                               THEN value * 2 ELSE value END
-                          AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
-         AS sum_value,
+       -- quantize BEFORE doubling, exactly as the query does (cast to
+       -- decimal(18,4) at load, then *2): the other order diverges for
+       -- raw doubles finer than 4 dp
+       CAST(CAST(SUM(CASE WHEN event_type = 'error'
+                          THEN CAST(value AS DECIMAL(18,4)) * 2
+                          ELSE CAST(value AS DECIMAL(18,4)) END)
+            AS VARCHAR) AS DOUBLE) AS sum_value,
        CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT)
          AS synced
 FROM events
@@ -1803,8 +1806,11 @@ def distcp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             spark.conf.set(mode_key, prev)
         # refresh the manifest so the NEXT sync diffs against current
-        # mirror state (same O(#partitions) write)
-        fp(snap_b).write.mode("overwrite").parquet(manifest)
+        # mirror state — reuse the already-computed source fingerprints
+        # (no second source scan; same O(#partitions) write)
+        src_fp.withColumnRenamed("src_fp", "fp").write.mode(
+            "overwrite"
+        ).parquet(manifest)
     back = spark.read.schema(ev.schema).parquet(mirror)
     synced = F.when(F.col("event_type").isin(changed), 1).otherwise(0)
     return back.groupBy("event_type").agg(

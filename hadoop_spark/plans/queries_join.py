@@ -1028,6 +1028,9 @@ GROUP BY o_custkey
 """
 
 
+_REC_CHAIN_BOUNDS: dict[str, int] = {}
+
+
 @query("recursive_order_chain", _REC_CHAIN_SQL)
 def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE clamped-balance walk over each customer's orders."""
@@ -1041,10 +1044,11 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXECUTES, so instead raise it to a DATA-BOUNDED value (4x the exact
     # row budget) — the runaway-recursion valve stays armed for any
     # genuinely divergent recursion that runs later in the same session.
-    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
-    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
-    bound = max(1_000_000, 4 * (n_orders + n_cust))
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))
+    if sf_dir not in _REC_CHAIN_BOUNDS:  # fixtures are immutable per run
+        n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+        _REC_CHAIN_BOUNDS[sf_dir] = max(1_000_000, 4 * (n_orders + n_cust))
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(_REC_CHAIN_BOUNDS[sf_dir]))
     return spark.sql(_REC_CHAIN_SQL)
 
 

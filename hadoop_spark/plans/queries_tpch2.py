@@ -80,7 +80,13 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shipped.join(bcast_if_small(part), shipped.l_partkey == part.p_partkey)
-        .join(bcast_if_small(euro), shipped.l_suppkey == euro.s_suppkey)
+        .join(
+            # euro = supplier⋈nation⋈region: gauge on the base supplier
+            # table (the join can only shrink it; the raw join estimate
+            # is multiplicative and lands in GBs at any SF)
+            bcast_if_small(euro, gauge=supp),
+            shipped.l_suppkey == euro.s_suppkey,
+        )
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "p_size")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
