@@ -952,3 +952,18 @@ def test_late_events_running_max_is_two_level(spark):
     assert "rangepartitioning" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_two_level_scans_pin_one_range_exchange(spark):
+    """The offset branch and the main branch of a two-level scan MUST read
+    the same materialized range exchange: the persist() pins it inside an
+    InMemoryRelation, so the physical plan carries exactly ONE unique
+    rangepartitioning exchange — two independent exchanges would sample
+    range boundaries separately and could mis-key the offset join."""
+    for name in ("late_events", "weighted_systematic_sample", "teragen_sort"):
+        plan = _plan(spark, name)
+        ids = set(
+            re.findall(r"Exchange rangepartitioning.*?\[plan_id=(\d+)\]", plan)
+        )
+        assert len(ids) <= 1, f"{name}: {len(ids)} range exchanges\n{plan}"
+        assert "InMemoryRelation" in plan, name
