@@ -50,10 +50,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver's correctness run checks the FIRST 50 registry entries per
 # round, so the window is rotated each round until every query has a green
 # driver row (rotation ledger: COVERAGE.md). Round 5's window = the 50
-# ledger rows marked "r5 scheduled": io tails (compression, commit,
-# multimodal plumbing), graph head (pagerank/bfs/triangles), lm/text
-# remainders, stats remainders, and the r4-first-half additions. The r4b
-# additions (ledger: "r6 scheduled") fill round 6's window.
+# ledger rows marked "r5 window (this round)": io tails (compression,
+# commit, multimodal plumbing), graph head (pagerank/bfs/triangles),
+# lm/text remainders, stats remainders, and the r4-first-half additions.
+#
+# ROUND-6 PLAN (next session: replace _R5_WINDOW with _R6_WINDOW): take
+# the FIRST 50 of the ~129 ledger rows marked "r6 scheduled" in
+# COVERAGE.md (r4-second-half + r4b additions + value_iter_reset +
+# distcp_incremental); re-mark the overflow "r7 scheduled". Update
+# tests/test_window_contract.py and the ledger in the same commit.
 _R5_WINDOW = [
     "bad_record_skip",
     "multi_input_union",
