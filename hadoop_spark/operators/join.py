@@ -56,9 +56,12 @@ def bcast_if_small(
 
     For a JOIN-derived dim Catalyst's basic stats multiply the input
     sizes (a filtered supplier⋈nation⋈region measures GBs while the true
-    output is KBs); pass the base table as `gauge` — an inner join's
-    output cannot exceed it, so its estimate is the honest upper bound
-    that still scales with SF."""
+    output is KBs); pass `gauge` as an upper-bound stand-in. PRECONDITION
+    the caller must guarantee: |df| ≤ |gauge| in BYTES — true only for
+    key-unique, non-widening joins (each df row matches ≤1 gauge-keyed
+    row and adds only narrow columns). A fan-out join or a row-widening
+    join violates it and re-creates the driver-OOM hazard this guard
+    exists to prevent; when in doubt, don't pass gauge."""
     try:
         # py4j hands scala.math.BigInt back as a plain Python int for
         # values that fit; str() round-trip covers both representations

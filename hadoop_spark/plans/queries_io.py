@@ -1782,7 +1782,10 @@ def distcp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference's `-diff`; the manifest is the lakehouse equivalent).
     manifest = _scratch(sf_dir, "distcp_inc_manifest")
     fp(ev).write.mode("overwrite").parquet(manifest)
-    src_fp = fp(snap_b).withColumnRenamed("fp", "src_fp")
+    # persist: src_fp is consumed twice (the diff collect below and the
+    # manifest refresh after the copy) — without it the refresh would
+    # lazily re-run the full source scan, not reuse the result
+    src_fp = fp(snap_b).withColumnRenamed("fp", "src_fp").persist()
     dst_fp = spark.read.parquet(manifest).withColumnRenamed("fp", "dst_fp")
     diff = src_fp.join(dst_fp, "event_type", "full_outer").filter(
         ~F.col("src_fp").eqNullSafe(F.col("dst_fp"))

@@ -1028,7 +1028,7 @@ GROUP BY o_custkey
 """
 
 
-_REC_CHAIN_BOUNDS: dict[str, int] = {}
+_REC_CHAIN_BOUNDS: dict[tuple[str, float], int] = {}
 
 
 @query("recursive_order_chain", _REC_CHAIN_SQL)
@@ -1044,11 +1044,20 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXECUTES, so instead raise it to a DATA-BOUNDED value (4x the exact
     # row budget) — the runaway-recursion valve stays armed for any
     # genuinely divergent recursion that runs later in the same session.
-    if sf_dir not in _REC_CHAIN_BOUNDS:  # fixtures are immutable per run
+    import os as _os
+
+    # cache key carries the fixture's mtime so a regenerated dataset at
+    # the same path can't serve a stale (too-small) bound
+    try:
+        mt = _os.path.getmtime(f"{sf_dir}/orders.parquet")
+    except OSError:
+        mt = 0.0
+    key = (sf_dir, mt)
+    if key not in _REC_CHAIN_BOUNDS:
         n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
         n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
-        _REC_CHAIN_BOUNDS[sf_dir] = max(1_000_000, 4 * (n_orders + n_cust))
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(_REC_CHAIN_BOUNDS[sf_dir]))
+        _REC_CHAIN_BOUNDS[key] = max(1_000_000, 4 * (n_orders + n_cust))
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(_REC_CHAIN_BOUNDS[key]))
     return spark.sql(_REC_CHAIN_SQL)
 
 
