@@ -49,67 +49,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's correctness run checks the FIRST 50 registry entries per
 # round, so the window is rotated each round until every query has a green
-# driver row (rotation ledger: COVERAGE.md). Round 5's window = the 50
-# ledger rows marked "r5 window (this round)": io tails (compression,
-# commit, multimodal plumbing), graph head (pagerank/bfs/triangles),
-# lm/text remainders, stats remainders, and the r4-first-half additions.
+# driver row (rotation ledger: COVERAGE.md). Round 6's window = the FIRST
+# 50 of the 130 ledger rows that were marked "r6 scheduled" at the end of
+# round 5 (r4-second-half additions + the r4b head + value_iter_reset +
+# distcp_incremental, in ledger order); the 80-row overflow is re-marked
+# "r7 scheduled". No repeats of any r1–r5 driver-green row.
 #
-# ROUND-6 PLAN (next session: replace _R5_WINDOW with _R6_WINDOW): take
-# the FIRST 50 of the ~129 ledger rows marked "r6 scheduled" in
-# COVERAGE.md (r4-second-half + r4b additions + value_iter_reset +
-# distcp_incremental); re-mark the overflow "r7 scheduled". Update
+# ROUND-7 PLAN (next session: replace _R6_WINDOW with _R7_WINDOW): take
+# the FIRST 50 of the ledger rows marked "r7 scheduled" in COVERAGE.md
+# (the 80-row r6 overflow first, then the r4c remainder / r4d rows);
+# re-mark the overflow "r8 scheduled". Update
 # tests/test_window_contract.py and the ledger in the same commit.
-_R5_WINDOW = [
-    "bad_record_skip",
-    "multi_input_union",
-    "search_fanout_nqueens",
-    "job_pipeline",
-    "bigram_counts",
-    "inverted_index",
-    "triangle_count",
-    "lsh_candidate_quality",
-    "pipe_counter_rows",
-    "gzip_text_read",
-    "multimodal_decode",
-    "schema_evolution_read",
-    "distcp_roundtrip",
-    "compact_small_files",
-    "pipe_shipped_script",
-    "multi_named_outputs",
-    "combine_small_read",
-    "auto_input_mixed",
-    "partition_overwrite",
-    "pyds_fixed_width_roundtrip",
-    "image_patch_grid",
-    "audio_rms_windows",
-    "dedup_paragraph",
-    "bigram_lm_score",
-    "quality_classifier",
-    "chunk_documents",
-    "incremental_dedup",
-    "bpe_pair_counts",
-    "chi2_terms",
-    "source_tv_divergence",
-    "token_gini",
-    "pagerank",
-    "bfs_hops",
-    "ewma_smooth",
-    "linreg_per_group",
-    "anomaly_mad",
-    "winsorized_stats",
-    "linreg_residuals",
-    "pareto_frontier",
-    "repeated_substrings",
-    "fuzzy_match_names",
-    "event_transitions",
-    "bpe_learn_merges",
-    "assoc_rules",
-    "attribution_touch",
-    "benford_digits",
-    "degree_distribution",
-    "kmeans_iterate",
-    "temperature_mix",
-    "label_propagation",
+_R6_WINDOW = [
+    "span_corruption_plan",
+    "char_ngram_profile",
+    "doc_sim_sparse",
+    "stream_value_histogram",
+    "rolling_1h_count",
+    "bpe_encode",
+    "calendar_revenue",
+    "bloom_filter_join",
+    "value_iter_reset",
+    "distcp_incremental",
+    "skipgram_pairs",
+    "rank_profile",
+    "revenue_deciles",
+    "embedding_dim_stats",
+    "embedding_int8_quantize",
+    "predicate_sweep",
+    "debounce_events",
+    "novelty_ngrams",
+    "stream_ohlc",
+    "stream_capped_sample",
+    "bm25_scores",
+    "interarrival_profile",
+    "cv_folds",
+    "tokenizer_fertility",
+    "label_centroids",
+    "ann_hard_negatives",
+    "event_trigrams",
+    "quantile_normalize",
+    "conversion_latency",
+    "langid_confusion",
+    "join_size_estimate",
+    "trending_parts",
+    "snapshot_diff",
+    "gdpr_delete",
+    "concurrent_sessions",
+    "freshness_report",
+    "audience_overlap",
+    "source_overlap",
+    "length_percentiles",
+    "hll_sketch",
+    "lag_features",
+    "activity_heatmap",
+    "user_growth",
+    "video_frame_sample",
+    "login_streaks",
+    "ann_lsh_topk",
+    "ann_lsh_recall",
+    "dedup_containment",
+    "nb_langid",
+    "bbp_pi_digits",
 ]
 
 
@@ -143,10 +144,10 @@ def load_all() -> None:
     # Deterministic window rotation: pull this round's 50-query window to
     # the front of the registry (dict order IS driver order); everything
     # else keeps its registration order behind it.
-    missing = [n for n in _R5_WINDOW if n not in QUERIES]
+    missing = [n for n in _R6_WINDOW if n not in QUERIES]
     if missing:  # a renamed query must fail loudly, not silently shrink
-        raise RuntimeError(f"_R5_WINDOW names not registered: {missing}")
-    front = {n: QUERIES[n] for n in _R5_WINDOW}
+        raise RuntimeError(f"_R6_WINDOW names not registered: {missing}")
+    front = {n: QUERIES[n] for n in _R6_WINDOW}
     rest = {n: f for n, f in QUERIES.items() if n not in front}
     QUERIES.clear()
     QUERIES.update(front)

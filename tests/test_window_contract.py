@@ -1,6 +1,6 @@
 """The driver's correctness run checks the FIRST 50 `queries()` entries.
-Round 5 rotates 50 never-driver-checked queries into that window per the
-COVERAGE.md ledger rows marked "r5 scheduled"; this
+Round 6 rotates 50 never-driver-checked queries into that window per the
+COVERAGE.md ledger rows marked "r6 window (this round)"; this
 test freezes the composition so a later addition to an early-imported
 module cannot silently shift queries out of the window before their
 CORRECTNESS row lands."""
@@ -8,16 +8,32 @@ CORRECTNESS row lands."""
 from __future__ import annotations
 
 from hadoop_spark.plans import QUERIES, load_all
-from hadoop_spark.plans.catalog import _R5_WINDOW
+from hadoop_spark.plans.catalog import _R6_WINDOW
 
 load_all()
 
 
 def test_driver_window_is_the_planned_rotation():
-    assert list(QUERIES)[:50] == _R5_WINDOW
+    assert list(QUERIES)[:50] == _R6_WINDOW
 
 
 def test_window_queries_all_have_oracles():
     from hadoop_spark.plans import ORACLES
 
-    assert [n for n in _R5_WINDOW if n not in ORACLES] == []
+    assert [n for n in _R6_WINDOW if n not in ORACLES] == []
+
+
+def test_window_has_no_repeats_of_prior_rounds():
+    # Every name that already has a green driver row (r1–r5) must stay out
+    # of the r6 window — a repeat wastes a verification slot.
+    import json
+    import pathlib
+
+    seen: set[str] = set()
+    for f in sorted(pathlib.Path(__file__).parent.parent.glob("CORRECTNESS_r0[1-5].json")):
+        data = json.loads(f.read_text())
+        rows = data.get("queries", data) if isinstance(data, dict) else data
+        if isinstance(rows, dict):
+            seen.update(rows.keys())
+    assert seen, "expected prior CORRECTNESS files in repo root"
+    assert sorted(set(_R6_WINDOW) & seen) == []
