@@ -334,9 +334,16 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    # orders is the second-largest SF-scaling table — a FORCED broadcast
+    # would be a driver OOM at 100 TB. Project to the 2 join columns first
+    # (narrows the estimate to what actually ships) and size-guard: below
+    # the cap the star-join keeps its broadcast plan, above it Catalyst
+    # falls back to sort-merge on o_orderkey.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
     counts = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(bcast_if_small(orders), li.l_orderkey == orders.o_orderkey)
         .groupBy("l_returnflag", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

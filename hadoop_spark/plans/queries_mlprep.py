@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from hadoop_spark.functions.hashing import portable_hash64, portable_hash64_sql
 from hadoop_spark.functions.numeric import PRECISION, davg, davg_sql, dsum, dsum_sql
 from hadoop_spark.functions.text import ws_token_count, ws_token_count_sql
+from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table, shared
 
@@ -502,8 +503,12 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     train_grams = grams.filter(F.col("doc_id") % 97 != 0).select("doc_id", "g").distinct()
+    # eval_grams scales with the CORPUS (~1% of documents' n-grams), not
+    # with a dim table — size-guard the broadcast so at 100 TB the join
+    # degrades to a shuffled hash/sort-merge on `g` instead of shipping
+    # tens of GB of strings to every executor.
     return (
-        train_grams.join(F.broadcast(eval_grams), "g")
+        train_grams.join(bcast_if_small(eval_grams), "g")
         .groupBy(F.col("doc_id").alias("train_doc"))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
@@ -1184,8 +1189,11 @@ def gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
+    # the deletion list scales with the user population (2% of distinct
+    # users) — size-guard so a planet-scale user table degrades to a
+    # shuffled join instead of a forced driver-side broadcast build.
     marked = ev.join(
-        F.broadcast(deletions.withColumn("_del", F.lit(1))), "user_id", "left"
+        bcast_if_small(deletions.withColumn("_del", F.lit(1))), "user_id", "left"
     )
     return marked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_total"),
