@@ -117,11 +117,16 @@ def global_rank(df: DataFrame, *cols: Column | str, out: str = "rank") -> DataFr
     # branch and the main branch otherwise each plan their OWN exchange
     # (no ReuseExchange, verified empirically), and RangePartitioner
     # samples boundaries per-exchange — mismatched boundaries would join
-    # offsets against the wrong partition ids.
-    # The cache entry lives until session end (lazy consumers forbid an
-    # in-operator unpersist); callers running many queries in one session
-    # should clearCache() between them the way bench.py does — entries
-    # are MEMORY_AND_DISK, so worst case they spill, never OOM.
+    # offsets against the wrong partition ids, i.e. the pin is
+    # CORRECTNESS-load-bearing while the returned frame is still lazy.
+    # CACHE-LIFETIME CONTRACT (applies to global_rank /
+    # global_running_sum / global_running_max alike): the entry lives
+    # until session end because an in-operator unpersist would fire
+    # before the lazy consumer runs; callers running many queries in one
+    # session MUST spark.catalog.clearCache() between queries AFTER
+    # consuming each result — bench.py and scripts/drive_contract.py
+    # both do. Entries are MEMORY_AND_DISK: worst case they spill,
+    # never OOM.
     with_pid = parted.withColumn("__pid", F.spark_partition_id()).persist()
     sizes = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

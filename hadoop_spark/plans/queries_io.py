@@ -1793,6 +1793,17 @@ def distcp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(#partitions) rows — the same driver-side cardinality as DistCp's
     # copy listing of changed paths.
     changed = [r["event_type"] for r in diff.select("event_type").collect()]
+    # The oracle hardcodes synced=1 for 'error', which is only valid if
+    # doubling actually CHANGED that partition's fingerprint. An events
+    # fixture whose error values are all 0/NULL would make the query
+    # return synced=0 for a data reason, not a code bug — fail loudly on
+    # the precondition instead of red-ringing the contract.
+    if "error" not in changed:
+        raise AssertionError(
+            "distcp_incremental fixture precondition violated: the "
+            "'error' partition must contain at least one nonzero value "
+            "so value-doubling changes its fingerprint"
+        )
     # 3. re-copy ONLY the changed partitions (dynamic overwrite commits
     # per-partition; untouched partitions' files are not rewritten)
     if changed:
@@ -1814,6 +1825,9 @@ def distcp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_fp.withColumnRenamed("src_fp", "fp").write.mode(
             "overwrite"
         ).parquet(manifest)
+    # both eager consumers (diff collect, manifest refresh) are done —
+    # release the cache entry instead of leaking it to session end
+    src_fp.unpersist()
     back = spark.read.schema(ev.schema).parquet(mirror)
     synced = F.when(F.col("event_type").isin(changed), 1).otherwise(0)
     return back.groupBy("event_type").agg(

@@ -1057,7 +1057,13 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
         n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
         _REC_CHAIN_BOUNDS[key] = max(1_000_000, 4 * (n_orders + n_cust))
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(_REC_CHAIN_BOUNDS[key]))
+    # The conf is session-global and the plan is lazy: set the MAX over
+    # every bound seen this session, so two interleaved lazy plans over
+    # different datasets both execute under a sufficient valve (the last
+    # setter would otherwise clamp the earlier plan to the wrong bound).
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(_REC_CHAIN_BOUNDS.values()))
+    )
     return spark.sql(_REC_CHAIN_SQL)
 
 

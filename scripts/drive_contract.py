@@ -88,7 +88,18 @@ if name_filters:
         n: fn for n, fn in queries.items() if any(f in n for f in name_filters)
     }
 failed = []
-for name in sorted(queries):
+for qi, name in enumerate(sorted(queries)):
+    # Periodically drain persisted intermediates (shared() frames and the
+    # two-level scans' pinned range exchanges in operators/sort.py) —
+    # they are load-bearing only while their own query's result is still
+    # lazy, and across a 384-query session they otherwise accumulate
+    # MEMORY_AND_DISK entries until session end. Every 25 queries (not
+    # every query): Spark keys persist() by logical-plan equality, so
+    # adjacent related queries legitimately REUSE each other's cached
+    # intermediates — a per-query clear costs ~20% wall-clock for no
+    # extra safety, while a bounded drain caps accumulation all the same.
+    if qi % 25 == 0:
+        spark.catalog.clearCache()
     t0 = time.time()
     try:
         sdf = queries[name](spark, sf_dir)

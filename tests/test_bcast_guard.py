@@ -256,3 +256,27 @@ def test_flagged_data_scaling_sites_are_guarded():
     for (f, a) in found:
         if f == "queries_mlprep.py":
             assert "deletions" not in a
+
+
+def test_gauge_call_sites_are_audited():
+    """bcast_if_small's gauge precondition (|df| <= |gauge| in BYTES —
+    key-unique, non-widening join only) is enforceable only by review, so
+    every gauge= call site must be on this audited list. A new site fails
+    here until its precondition is verified and the list extended."""
+    import ast as _ast
+
+    audited = {("queries_tpch2.py", "euro", "supp")}
+    found = set()
+    for p in sorted(_PLANS_DIR.glob("*.py")):
+        for node in _ast.walk(_ast.parse(p.read_text())):
+            if (
+                isinstance(node, _ast.Call)
+                and isinstance(node.func, _ast.Name)
+                and node.func.id == "bcast_if_small"
+            ):
+                for kw in node.keywords:
+                    if kw.arg == "gauge":
+                        df_arg = _ast.unparse(node.args[0]) if node.args else "?"
+                        found.add((p.name, df_arg, _ast.unparse(kw.value)))
+    assert found <= audited, f"unaudited gauge= call sites: {found - audited}"
+    assert audited <= found, f"stale audited gauge entries: {audited - found}"

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 
 from hadoop_spark.plans import QUERIES, load_all
@@ -27,35 +28,55 @@ def _snapshot_files(mirror: str) -> dict[str, tuple[float, int]]:
     return out
 
 
-def test_unchanged_partitions_not_rewritten(spark, monkeypatch):
+def _job_uuids(files: dict[str, tuple[float, int]]) -> dict[str, set[str]]:
+    """Per-partition set of write-JOB uuids embedded in parquet part-file
+    names (part-NNNNN-<uuid>-c000...): every file one Spark write job
+    commits shares the job's uuid, so 'which job wrote this file' is
+    readable from the name alone — no timestamp granularity involved."""
+    out: dict[str, set[str]] = {}
+    for rel in files:
+        part = rel.split(os.sep)[0]
+        m = re.search(r"part-\d+-([0-9a-f]{8}(?:-[0-9a-f]{4}){3}-[0-9a-f]{12})", rel)
+        assert m, f"unexpected parquet file name: {rel}"
+        out.setdefault(part, set()).add(m.group(1))
+    return out
+
+
+def test_unchanged_partitions_not_rewritten(spark):
     tag = os.path.basename(SF_DIR.rstrip("/"))
     mirror = os.path.join(_REPO, ".tmp", "io", tag, "distcp_inc_mirror")
     shutil.rmtree(mirror, ignore_errors=True)
 
-    # Instrument: capture the mirror's file inventory right after the
-    # snapshot-A write by running the query in two halves — simplest is
-    # to run it once (it writes A then syncs), then diff the surviving
-    # files' mtimes against a re-run where we pre-seed A ourselves. The
-    # query itself overwrites A each run, so instead: run once, snapshot
-    # the final state, and assert the 'error' partition is the ONLY one
-    # whose files postdate the others (the sync job's commit).
+    # The query writes snapshot A (one job) then syncs only the changed
+    # partition (a second job). File names carry the writing job's uuid,
+    # so the incremental contract is name-checkable without relying on
+    # mtime ordering (coarse-granularity filesystems can land the A write
+    # and the sync commit in the same timestamp tick): all non-error
+    # partitions keep snapshot A's single job uuid, the error partition
+    # holds files from a DIFFERENT (later) job only.
     QUERIES["distcp_incremental"](spark, SF_DIR).collect()
     files = _snapshot_files(mirror)
     assert files, "mirror is empty"
+    uuids = _job_uuids(files)
+    err = uuids.pop("event_type=error")
+    others = set().union(*uuids.values())
+    assert len(others) == 1, (
+        f"non-error partitions written by more than one job: {uuids}"
+    )
+    assert err and not (err & others), (
+        "the error partition was not recommitted by a separate sync job: "
+        f"error={err} others={others}"
+    )
+    # mtime sanity stays, but non-strict — name identity above is the
+    # load-bearing check
     by_part: dict[str, list[int]] = {}
     for rel, (mtime, _size) in files.items():
-        part = rel.split(os.sep)[0]
-        by_part.setdefault(part, []).append(mtime)
+        by_part.setdefault(rel.split(os.sep)[0], []).append(mtime)
     err_min = min(by_part["event_type=error"])
     others_max = max(
         m for p, ms in by_part.items() if p != "event_type=error" for m in ms
     )
-    # every non-error file was written by the snapshot-A job, strictly
-    # before the sync job recommitted the error partition
-    assert others_max < err_min, (
-        "a non-error partition was rewritten by the incremental sync: "
-        f"others_max={others_max} err_min={err_min}"
-    )
+    assert others_max <= err_min
 
 
 def test_sync_flags_only_changed_partition(spark):
