@@ -263,3 +263,136 @@ def asof_join_tolerance(
         F.when(in_tol, F.col(f"__f_{c}")).alias(c) for c in vcols
     ]
     return filled.filter(F.col("__tag") == 1).select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Composite join expression DSL — the string entry point of
+# CompositeInputFormat (`lib/join/CompositeInputFormat.java:69-81`):
+#
+#   func  ::= <ident>([<func>,]*<func>)
+#   func  ::= tbl(<class>,"<path>")
+#
+# `inner`/`outer`/`override` are the built-in idents (`addDefaults`,
+# `CompositeInputFormat.java:90-101`); users add their own with
+# `define_join_op`, mirroring the `mapreduce.join.define.<ident>`
+# configuration hook (`CompositeInputFormat.java:43-47,106-118`). The
+# parser is a ~40-line recursive descent over the same grammar as the
+# reference's `lib/join/Parser.java`; evaluation maps each op onto the
+# Catalyst-planned composition functions above, so an expression's plan
+# is exactly the plan the direct Python calls produce — one shuffle per
+# distinct key partitioning, broadcast/AQE decisions left to Spark.
+
+_USER_JOIN_OPS: dict[str, object] = {}
+
+
+def define_join_op(ident: str, fn) -> None:
+    """Register a user-defined join op (``mapreduce.join.define.<ident>``
+    parity): ``fn(key, *frames) -> DataFrame``. Built-in idents cannot be
+    shadowed — same as the reference, where defaults are added last."""
+    if not ident.isidentifier():
+        raise ValueError(f"op ident must be a valid identifier: {ident!r}")
+    if ident in ("inner", "outer", "override", "tbl"):
+        raise ValueError(f"cannot redefine built-in op {ident!r}")
+    _USER_JOIN_OPS[ident] = fn
+
+
+_TOKEN_RE = __import__("re").compile(
+    r'\s*("(?:[^"\\]|\\.)*"|[A-Za-z_][\w.$]*|[(),])'
+)
+
+
+def _tokenize(expr: str) -> list[str]:
+    toks, pos = [], 0
+    while pos < len(expr):
+        m = _TOKEN_RE.match(expr, pos)
+        if m is None:
+            if expr[pos:].strip() == "":
+                break
+            raise ValueError(
+                f"bad token at offset {pos}: {expr[pos:pos + 12]!r}"
+            )
+        toks.append(m.group(1))
+        pos = m.end()
+    return toks
+
+
+def _parse(toks: list[str], i: int):
+    """Parse one `func` starting at toks[i]; return (node, next_index).
+    Nodes: ('call', name, [args]) | ('lit', text)."""
+    name = toks[i]
+    if name in "(),":
+        raise ValueError(f"expected identifier, got {name!r}")
+    if i + 1 >= len(toks) or toks[i + 1] != "(":
+        raise ValueError(f"expected '(' after {name!r}")
+    args, i = [], i + 2
+    while True:
+        if i >= len(toks):
+            raise ValueError(f"unterminated argument list of {name!r}")
+        t = toks[i]
+        if t == ")":  # empty or trailing — reference grammar requires >=1 arg
+            raise ValueError(f"{name!r} needs at least one argument")
+        if t.startswith('"'):
+            args.append(("lit", t[1:-1]))
+            i += 1
+        elif i + 1 < len(toks) and toks[i + 1] == "(":
+            node, i = _parse(toks, i)
+            args.append(node)
+        else:
+            args.append(("lit", t))  # bare ident leaf (tbl's <class>)
+            i += 1
+        if i >= len(toks):
+            raise ValueError(f"unterminated argument list of {name!r}")
+        if toks[i] == ",":
+            i += 1
+            continue
+        if toks[i] == ")":
+            return ("call", name, args), i + 1
+        raise ValueError(f"expected ',' or ')' in {name!r}, got {toks[i]!r}")
+
+
+def compose(
+    expr: str,
+    key: str,
+    resolve,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Evaluate a composite join expression string against ``resolve``.
+
+    ``resolve(*tbl_args) -> DataFrame`` plays WrappedRecordReader: every
+    ``tbl(...)`` leaf's literal arguments (class ident + quoted path in the
+    reference grammar) are passed through verbatim. ``key`` is the join
+    key every source shares (the reference requires identically sorted/
+    partitioned sources; Spark just shuffles on the key). ``override``
+    additionally needs ``value_col`` — the single value column its
+    rightmost-wins coalesce selects, the MultiFilterRecordReader view."""
+    toks = _tokenize(expr)
+    if not toks:
+        raise ValueError("empty join expression")
+    root, nxt = _parse(toks, 0)
+    if nxt != len(toks):
+        raise ValueError(f"trailing tokens after expression: {toks[nxt:]}")
+
+    def ev(node) -> DataFrame:
+        kind, name, args = node[0], node[1], node[2] if len(node) > 2 else None
+        if kind == "lit":
+            raise ValueError(f"bare literal {name!r} outside tbl()")
+        if name == "tbl":
+            bad = [a for a in args if a[0] != "lit"]
+            if bad:
+                raise ValueError("tbl() takes only literal arguments")
+            return resolve(*[a[1] for a in args])
+        frames = [ev(a) for a in args]
+        if name == "inner":
+            return composite_inner(key, *frames)
+        if name == "outer":
+            return composite_outer(key, *frames)
+        if name == "override":
+            if value_col is None:
+                raise ValueError("override requires value_col")
+            return override(key, value_col, *frames)
+        fn = _USER_JOIN_OPS.get(name)
+        if fn is None:
+            raise ValueError(f"unknown join op {name!r} — define_join_op it")
+        return fn(key, *frames)
+
+    return ev(root)

@@ -2258,7 +2258,20 @@ GROUP BY g.l_suppkey
 def value_iter_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass per-group reducer (mean, then total |deviation|·n) that
     re-iterates the group's buffered values — BackupStore mark/reset
-    parity (`mapred/BackupStore.java:630`, `TestValueIterReset.java`)."""
+    parity (`mapred/BackupStore.java:630`, `TestValueIterReset.java`).
+
+    SCALE NOTE: applyInPandas materializes each group in worker memory
+    WITHOUT spill — faithful to BackupStore's buffered re-iteration, but
+    only safe while the largest group is bounded (here ≤ ~60 lineitem
+    rows/supplier at any SF: order fan-in per supplier is fixed by the
+    generator, and worst-case TPC-H skew keeps groups in the thousands).
+    When a second pass is needed over UNBOUNDED groups, use the
+    shuffle-native idiom instead: pass 1 as groupBy().agg(count, sum),
+    broadcast-join the per-group stats back, pass 2 as a second agg —
+    two shuffles on the same key (Catalyst reuses the exchange), zero
+    buffered state. That formulation is exactly this query's ORACLE
+    (`_VIR_ORACLE`'s g JOIN s), so the scale-safe rewrite is
+    hash-verified every round against this buffered demo."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),

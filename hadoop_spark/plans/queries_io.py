@@ -1835,3 +1835,67 @@ def distcp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").cast("double").alias("sum_value"),
         F.max(synced).cast("bigint").alias("synced"),
     )
+
+
+# ----------------------------------------------------------------------
+# db_pageview_roundtrip — DBCountPageView end-to-end
+# (`EXAMPLES/DBCountPageView.java:78`): pageview rows batch-INSERTed into
+# a relational store (`lib/db/DBOutputFormat.java:249`), then read back
+# as a range-partitioned parallel scan (`lib/db/DBInputFormat.java:374`,
+# `DataDrivenDBInputFormat.java`'s min/max splitters) and aggregated.
+# Embedded Derby (shipped in Spark's jars) is the test stand-in; the
+# operator surface — write_jdbc / read_jdbc_partitioned — is unchanged
+# against a real RDBMS, where numPartitions fans the scan out to one
+# range-bounded task per split and Catalyst pushes filters into the
+# database (gated in tests/test_jdbc.py). The oracle recomputes the same
+# aggregate straight from parquet, so a row lost in the INSERT batch, a
+# split boundary off by one, or a misread column cannot hash-match.
+# ----------------------------------------------------------------------
+
+_DB_PAGEVIEW_ORACLE = """
+SELECT '/page/' || event_type AS url,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE event_id % 7 = 0
+GROUP BY 1
+"""
+
+
+@query("db_pageview_roundtrip", _DB_PAGEVIEW_ORACLE)
+def db_pageview_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write pageviews to Derby, read back partitioned, count per url."""
+    from hadoop_spark.sources.formats import read_jdbc_partitioned, write_jdbc
+
+    db_dir = _scratch(sf_dir, "db_pageviews")
+    url = f"jdbc:derby:{db_dir};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    # deterministic slice (a LIMIT without ORDER BY would be
+    # nondeterministic between engines)
+    views = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.concat(F.lit("/page/"), F.col("event_type")).alias("url"),
+            "user_id",
+        )
+    )
+    write_jdbc(views, url, "pageviews", mode="overwrite", driver=driver)
+    # range bounds for the data-driven splits: a 1-row bounded collect,
+    # the same min/max probe DataDrivenDBInputFormat issues as SQL
+    b = views.agg(F.min("view_id").alias("lo"), F.max("view_id").alias("hi")).collect()[0]
+    back = read_jdbc_partitioned(
+        spark,
+        url,
+        "pageviews",
+        column="view_id",
+        lower=int(b.lo),
+        upper=int(b.hi) + 1,
+        num_partitions=4,
+        driver=driver,
+    )
+    return back.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

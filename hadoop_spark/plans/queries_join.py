@@ -1250,3 +1250,74 @@ def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("bizdays").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines")
     )
+
+
+# ----------------------------------------------------------------------
+# composite_join_expr — the EXAMPLES/Join.java:61 driver expressed through
+# the join-expression DSL string instead of direct Python calls: three
+# per-customer sources written as parquet "input dirs", then joined by
+# `compose("inner(tbl(...), tbl(...), tbl(...))")` exactly the way the
+# reference assembles `mapreduce.join.expr` via
+# `CompositeInputFormat.compose(op, inputFormat, dirs...)`
+# (`lib/join/CompositeInputFormat.java:151-186`, grammar `:69-81`,
+# parser `lib/join/Parser.java`). The resolve hook plays
+# WrappedRecordReader: tbl's (format, path) literals -> a scan. The plan
+# is the same chained sort-merge join the direct calls produce — one
+# shuffle per source on the key, AQE free to re-pick.
+# ----------------------------------------------------------------------
+
+_COMPOSE_ORACLE = """
+WITH cnt AS (
+  SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1
+), dim AS (
+  SELECT c_custkey AS custkey, c_mktsegment FROM customer
+)
+SELECT dim.custkey, c_mktsegment, n_orders, revenue
+FROM dim JOIN cnt USING (custkey) JOIN rev USING (custkey)
+"""
+
+
+@query("composite_join_expr", _COMPOSE_ORACLE)
+def composite_join_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inner(tbl(...),tbl(...),tbl(...)) over three written input dirs."""
+    import os
+
+    from hadoop_spark.operators.join import compose
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(repo, ".tmp", "io", tag, "compose_inputs")
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    srcs = {
+        "dim": cust.select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        ),
+        "cnt": orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders")
+        ),
+        "rev": orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        ),
+    }
+    for name, df in srcs.items():
+        df.write.mode("overwrite").parquet(os.path.join(base, name))
+
+    def resolve(fmt: str, path: str) -> DataFrame:
+        if fmt != "parquet":  # the expression names the input format class
+            raise ValueError(f"unsupported tbl format {fmt!r}")
+        return spark.read.parquet(path)
+
+    expr = "inner({})".format(
+        ", ".join(f'tbl(parquet, "{os.path.join(base, n)}")' for n in ("dim", "cnt", "rev"))
+    )
+    return compose(expr, key="custkey", resolve=resolve)
