@@ -23,6 +23,7 @@ no extra shuffle beyond the join itself.
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -296,9 +297,7 @@ def define_join_op(ident: str, fn) -> None:
     _USER_JOIN_OPS[ident] = fn
 
 
-_TOKEN_RE = __import__("re").compile(
-    r'\s*("(?:[^"\\]|\\.)*"|[A-Za-z_][\w.$]*|[(),])'
-)
+_TOKEN_RE = re.compile(r'\s*("(?:[^"\\]|\\.)*"|[A-Za-z_][\w.$]*|[(),])')
 
 
 def _tokenize(expr: str) -> list[str]:
@@ -332,7 +331,9 @@ def _parse(toks: list[str], i: int):
         if t == ")":  # empty or trailing — reference grammar requires >=1 arg
             raise ValueError(f"{name!r} needs at least one argument")
         if t.startswith('"'):
-            args.append(("lit", t[1:-1]))
+            # unescape \" and \\ — the tokenizer admitted them, so the
+            # literal handed to resolve() must carry the unescaped text
+            args.append(("lit", re.sub(r"\\(.)", r"\1", t[1:-1])))
             i += 1
         elif i + 1 < len(toks) and toks[i + 1] == "(":
             node, i = _parse(toks, i)

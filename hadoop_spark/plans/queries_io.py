@@ -10,6 +10,7 @@ deterministic).
 from __future__ import annotations
 
 import os
+import shutil
 
 import pandas as pd
 
@@ -1867,7 +1868,15 @@ def db_pageview_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write pageviews to Derby, read back partitioned, count per url."""
     from hadoop_spark.sources.formats import read_jdbc_partitioned, write_jdbc
 
-    db_dir = _scratch(sf_dir, "db_pageviews")
+    # per-process db path: embedded Derby allows only ONE JVM to boot a
+    # database, so a shared path would red-ring whichever of two
+    # overlapping contract runs boots second (ERROR XSDB6). Stale dirs
+    # from dead pids are plain scratch; our own (pid-reused) dir is
+    # cleared so a corrupt leftover can't block the boot.
+    db_dir = _scratch(sf_dir, f"db_pageviews_{os.getpid()}")
+    if not getattr(db_pageview_roundtrip, "_booted", False):
+        shutil.rmtree(db_dir, ignore_errors=True)
+        db_pageview_roundtrip._booted = True
     url = f"jdbc:derby:{db_dir};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     # deterministic slice (a LIMIT without ORDER BY would be
@@ -1885,6 +1894,12 @@ def db_pageview_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range bounds for the data-driven splits: a 1-row bounded collect,
     # the same min/max probe DataDrivenDBInputFormat issues as SQL
     b = views.agg(F.min("view_id").alias("lo"), F.max("view_id").alias("hi")).collect()[0]
+    if b.lo is None:  # loud precondition, not an opaque int(None) crash
+        raise AssertionError(
+            "db_pageview_roundtrip fixture precondition violated: the "
+            "events fixture has no event_id divisible by 7, so the "
+            "range-partitioned read-back has no split bounds"
+        )
     back = read_jdbc_partitioned(
         spark,
         url,

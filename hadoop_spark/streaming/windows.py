@@ -285,16 +285,26 @@ def load_events_stream(spark, sf_dir: str) -> DataFrame:
     legacy int64 nanos truncate ns→µs."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # FileStreamSource wants a directory: stream the sf dir, glob-filtered
-    # down to the events file.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Spark-written dataset (scale-probe replicas, user exports): the
+        # part files live INSIDE events.parquet/ — stream that directory.
+        # A leaf-name glob on the parent would match zero files and the
+        # stream would silently process nothing.
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # single-file fixture (driver-generated testdata): FileStreamSource
+        # wants a directory, so stream the sf dir glob-filtered to the file
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = raw_schema["ts"].dataType
     if isinstance(ts_type, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -108,3 +108,16 @@ def test_builtin_ops_cannot_be_shadowed():
     for name in ("inner", "outer", "override", "tbl"):
         with pytest.raises(ValueError, match="built-in"):
             define_join_op(name, lambda key, *fr: fr[0])
+
+
+def test_escaped_quotes_in_tbl_path(spark, sources):
+    # grammar parity with lib/join/Parser.java: \" inside a quoted literal
+    # reaches resolve() UNESCAPED
+    seen = {}
+
+    def resolve(fmt, name):
+        seen["name"] = name
+        return sources["a"]
+
+    compose('inner(tbl(seq,"we\\"ird"), tbl(seq,"we\\"ird"))', "k", resolve)
+    assert seen["name"] == 'we"ird'

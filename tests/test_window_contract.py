@@ -24,16 +24,23 @@ def test_window_queries_all_have_oracles():
 
 
 def test_window_has_no_repeats_of_prior_rounds():
-    # Every name that already has a green driver row (r1–r5) must stay out
-    # of the r6 window — a repeat wastes a verification slot.
+    # Every name that already has a GREEN driver row (r1–r5) must stay out
+    # of the r6 window — a repeat wastes a verification slot. Red rows do
+    # NOT count: a query that failed in its window round is exactly the
+    # one the rotation must re-attempt (r1's four red rows were re-greened
+    # in r2/r3 this way).
     import json
     import pathlib
 
-    seen: set[str] = set()
+    green: set[str] = set()
     for f in sorted(pathlib.Path(__file__).parent.parent.glob("CORRECTNESS_r0[1-5].json")):
-        data = json.loads(f.read_text())
-        rows = data.get("queries", data) if isinstance(data, dict) else data
-        if isinstance(rows, dict):
-            seen.update(rows.keys())
-    assert seen, "expected prior CORRECTNESS files in repo root"
-    assert sorted(set(_R6_WINDOW) & seen) == []
+        for name, row in json.loads(f.read_text()).items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") is None and all(
+                row.get(k, False)
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                green.add(name)
+    assert green, "expected prior CORRECTNESS files in repo root"
+    assert sorted(set(_R6_WINDOW) & green) == []
