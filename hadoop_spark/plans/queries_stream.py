@@ -159,8 +159,6 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from hadoop_spark.streaming.windows import (
-    ATTRIBUTION_US,
-    click_purchase_attribution,
         load_events_stream,
         run_to_memory,
         stateful_user_counts,
