@@ -1921,3 +1921,64 @@ def db_pageview_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         driver=driver,
     )
     return per_url(back)
+
+
+# ----------------------------------------------------------------------
+# nline_fanout — NLineInputFormat as a driver-checkable result
+# (`lib/input/NLineInputFormat.java:63`): N input lines per map task. The
+# observable is the SPLIT-SIZE MULTISET, and that multiset is a pure
+# function of the line count: parts = ceil(c/N), then (c mod parts)
+# splits of ceil(c/parts) rows and the rest of floor(c/parts) — so the
+# oracle recomputes it from COUNT(*) alone. Spark's round-robin
+# repartition assigns each single-input-partition row to consecutive
+# output partitions (seeded start per input-partition INDEX, so
+# deterministic), which is why the query pins ONE input partition first;
+# per-split row counts come from a real distributed
+# spark_partition_id() aggregation, not driver math.
+# ----------------------------------------------------------------------
+
+_NLINE_N = 4
+
+_NLINE_ORACLE = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation),
+p AS (
+  SELECT c,
+         GREATEST(1, CAST(CEIL(c / {_NLINE_N}.0) AS BIGINT)) AS parts
+  FROM n
+)
+SELECT (c // parts) + 1 AS rows_per_split,
+       c % parts AS n_splits
+FROM p WHERE c % parts > 0
+UNION ALL
+SELECT c // parts AS rows_per_split,
+       parts - (c % parts) AS n_splits
+FROM p WHERE c // parts > 0
+"""
+
+
+@query("nline_fanout", _NLINE_ORACLE)
+def nline_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-lines-per-task fan-out; result = split-size histogram."""
+    from hadoop_spark.sources.formats import nline_repartition, write_kv_text
+
+    nation = load_table(spark, sf_dir, "nation").orderBy("n_nationkey")
+    path = _scratch(sf_dir, "nline_nation")
+    write_kv_text(
+        nation.select(
+            F.col("n_nationkey").cast("string").alias("key"),
+            F.col("n_name").alias("value"),
+        ).coalesce(1),
+        path,
+    )
+    # single input partition -> the round-robin assignment is exactly
+    # balanced (+/-1), making the size multiset a function of COUNT(*)
+    lines = spark.read.text(path).coalesce(1)
+    parted = nline_repartition(lines, _NLINE_N)
+    per_split = (
+        parted.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("rows_per_split"))
+    )
+    return per_split.groupBy("rows_per_split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_splits")
+    )

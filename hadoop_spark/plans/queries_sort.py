@@ -508,3 +508,50 @@ def shipment_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "o_orderpriority", "n_orders", "n_violating", share.alias("violation_share")
     )
+
+
+# ----------------------------------------------------------------------
+# binary_partition_slice — BinaryPartitioner as a driver-checkable result
+# (`lib/partition/BinaryPartitioner.java:71`): partition on a byte-range
+# SLICE of the key so records sharing the slice co-locate (composite keys
+# whose grouping prefix differs from the full sort key). Two observables
+# in one result: per-slice row counts (content — the oracle recomputes
+# them from the table) and per-slice distinct-partition counts (the
+# co-location invariant — MUST be 1; computed by a real distributed
+# aggregation over spark_partition_id(), so a broken partitioner returns
+# 2+ and hash-mismatches the oracle's literal 1).
+# ----------------------------------------------------------------------
+
+_BINPART_ORACLE = """
+SELECT l_returnflag || l_linestatus AS key_slice,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_partitions
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@query("binary_partition_slice", _BINPART_ORACLE)
+def binary_partition_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-slice partitioning; result = per-slice counts + co-location."""
+    from hadoop_spark.operators.sort import partition_by_key_slice
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("key")
+    )
+    parted = partition_by_key_slice(li, "key", 1, 2, 8)
+    return (
+        parted.select(
+            F.substring("key", 1, 2).alias("key_slice"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .groupBy("key_slice")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("pid").cast("bigint").alias("n_partitions"),
+        )
+    )
