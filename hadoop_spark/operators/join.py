@@ -397,3 +397,17 @@ def compose(
         return fn(key, *frames)
 
     return ev(root)
+
+
+def compose_expr(op: str, fmt: str, *paths: str) -> str:
+    """Convenience builder mirroring the reference's static
+    `CompositeInputFormat.compose(op, inputFormatClass, paths...)`
+    (`lib/join/CompositeInputFormat.java:157-172`): returns
+    ``<op>(tbl(<fmt>,"<p1>"), ..., tbl(<fmt>,"<pn>"))`` — the string the
+    Join.java driver stuffs into ``mapreduce.join.expr``. Quotes and
+    backslashes inside paths are escaped so the round trip through
+    :func:`compose`'s tokenizer is exact."""
+    if not paths:
+        raise ValueError("compose_expr needs at least one path")
+    esc = [p.replace("\\", "\\\\").replace('"', '\\"') for p in paths]
+    return f"{op}(" + ", ".join(f'tbl({fmt}, "{p}")' for p in esc) + ")"

@@ -1288,7 +1288,7 @@ def composite_join_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """inner(tbl(...),tbl(...),tbl(...)) over three written input dirs."""
     import os
 
-    from hadoop_spark.operators.join import compose
+    from hadoop_spark.operators.join import compose, compose_expr
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
@@ -1317,7 +1317,9 @@ def composite_join_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError(f"unsupported tbl format {fmt!r}")
         return spark.read.parquet(path)
 
-    expr = "inner({})".format(
-        ", ".join(f'tbl(parquet, "{os.path.join(base, n)}")' for n in ("dim", "cnt", "rev"))
+    # the Join.java flow verbatim: build the expr with the static
+    # compose(op, inputFormat, paths...) convenience, then parse it
+    expr = compose_expr(
+        "inner", "parquet", *[os.path.join(base, n) for n in ("dim", "cnt", "rev")]
     )
     return compose(expr, key="custkey", resolve=resolve)

@@ -121,3 +121,19 @@ def test_escaped_quotes_in_tbl_path(spark, sources):
 
     compose('inner(tbl(seq,"we\\"ird"), tbl(seq,"we\\"ird"))', "k", resolve)
     assert seen["name"] == 'we"ird'
+
+
+def test_compose_expr_builder_round_trips(spark, sources):
+    from hadoop_spark.operators.join import compose_expr
+
+    expr = compose_expr("inner", "seq", "a", "b")
+    assert expr == 'inner(tbl(seq, "a"), tbl(seq, "b"))'
+    got = compose(expr, "k", _resolve(sources))
+    assert _rows(got) == _rows(composite_inner("k", sources["a"], sources["b"]))
+    # escaping round-trips through the tokenizer
+    weird = compose_expr("outer", "seq", 'we"ird\\path')
+    names = []
+    compose(weird, "k", lambda fmt, n: (names.append(n), sources["a"])[1])
+    assert names == ['we"ird\\path']
+    with pytest.raises(ValueError, match="at least one path"):
+        compose_expr("inner", "seq")
