@@ -87,6 +87,12 @@ def main() -> None:
         for tag, sf_dir in (("base", BASE), (f"x{FACTOR}", OUT)):
             best = float("inf")
             for _ in range(2):
+                # drain persisted intermediates so no timed run reuses a
+                # cache built by a previous run/query — shared() persists
+                # by logical-plan equality, and a reuse hit (or an
+                # eviction miss) silently skews the ratio in either
+                # direction (measured: a ×0.04 "ratio" from one stale hit)
+                spark.catalog.clearCache()
                 t0 = time.time()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
