@@ -10,6 +10,7 @@ deterministic).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 import pandas as pd
@@ -33,6 +34,11 @@ from hadoop_spark.sources.formats import (
 from hadoop_spark.sources.tables import load_table
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# db dirs already cleared (and sibling-GC'd) by this process — see
+# db_pageview_roundtrip
+_DERBY_CLEARED: set[str] = set()
 
 
 def _scratch(sf_dir: str, name: str) -> str:
@@ -1874,13 +1880,28 @@ def db_pageview_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-process db path: embedded Derby allows only ONE JVM to boot a
     # database, so a shared path would red-ring whichever of two
-    # overlapping contract runs boots second (ERROR XSDB6). Stale dirs
-    # from dead pids are plain scratch; our own (pid-reused) dir is
-    # cleared so a corrupt leftover can't block the boot.
+    # overlapping contract runs boots second (ERROR XSDB6). Before the
+    # first boot of each dir in this process: clear our own (pid-reused)
+    # dir so a corrupt leftover can't block the boot, and garbage-collect
+    # sibling dirs belonging to DEAD pids (live pids are left alone —
+    # they may be mid-query), so scratch doesn't grow one Derby database
+    # per historical run.
     db_dir = _scratch(sf_dir, f"db_pageviews_{os.getpid()}")
-    if not getattr(db_pageview_roundtrip, "_booted", False):
+    if db_dir not in _DERBY_CLEARED:
         shutil.rmtree(db_dir, ignore_errors=True)
-        db_pageview_roundtrip._booted = True
+        parent = os.path.dirname(db_dir)
+        if os.path.isdir(parent):
+            for entry in os.listdir(parent):
+                m = re.fullmatch(r"db_pageviews_(\d+)", entry)
+                if not m or int(m.group(1)) == os.getpid():
+                    continue
+                try:
+                    os.kill(int(m.group(1)), 0)  # raises if pid is dead
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+                except PermissionError:
+                    pass  # pid alive under another user — leave it
+        _DERBY_CLEARED.add(db_dir)
     url = f"jdbc:derby:{db_dir};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     # deterministic slice (a LIMIT without ORDER BY would be

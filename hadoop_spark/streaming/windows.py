@@ -285,13 +285,23 @@ def load_events_stream(spark, sf_dir: str) -> DataFrame:
     legacy int64 nanos truncate ns→µs."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    import os
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
+    # shape check through the Hadoop FileSystem API, not os.path: the
+    # dataset may live on non-local storage (hdfs://, s3a://), where a
+    # driver-local isdir() is always False and would silently route a
+    # directory-shaped dataset to the zero-matching glob branch below
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        is_dir = fs.getFileStatus(jpath).isDirectory()
+    except Exception:
+        import os
+
+        is_dir = os.path.isdir(path)
+    if is_dir:
         # Spark-written dataset (scale-probe replicas, user exports): the
         # part files live INSIDE events.parquet/ — stream that directory.
         # A leaf-name glob on the parent would match zero files and the
