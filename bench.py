@@ -425,6 +425,20 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Persist the FULL per-query dict to a committed file (r6 verdict
+    # missing #2): the driver's BENCH_r{N}.json keeps only a ~2,000-char
+    # stdout tail, so round-over-round per-query comparison needs this
+    # sidecar. Round number comes from the env when the driver sets it;
+    # the default name still lands next to the round files.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL", os.path.join(os.path.dirname(__file__), "BENCH_full_r07.json")
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout must not fail the bench
+        print(f"# could not persist {full_path}: {exc}", file=sys.stderr)
     # The driver captures only the tail of stdout; the full per-query dict
     # above can exceed that capture (227+ queries ≈ 8 KB truncated the r4
     # line head). Emit a compact total-only line LAST so the driver always

@@ -24,6 +24,7 @@ no extra shuffle beyond the join itself.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -286,15 +287,47 @@ def asof_join_tolerance(
 _USER_JOIN_OPS: dict[str, object] = {}
 
 
-def define_join_op(ident: str, fn) -> None:
+def define_join_op(ident: str, fn, replace: bool = False) -> None:
     """Register a user-defined join op (``mapreduce.join.define.<ident>``
     parity): ``fn(key, *frames) -> DataFrame``. Built-in idents cannot be
-    shadowed — same as the reference, where defaults are added last."""
+    shadowed — same as the reference, where defaults are added last.
+
+    The registry is process-global (like the reference's job conf keys), so
+    redefining an existing ident is almost always an accident — it raises
+    unless ``replace=True``. Use :func:`undefine_join_op` or the
+    :func:`join_op` context manager to scope a registration (tests!)."""
     if not ident.isidentifier():
         raise ValueError(f"op ident must be a valid identifier: {ident!r}")
     if ident in ("inner", "outer", "override", "tbl"):
         raise ValueError(f"cannot redefine built-in op {ident!r}")
+    if ident in _USER_JOIN_OPS and not replace:
+        raise ValueError(
+            f"join op {ident!r} is already defined — undefine_join_op() it "
+            "first, pass replace=True, or scope it with the join_op() "
+            "context manager"
+        )
     _USER_JOIN_OPS[ident] = fn
+
+
+def undefine_join_op(ident: str) -> bool:
+    """Remove a user-defined join op; returns whether it was registered."""
+    return _USER_JOIN_OPS.pop(ident, None) is not None
+
+
+@contextmanager
+def join_op(ident: str, fn):
+    """Context-scoped :func:`define_join_op`: registers on enter, restores
+    the previous state (prior op or absence) on exit — so a test cannot
+    leak its op into the rest of the process."""
+    prev = _USER_JOIN_OPS.get(ident)
+    define_join_op(ident, fn, replace=True)
+    try:
+        yield
+    finally:
+        if prev is None:
+            _USER_JOIN_OPS.pop(ident, None)
+        else:
+            _USER_JOIN_OPS[ident] = prev
 
 
 _TOKEN_RE = re.compile(r'\s*("(?:[^"\\]|\\.)*"|[A-Za-z_][\w.$]*|[(),])')
@@ -355,7 +388,7 @@ def compose(
     expr: str,
     key: str,
     resolve,
-    value_col: str | None = None,
+    value_col=None,
 ) -> DataFrame:
     """Evaluate a composite join expression string against ``resolve``.
 
@@ -365,7 +398,15 @@ def compose(
     key every source shares (the reference requires identically sorted/
     partitioned sources; Spark just shuffles on the key). ``override``
     additionally needs ``value_col`` — the single value column its
-    rightmost-wins coalesce selects, the MultiFilterRecordReader view."""
+    rightmost-wins coalesce selects, the MultiFilterRecordReader view.
+
+    ``value_col`` may be a plain column name (one name for every
+    ``override`` node — the common case where all sources share a schema)
+    or a callable ``value_col(frames) -> str`` invoked per ``override``
+    node with that node's already-evaluated child DataFrames, for nested
+    expressions whose overrides target differently-named value columns
+    (the reference resolves values per reader, so one global name cannot
+    express those trees)."""
     toks = _tokenize(expr)
     if not toks:
         raise ValueError("empty join expression")
@@ -390,7 +431,8 @@ def compose(
         if name == "override":
             if value_col is None:
                 raise ValueError("override requires value_col")
-            return override(key, value_col, *frames)
+            vc = value_col(frames) if callable(value_col) else value_col
+            return override(key, vc, *frames)
         fn = _USER_JOIN_OPS.get(name)
         if fn is None:
             raise ValueError(f"unknown join op {name!r} — define_join_op it")

@@ -49,68 +49,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's correctness run checks the FIRST 50 registry entries per
 # round, so the window is rotated each round until every query has a green
-# driver row (rotation ledger: COVERAGE.md). Round 6's window = the FIRST
-# 50 of the 130 ledger rows that were marked "r6 scheduled" at the end of
-# round 5 (r4-second-half additions + the r4b head + value_iter_reset +
-# distcp_incremental, in ledger order); the 80-row overflow is re-marked
-# "r7 scheduled". No repeats of any r1–r5 driver-green row.
+# driver row (rotation ledger: COVERAGE.md). Round 7's window, per the r6
+# verdict's next-round task #1: the four r6-added queries FIRST (they give
+# DBInputFormat / DBOutputFormat / DBCountPageView / NLineInputFormat /
+# BinaryPartitioner their first driver rows — the verdict names them as
+# belonging in this window), then the first 46 of the "r7 scheduled
+# (r6 overflow)" ledger rows in ledger order. The 89-row remainder
+# (33 overflow rows + the 56 r4d rows) is re-marked "r8 scheduled".
+# No repeats of any r1–r6 driver-green row. All 50 were contract-green in
+# the judge's full strict re-run AND in the r6 ×30 probe-ahead sweep.
 #
-# ROUND-7 PLAN (next session: replace _R6_WINDOW with _R7_WINDOW): take
-# the FIRST 50 of the ledger rows marked "r7 scheduled" in COVERAGE.md
-# (the 80-row r6 overflow first, then the r4c remainder / r4d rows);
-# re-mark the overflow "r8 scheduled". Update
-# tests/test_window_contract.py and the ledger in the same commit.
-_R6_WINDOW = [
-    "span_corruption_plan",
-    "char_ngram_profile",
-    "doc_sim_sparse",
-    "stream_value_histogram",
-    "rolling_1h_count",
-    "bpe_encode",
-    "calendar_revenue",
-    "bloom_filter_join",
-    "value_iter_reset",
-    "distcp_incremental",
-    "skipgram_pairs",
-    "rank_profile",
-    "revenue_deciles",
-    "embedding_dim_stats",
-    "embedding_int8_quantize",
-    "predicate_sweep",
-    "debounce_events",
-    "novelty_ngrams",
-    "stream_ohlc",
-    "stream_capped_sample",
-    "bm25_scores",
-    "interarrival_profile",
-    "cv_folds",
-    "tokenizer_fertility",
-    "label_centroids",
-    "ann_hard_negatives",
-    "event_trigrams",
-    "quantile_normalize",
-    "conversion_latency",
-    "langid_confusion",
-    "join_size_estimate",
-    "trending_parts",
-    "snapshot_diff",
-    "gdpr_delete",
-    "concurrent_sessions",
-    "freshness_report",
-    "audience_overlap",
-    "source_overlap",
-    "length_percentiles",
-    "hll_sketch",
-    "lag_features",
-    "activity_heatmap",
-    "user_growth",
-    "video_frame_sample",
-    "login_streaks",
-    "ann_lsh_topk",
-    "ann_lsh_recall",
-    "dedup_containment",
-    "nb_langid",
-    "bbp_pi_digits",
+# ROUND-8 PLAN (next session: replace _R7_WINDOW with _R8_WINDOW): take
+# the FIRST 50 of the ledger rows marked "r8 scheduled" in COVERAGE.md
+# (the 33-row r7 overflow first, then the r4d rows); re-mark the 39-row
+# remainder "r9 scheduled". Update tests/test_window_contract.py and the
+# ledger in the same commit.
+_R7_WINDOW = [
+    "db_pageview_roundtrip",
+    "composite_join_expr",
+    "nline_fanout",
+    "binary_partition_slice",
+    "stream_heavy_hitters",
+    "missing_days",
+    "ab_split_metrics",
+    "asof_forward_events",
+    "asof_tolerance_events",
+    "kmv_set_algebra",
+    "weighted_sssp",
+    "rolling_active_users",
+    "order_cycle_time",
+    "seasonal_baseline",
+    "daily_metric_corr",
+    "zipf_profile",
+    "market_concentration",
+    "hourly_burst_flags",
+    "kcore_peel",
+    "curriculum_tiers",
+    "token_budget_allocator",
+    "relational_division",
+    "unpivot_metrics",
+    "rfm_segmentation",
+    "mean_shift_detect",
+    "autocorrelation",
+    "rolling_median",
+    "trigram_search",
+    "degree_assortativity",
+    "clustering_coefficient",
+    "event_type_diversity",
+    "incremental_agg_merge",
+    "table_fingerprint",
+    "order_backlog_curve",
+    "supplier_fill_rate",
+    "embedding_norm_outliers",
+    "feature_hashing",
+    "label_balance_weights",
+    "duplication_profile",
+    "year_over_year_growth",
+    "reorder_intervals",
+    "label_top_terms",
+    "semantic_keep_best",
+    "pca_power_iteration",
+    "link_prediction_cn",
+    "kaplan_meier",
+    "ridge_regression_2f",
+    "dedup_prefix",
+    "price_index",
+    "topn_with_other",
 ]
 
 
@@ -144,10 +148,10 @@ def load_all() -> None:
     # Deterministic window rotation: pull this round's 50-query window to
     # the front of the registry (dict order IS driver order); everything
     # else keeps its registration order behind it.
-    missing = [n for n in _R6_WINDOW if n not in QUERIES]
+    missing = [n for n in _R7_WINDOW if n not in QUERIES]
     if missing:  # a renamed query must fail loudly, not silently shrink
-        raise RuntimeError(f"_R6_WINDOW names not registered: {missing}")
-    front = {n: QUERIES[n] for n in _R6_WINDOW}
+        raise RuntimeError(f"_R7_WINDOW names not registered: {missing}")
+    front = {n: QUERIES[n] for n in _R7_WINDOW}
     rest = {n: f for n, f in QUERIES.items() if n not in front}
     QUERIES.clear()
     QUERIES.update(front)

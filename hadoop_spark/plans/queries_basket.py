@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table, shared
 
@@ -89,7 +90,10 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # freq feeds three branches (the prune + both rule-closing sides):
     # persist so the item-count aggregation runs once
     freq = shared(item_n.filter(F.col("n") >= _MINSUP_ITEM))
-    fitems = sized.join(F.broadcast(freq.select("pk")), "pk").select("ok", "pk")
+    # freq = items with absolute support ≥ _MINSUP_ITEM — at a FIXED minsup
+    # this approaches the whole part dimension as the corpus grows (TPC-H
+    # part is SF-scaled), so the semi-join hint must degrade above the cap
+    fitems = sized.join(bcast_if_small(freq.select("pk")), "pk").select("ok", "pk")
     # Pairs are generated MAP-SIDE from per-basket sorted arrays — the
     # MapReduce "pairs" pattern — not via a fact-fact self-join: the
     # basket regroup rides the ok-partitioning the window already paid
@@ -118,8 +122,8 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     f1 = freq.select(F.col("pk").alias("p1"), F.col("n").alias("n1"))
     f2 = freq.select(F.col("pk").alias("p2"), F.col("n").alias("n2"))
     return (
-        pairs.join(F.broadcast(f1), "p1")
-        .join(F.broadcast(f2), "p2")
+        pairs.join(bcast_if_small(f1), "p1")
+        .join(bcast_if_small(f2), "p2")
         .crossJoin(F.broadcast(total))  # 1-row aggregate, bounded
         .select(
             "p1",

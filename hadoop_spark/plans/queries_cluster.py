@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.operators.similarity import int_dot, int_dot_sql, quantize_sql, with_quantized
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import fanout_small, load_table, shared
@@ -1134,7 +1135,11 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = xc.join(F.broadcast(v), "dim").groupBy("vec_id").agg(
             dsum(F.col("xv") * F.col("vj"), _PCA_TSCALE).alias("t")
         )
-        s = xc.join(F.broadcast(t), "vec_id").groupBy("dim").agg(
+        # t has ONE ROW PER EMBEDDING VECTOR — it scales linearly with the
+        # corpus (billions of rows at 100 TB), unlike v (one row per DIM).
+        # Size-guarded hint: broadcast while small, degrade to the
+        # vec_id-keyed shuffle join Catalyst picks on its own above the cap.
+        s = xc.join(bcast_if_small(t), "vec_id").groupBy("dim").agg(
             dsum(F.col("xv") * F.col("t"), _PCA_SSCALE).alias("s")
         )
         nrm = s.agg(

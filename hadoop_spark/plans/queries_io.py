@@ -1878,6 +1878,22 @@ def db_pageview_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write pageviews to Derby, read back partitioned, count per url."""
     from hadoop_spark.sources.formats import read_jdbc_partitioned, write_jdbc
 
+    # EMBEDDED Derby is a single-JVM database on a DRIVER-LOCAL path: on a
+    # multi-process deployment (standalone/YARN/K8s) each executor JVM
+    # would try to boot the same path (ERROR XSDB6) or see no database at
+    # all. This catalog query is the local-mode test stand-in for the
+    # DBInput/DBOutputFormat pair — real clusters point read_jdbc_partitioned
+    # / write_jdbc at a network-served JDBC URL instead. Fail loudly here
+    # rather than letting a cluster-mode contract run red-ring on XSDB6 or
+    # silently aggregate an empty read-back.
+    master = spark.sparkContext.master or ""
+    if not master.startswith("local"):
+        raise RuntimeError(
+            "db_pageview_roundtrip uses EMBEDDED Derby (driver-local "
+            f"filesystem db) and only runs on local-mode masters; got "
+            f"master={master!r}. On a cluster, use write_jdbc/"
+            "read_jdbc_partitioned against a network JDBC database."
+        )
     # per-process db path: embedded Derby allows only ONE JVM to boot a
     # database, so a shared path would red-ring whichever of two
     # overlapping contract runs boots second (ERROR XSDB6). Before the
@@ -1946,40 +1962,36 @@ def db_pageview_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------------
 # nline_fanout — NLineInputFormat as a driver-checkable result
-# (`lib/input/NLineInputFormat.java:63`): N input lines per map task. The
-# observable is the SPLIT-SIZE MULTISET, and that multiset is a pure
-# function of the line count: parts = ceil(c/N), then (c mod parts)
-# splits of ceil(c/parts) rows and the rest of floor(c/parts) — so the
-# oracle recomputes it from COUNT(*) alone. Spark's round-robin
-# repartition assigns each single-input-partition row to consecutive
-# output partitions (seeded start per input-partition INDEX, so
-# deterministic), which is why the query pins ONE input partition first;
-# per-split row counts come from a real distributed
-# spark_partition_id() aggregation, not driver math.
+# (`lib/input/NLineInputFormat.java:63`): EXACTLY N input lines per map
+# task with one short tail split — 25 nation rows at N=4 → six splits of
+# 4 and one of 1, the reference's split construction verbatim (r6 ADVICE
+# asked for exact-N content parity over Spark's ±1-balanced round-robin,
+# which the earlier version of this query certified instead). The
+# observable is the SPLIT-SIZE MULTISET: floor(c/N) splits of N plus a
+# (c mod N)-row tail — a pure function of COUNT(*), so the oracle
+# recomputes it from the line count alone. Per-split row counts come
+# from a real distributed spark_partition_id() aggregation over the
+# identity-partitioned fan-out (one split per physical partition), not
+# driver math.
 # ----------------------------------------------------------------------
 
 _NLINE_N = 4
 
 _NLINE_ORACLE = f"""
-WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation),
-p AS (
-  SELECT c,
-         GREATEST(1, CAST(CEIL(c / {_NLINE_N}.0) AS BIGINT)) AS parts
-  FROM n
-)
-SELECT (c // parts) + 1 AS rows_per_split,
-       c % parts AS n_splits
-FROM p WHERE c % parts > 0
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation)
+SELECT CAST({_NLINE_N} AS BIGINT) AS rows_per_split,
+       c // {_NLINE_N} AS n_splits
+FROM n WHERE c // {_NLINE_N} > 0
 UNION ALL
-SELECT c // parts AS rows_per_split,
-       parts - (c % parts) AS n_splits
-FROM p WHERE c // parts > 0
+SELECT c % {_NLINE_N} AS rows_per_split,
+       CAST(1 AS BIGINT) AS n_splits
+FROM n WHERE c % {_NLINE_N} > 0
 """
 
 
 @query("nline_fanout", _NLINE_ORACLE)
 def nline_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-lines-per-task fan-out; result = split-size histogram."""
+    """Exact-N-lines-per-task fan-out; result = split-size histogram."""
     from hadoop_spark.sources.formats import nline_repartition, write_kv_text
 
     nation = load_table(spark, sf_dir, "nation").orderBy("n_nationkey")
@@ -1991,8 +2003,8 @@ def nline_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).coalesce(1),
         path,
     )
-    # single input partition -> the round-robin assignment is exactly
-    # balanced (+/-1), making the size multiset a function of COUNT(*)
+    # single input partition -> zipWithIndex order is the file order, the
+    # same order NLineInputFormat walks when placing split boundaries
     lines = spark.read.text(path).coalesce(1)
     parted = nline_repartition(lines, _NLINE_N)
     per_split = (

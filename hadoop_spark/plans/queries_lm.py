@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import dsum, dsum_sql
+from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import fanout_small, load_table, shared
 
@@ -1281,7 +1282,9 @@ def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         test.crossJoin(F.broadcast(defaults.select(F.col("lang").alias("cand_lang"), "dw")))
         .join(
-            F.broadcast(
+            # the model is per-(lang, TERM) — term vocabulary grows with
+            # corpus (Heaps' law), so the hint degrades above the cap
+            bcast_if_small(
                 weights.select(
                     F.col("lang").alias("cand_lang"), "term", "w"
                 )

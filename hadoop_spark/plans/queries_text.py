@@ -661,9 +661,12 @@ def word_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_ab").cast("double") * F.col("n").cast("double"))
         / (F.col("da").cast("double") * F.col("db").cast("double"))
     ).cast("decimal(18,9)").cast("double")
+    # da/db have one row per DISTINCT VOCABULARY WORD — vocabulary grows
+    # with corpus size (Heaps' law; tens of GB of strings at 100 TB web
+    # text), so the hint must degrade to a shuffle join above the cap.
     lifted = (
-        pairs.join(F.broadcast(da), "word_a")
-        .join(F.broadcast(db), "word_b")
+        pairs.join(bcast_if_small(da), "word_a")
+        .join(bcast_if_small(db), "word_b")
         .crossJoin(F.broadcast(ndocs))
         .select("word_a", "word_b", "n_ab", lift.alias("lift"))
     )
@@ -1245,7 +1248,9 @@ def token_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     permille = F.floor(
         (F.col("pos") - 1) * 1000 / F.greatest(F.col("len") - 1, F.lit(1))
     ).cast("bigint")
-    j = toks.join(F.broadcast(df), "w").select(
+    # df is per-distinct-word (vocabulary-scaling, same Heaps'-law growth
+    # as word_lift's da/db) — size-guarded, not forced.
+    j = toks.join(bcast_if_small(df), "w").select(
         F.length(F.bin("df")).cast("bigint").alias("df_bucket"),
         permille.alias("permille"),
     )

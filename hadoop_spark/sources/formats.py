@@ -77,12 +77,39 @@ def read_fixed_width(
     return df.select(*cols)
 
 
-def nline_repartition(df: DataFrame, records_per_split: int) -> DataFrame:
-    """NLineInputFormat parity: fix the records-per-task fan-out. In Spark
-    this is a parallelism hint, not a semantic op."""
+def nline_repartition(
+    df: DataFrame, records_per_split: int, exact: bool = True
+) -> DataFrame:
+    """NLineInputFormat parity (`lib/input/NLineInputFormat.java:63`):
+    exactly N consecutive records per task, with one short tail split —
+    e.g. 25 rows at N=4 → six splits of 4 and one of 1, matching the
+    reference's split construction byte for byte (it too enumerates the
+    input up front to place split boundaries; our ``count()`` is that
+    same pre-pass).
+
+    ``exact=True`` (default) keys each row by ``row_index // N`` and
+    places every split on its own partition via an identity-partitioned
+    keyed RDD — the one spot in this repo where an RDD is the right tool,
+    because no DataFrame repartitioning guarantees the 1-split-per-task
+    physical mapping (hash collides splits; range sampling may merge
+    them). The Python-RDD hop serializes rows, which is fine for NLine's
+    actual role: fanning out a SMALL driver/control file (parameter
+    sweeps, file lists) to many tasks — never a data-sized table.
+
+    ``exact=False`` keeps the pure-JVM balanced ``repartition(parts)``
+    (±1 rows per task): the right mode when only the task COUNT matters
+    and the input is bigger than a control file."""
     n = df.count()
     parts = max(1, (n + records_per_split - 1) // records_per_split)
-    return df.repartition(parts)
+    if not exact:
+        return df.repartition(parts)
+    rdd = (
+        df.rdd.zipWithIndex()
+        .map(lambda t: (t[1] // records_per_split, t[0]))
+        .partitionBy(parts, lambda split_id: int(split_id))
+        .map(lambda t: t[1])
+    )
+    return df.sparkSession.createDataFrame(rdd, df.schema)
 
 
 def multi_input_union(*dfs: DataFrame) -> DataFrame:

@@ -14,7 +14,9 @@ from hadoop_spark.operators.join import (
     composite_inner,
     composite_outer,
     define_join_op,
+    join_op,
     override,
+    undefine_join_op,
 )
 
 
@@ -79,9 +81,70 @@ def test_nested_expression(spark, sources):
 
 
 def test_user_defined_op(spark, sources):
-    define_join_op("leftkeep", lambda key, left, right: left.join(right, key, "left"))
-    got = compose('leftkeep(tbl(seq,"a"), tbl(seq,"b"))', "k", _resolve(sources))
-    assert _rows(got) == _rows(sources["a"].join(sources["b"], "k", "left"))
+    # join_op scopes the registration: nothing leaks into later tests
+    with join_op("leftkeep", lambda key, left, right: left.join(right, key, "left")):
+        got = compose('leftkeep(tbl(seq,"a"), tbl(seq,"b"))', "k", _resolve(sources))
+        assert _rows(got) == _rows(sources["a"].join(sources["b"], "k", "left"))
+    with pytest.raises(ValueError, match="unknown join op"):
+        compose('leftkeep(tbl(seq,"a"), tbl(seq,"b"))', "k", _resolve(sources))
+
+
+def test_redefinition_raises_unless_replaced():
+    try:
+        define_join_op("dupop", lambda key, *fr: fr[0])
+        with pytest.raises(ValueError, match="already defined"):
+            define_join_op("dupop", lambda key, *fr: fr[-1])
+        define_join_op("dupop", lambda key, *fr: fr[-1], replace=True)
+    finally:
+        assert undefine_join_op("dupop") is True
+    assert undefine_join_op("dupop") is False
+
+
+def test_join_op_restores_previous_registration(spark, sources):
+    marks = []
+    try:
+        define_join_op("outerish", lambda key, *fr: (marks.append("v1"), fr[0])[1])
+        with join_op("outerish", lambda key, *fr: (marks.append("v2"), fr[0])[1]):
+            compose('outerish(tbl(seq,"a"))', "k", _resolve(sources))
+        compose('outerish(tbl(seq,"a"))', "k", _resolve(sources))
+        assert marks == ["v2", "v1"]
+    finally:
+        undefine_join_op("outerish")
+
+
+def test_override_per_node_value_col(spark, sources):
+    # Two SIBLING override nodes whose sources carry differently-named
+    # value columns ("v" vs "w") under one join — inexpressible with a
+    # single global value_col (the r6 ADVICE gap). A callable value_col
+    # is invoked per override node with that node's evaluated child
+    # frames and resolves each node's own column.
+    srcs = {
+        "a": sources["a"].select("k", F.col("va").alias("v")),
+        "b": sources["b"].select("k", F.col("vb").alias("v")),
+        "c": sources["c"].select("k", F.col("vc").alias("w")),
+        "d": spark.createDataFrame([(1, "d1"), (2, "d2")], ["k", "w"]),
+    }
+
+    def vc(frames):
+        common = set.intersection(*(set(f.columns) for f in frames)) - {"k"}
+        (col,) = common  # loud if the node's sources don't agree
+        return col
+
+    got = compose(
+        'inner(override(tbl(seq,"a"), tbl(seq,"b")),'
+        ' override(tbl(seq,"c"), tbl(seq,"d")))',
+        "k",
+        _resolve(srcs),
+        value_col=vc,
+    )
+    want = composite_inner(
+        "k",
+        override("k", "v", srcs["a"], srcs["b"]),
+        override("k", "w", srcs["c"], srcs["d"]),
+    )
+    assert _rows(got) == _rows(want)
+    # key 1: left override keeps a1 (only a has 1); right: d rightmost-wins
+    assert (1, "a1", "d1") in _rows(got)
 
 
 def test_malformed_expressions_fail_loudly(spark, sources):
@@ -137,3 +200,48 @@ def test_compose_expr_builder_round_trips(spark, sources):
     assert names == ['we"ird\\path']
     with pytest.raises(ValueError, match="at least one path"):
         compose_expr("inner", "seq")
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_randomized_expression_matches_direct_composition(spark, seed):
+    """r6 verdict optional #7: random >3-source expressions with a
+    user-defined op must evaluate EXACTLY like the hand-built composition
+    of the direct Python calls on the same random data (seeded, so the
+    failure case replays)."""
+    import random
+
+    rng = random.Random(seed)
+    n_sources = rng.randint(4, 6)
+    srcs = {}
+    for si in range(n_sources):
+        rows = [
+            (k, f"s{si}v{k}")
+            for k in sorted(rng.sample(range(10), rng.randint(3, 8)))
+        ]
+        srcs[f"t{si}"] = spark.createDataFrame(rows, ["k", f"v{si}"])
+
+    def firstwins(key, *frames):
+        # user op: leftmost-wins key union — the mirror of override
+        out = frames[0].select("k").distinct()
+        for fr in frames[1:]:
+            out = out.unionByName(fr.select("k").distinct()).distinct()
+        return out
+
+    names = list(srcs)
+    rng.shuffle(names)
+    cut = rng.randint(2, len(names) - 2)
+    inner_names, outer_names = names[:cut], names[cut:]
+    expr = (
+        "keyunion("
+        + "inner(" + ", ".join(f'tbl(seq,"{n}")' for n in inner_names) + "), "
+        + "outer(" + ", ".join(f'tbl(seq,"{n}")' for n in outer_names) + ")"
+        + ")"
+    )
+    with join_op("keyunion", firstwins):
+        got = compose(expr, "k", _resolve(srcs))
+    want = firstwins(
+        "k",
+        composite_inner("k", *[srcs[n] for n in inner_names]),
+        composite_outer("k", *[srcs[n] for n in outer_names]),
+    )
+    assert _rows(got) == _rows(want)

@@ -219,3 +219,34 @@ def test_max_records_per_file_bounds_output_files(spark, tmp_path):
         assert n <= 1500, (f, n)
     total = spark.read.parquet(out).count()
     assert total == 10_000
+
+
+def test_nline_exact_splits_match_reference_semantics(spark):
+    """NLineInputFormat parity (`lib/input/NLineInputFormat.java:63`):
+    exact-N CONSECUTIVE lines per split with one short tail — 25 rows at
+    N=4 must give six splits of 4 plus one of 1 (not Spark's ±1-balanced
+    round-robin), and split i must hold rows [i*N, (i+1)*N) in order."""
+    from hadoop_spark.sources.formats import nline_repartition
+
+    df = spark.range(25).selectExpr("CAST(id AS STRING) AS line").coalesce(1)
+    parted = nline_repartition(df, 4)
+    assert parted.rdd.getNumPartitions() == 7
+    by_part = sorted(
+        parted.rdd.mapPartitionsWithIndex(
+            lambda i, it: [(i, sorted(int(r.line) for r in it))]
+        ).collect()
+    )
+    sizes = sorted(len(rows) for _, rows in by_part)
+    assert sizes == [1, 4, 4, 4, 4, 4, 4]
+    # content parity: each split holds the CONSECUTIVE slice, not a
+    # round-robin interleave
+    assert by_part == [(i, list(range(i * 4, min(25, (i + 1) * 4)))) for i in range(7)]
+
+
+def test_nline_balanced_mode_keeps_task_count(spark):
+    from hadoop_spark.sources.formats import nline_repartition
+
+    df = spark.range(25).selectExpr("CAST(id AS STRING) AS line").coalesce(1)
+    parted = nline_repartition(df, 4, exact=False)
+    assert parted.rdd.getNumPartitions() == 7
+    assert parted.count() == 25

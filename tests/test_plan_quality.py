@@ -221,6 +221,31 @@ def test_decontaminate_broadcasts_eval_side(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        # r6-verdict data-scaling broadcasts converted to bcast_if_small in
+        # r7: pca's per-vector t, word_lift's per-word da/db,
+        # token_position_profile's per-word df, plus the two proactive r7
+        # conversions (nb_langid per-(lang,term) weights, assoc_rules
+        # fixed-minsup frequent items). At test scale the smalls must still
+        # broadcast (via the guard's hint or auto-broadcast/AQE — either
+        # path yields BroadcastHashJoin); above the cap the guard degrades
+        # to the shuffle join Catalyst picks, covered by
+        # test_oversize_side_degrades_to_unhinted_join.
+        "pca_power_iteration",
+        "word_lift",
+        "token_position_profile",
+        "nb_langid",
+        "assoc_rules",
+    ],
+)
+def test_guarded_scaling_broadcasts_still_attach_at_test_scale(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """Layer 1 of the skew answer (operators/skew.py docstring): AQE must
     detect and split a pathologically hot join key at runtime. Thresholds
