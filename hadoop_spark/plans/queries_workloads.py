@@ -551,6 +551,18 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wedge fan-out is Σ_v out_deg(v)² with out-degrees bounded by ~sqrt(2m),
 # instead of the unbounded in-degree hubs a naive enumeration hits.
 # Graph: suppliers co-occurring in an order (distinct pairs per order).
+#
+# Idiom choice, measured: the wedge step is the oriented-edge SELF-JOIN
+# (e1.s = e2.s, e1.t < e2.t), NOT the collect_list-adjacency + map-side
+# pair expansion that `operators/graph.cooccurrence_pairs` uses for
+# basket pairs. Both were benchmarked head-to-head at sf0.1 (median of
+# 3, noop sink, same oriented input): self-join 6.4 s vs adjacency
+# 11.0 s — the struct-array collect/copy/slice overhead of per-center
+# adjacency rows costs more than the sort-merge join saves, and unlike
+# baskets (≤ C(7,2) pairs per order) the post-orientation out-degree is
+# only sqrt-bounded, so the array idiom also loses its bounded-group
+# safety argument. The same applies to `clustering_coefficient` and
+# `link_prediction_cn`, which share this wedge machinery.
 
 _TRIANGLE_ORACLE = """
 WITH pairs AS (
