@@ -989,15 +989,26 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in _RICH_CLUB_KS
         ]
     )
-    grid = None
+    # Pivot the 1-row (e2..e64, n2..n64) aggregate into the k grid with ONE
+    # explode, not a 6-branch union: a union of selects over the un-persisted
+    # aggregate re-PLANS the whole edge join per branch (measured: 114
+    # exchanges / 42 lineitem scans in the plan, ~6x the one-pass work),
+    # while explode reshapes the single computed row map-side.
     base = es.join(F.broadcast(ns))
-    for k in _RICH_CLUB_KS:
-        row = base.select(
-            F.lit(k).cast("bigint").alias("k"),
-            F.col(f"e{k}").alias("e_club"),
-            F.col(f"n{k}").alias("n_club"),
-        )
-        grid = row if grid is None else grid.unionByName(row)
+    grid = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("k"),
+                        F.col(f"e{k}").alias("e_club"),
+                        F.col(f"n{k}").alias("n_club"),
+                    )
+                    for k in _RICH_CLUB_KS
+                ]
+            )
+        ).alias("r")
+    ).select("r.k", "r.e_club", "r.n_club")
     nc = F.col("n_club").cast("double")
     phi = F.when(
         F.col("n_club") >= 2,

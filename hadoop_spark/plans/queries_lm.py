@@ -1256,8 +1256,16 @@ def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = toks.filter(F.col("doc_id") % 2 == 0)
     test = toks.filter(F.col("doc_id") % 2 == 1)
-    vocab = train.agg(F.countDistinct("term").alias("v"))
+    # vocab derives from cnts (countDistinct over its term column is the
+    # SAME set as over the raw train stream) so every training consumer
+    # hangs off the one (lang, term) exchange, which AQE stage-reuse
+    # dedupes at runtime — the raw-stream form planned a second,
+    # differently-keyed distinct over the corpus-char explode. Measured
+    # at sf0.1: persisting cnts on top of this is slightly NEGATIVE
+    # (5.5 s -> 6.0 s median — materialization barrier for stages AQE
+    # already reuses), so no shared() here.
     cnts = train.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cnts.agg(F.countDistinct("term").alias("v"))
     tots = cnts.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
     def _log16(xcol: str) -> F.Column:
         # 1/16-bit piecewise-linear integer log2: 16*bitlen(x) + the top

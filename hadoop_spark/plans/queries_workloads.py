@@ -215,15 +215,18 @@ def xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = os.path.join(repo, ".tmp", "io", tag, "xml_docs")
-    # one contiguous record stream per task file: records concatenated
-    # with no separator (lineSep="" is rejected, so pre-concatenate per
-    # partition via a groupBy on the partition id — 4 writer tasks)
+    # contiguous record streams: records concatenated with no separator
+    # (lineSep="" is rejected, so pre-concatenate per group). The group
+    # key is doc_id // 1024, NOT a whole repartition(4) partition: each
+    # concatenated stream holds ≤ 1024 records regardless of corpus size
+    # (a per-partition concat is |docs|/tasks — one executor-OOM string
+    # at 100 TB), writer parallelism scales with the data, and the
+    # downstream byte-range-split read recovers the same record SET from
+    # any layout, so the fixture stays hash-stable.
     (
-        docs.select(rec)
-        .repartition(4)
-        .select(F.spark_partition_id().alias("p"), F.col("rec"))
-        .groupBy("p")
-        .agg(F.concat_ws("", F.collect_list("rec")).alias("value"))
+        docs.select((F.col("doc_id") / 1024).cast("bigint").alias("chunk"), rec)
+        .groupBy("chunk")
+        .agg(F.concat_ws("", F.array_sort(F.collect_list("rec"))).alias("value"))
         .select("value")
         .write.mode("overwrite")
         .text(path)
