@@ -384,7 +384,14 @@ FROM e{_KCORE_ROUNDS} GROUP BY s
 @query("kcore_peel", _kcore_oracle())
 def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = shared(symmetrize(cooccurrence_pairs(li, "l_orderkey", "l_suppkey")))
+    # NOT shared(): round 1 consumes edges only twice (deg + the filter
+    # join) and AQE stage-reuse already dedupes the underlying pair-build
+    # exchanges; a persist here measured ~1.8x SLOWER at sf0.1 (1.9 s vs
+    # 3.5 s median) — cache materialization of the full symmetric edge
+    # list for work the stage cache skips anyway. Contrast pagerank /
+    # triangle_count, where the SAME frame feeds 3+ branches or 5
+    # iterations and the persist measured 2-5x FASTER.
+    edges = symmetrize(cooccurrence_pairs(li, "l_orderkey", "l_suppkey"))
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy(F.col("s").alias("node")).agg(
             F.count(F.lit(1)).alias("deg")

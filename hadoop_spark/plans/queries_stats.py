@@ -1269,6 +1269,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = rfm.withColumn(
         "mon_bucket", F.floor(F.col("mon_cents") / 50000).cast("bigint")
     )
+    # rfm feeds 7 plan branches (3 quantile cuts x hist/tot + the scored
+    # pass) — deliberately NOT persisted: AQE stage-reuse dedupes the
+    # o_custkey exchange at runtime, and a shared() here measured 1.7x
+    # SLOWER at sf0.1 (1.5 s -> 2.6 s median — cache materialization
+    # barrier for work the stage cache already skips).
     cuts = []
     for dim in ("last_day", "freq", "mon_bucket"):
         q = group_quantiles(

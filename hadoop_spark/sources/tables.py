@@ -92,7 +92,18 @@ def shared(df: DataFrame) -> DataFrame:
     subplans. For expensive map-side work (signatures, shingles, quantized
     vectors) persist once and read many: MEMORY_AND_DISK so it spills
     instead of OOMing at scale. The 100 TB version of the same decision is
-    materializing the signature table to storage before the self-join."""
+    materializing the signature table to storage before the self-join.
+
+    When NOT to use it (measured, r7): AQE's stage cache already reuses
+    identical shuffle map stages at runtime, so a frame whose lineage ends
+    in an exchange and is consumed by only TWO branches often runs FASTER
+    unpersisted — the cache materialization barrier costs more than the
+    reduce-side recompute it saves (kcore_peel 3.5→1.9 s, rfm_segmentation
+    1.5 vs 2.6 s). Persist wins decisively for 3+ consumers, driver-loop
+    iteration state, and self-joins over expensive map-side work
+    (triangle_count 28→5.9 s, pagerank 17→9.6 s, kmeans_iterate −2.5 s,
+    bfs_hops −2.4 s, label_propagation −2.2 s without it). Measure before
+    flipping either way."""
     from pyspark import StorageLevel
 
     return df.persist(StorageLevel.MEMORY_AND_DISK)
