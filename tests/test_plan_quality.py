@@ -106,6 +106,13 @@ def test_q1_single_shuffle(spark):
         # one global aggregate (partial + final over SinglePartition)
         ("numeric_profile", 1),
         ("train_test_split", 1),
+        # r7 union-loop collapses: the k-grid / quantile-long reshape is
+        # ONE map-side explode over the single computed aggregate row.
+        # The per-branch union forms these replaced re-planned the edge
+        # join / quantile histogram per branch (15-20+ unique exchanges);
+        # a regression to that shape trips these budgets immediately.
+        ("rich_club_coefficient", 7),
+        ("ab_quantile_effect", 7),
     ],
 )
 def test_shuffle_budget(spark, name, max_shuffles):
