@@ -1010,6 +1010,13 @@ def dbscan_core_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN core/border/noise classification per label (blocked GEMM)."""
     from hadoop_spark.operators.similarity import block_near_dup_pairs
 
+    # BOTH persists are scale-load-bearing — measured at ×30 data in one
+    # controlled session: both=156 s, pairs-only=421 s, none=361 s (the
+    # GEMM cogroup feeds deg on id_a and the border probe on id_b — two
+    # DIFFERENT exchanges AQE's stage cache cannot dedupe, so without the
+    # persists the dominant GEMM re-runs). At sf0.1 dropping them LOOKS
+    # ~0.8 s faster (cache barrier > tiny GEMM) — that bench-scale signal
+    # is the trap; do not flip this on sub-GEMM-scale timings.
     emb = shared(
         with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
     )
