@@ -102,8 +102,16 @@ def shared(df: DataFrame) -> DataFrame:
     1.5 vs 2.6 s). Persist wins decisively for 3+ consumers, driver-loop
     iteration state, and self-joins over expensive map-side work
     (triangle_count 28→5.9 s, pagerank 17→9.6 s, kmeans_iterate −2.5 s,
-    bfs_hops −2.4 s, label_propagation −2.2 s without it). Measure before
-    flipping either way."""
+    bfs_hops −2.4 s, label_propagation −2.2 s without it).
+
+    CAVEAT (x30-validated): bench-scale timings only settle the question
+    for exchange-deduped JVM subtrees. A frame built by expensive work
+    the stage cache can NOT dedupe — a Python cogroup / blocked GEMM
+    feeding differently-keyed consumers — needs its persist even when
+    sf0.1 says otherwise: dbscan_core_flags measured 0.8 s FASTER
+    unpersisted at sf0.1 but 2.3-2.7× SLOWER at x30 data. Measure before
+    flipping either way, and A/B at x30 when the subtree crosses the
+    Python boundary."""
     from pyspark import StorageLevel
 
     return df.persist(StorageLevel.MEMORY_AND_DISK)
