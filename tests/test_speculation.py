@@ -65,6 +65,19 @@ spark = (
 sc = spark.sparkContext
 sc.setLogLevel("ERROR")
 
+# BOTH workers must have registered executors before the job starts: with
+# only one host up, a speculative attempt can never schedule (TaskSetManager
+# refuses the host that already runs attempt 0) and the test flakes on
+# worker-registration latency under load. getExecutorInfos() includes the
+# driver, so 2 executors = 3 entries.
+deadline = time.time() + 90
+while time.time() < deadline:
+    if len(sc._jsc.sc().statusTracker().getExecutorInfos()) >= 3:
+        break
+    time.sleep(0.5)
+else:
+    raise RuntimeError("second worker's executor never registered")
+
 done_flag = os.path.join(workdir, "job_done")
 
 
@@ -129,9 +142,12 @@ def test_straggler_is_speculatively_rerun_exactly_once(tmp_path, two_host_cluste
     p7 = {s for s in payload["started"] if s.startswith("started_p7_")}
     assert "started_p7_a0" in p7
     assert len(p7) >= 2, payload["started"]
-    # no other partition was speculated (they all finish in milliseconds)
-    fast = [s for s in payload["started"] if not s.startswith("started_p7_")]
-    assert len(fast) == 7
+    # every fast partition ran its first attempt. (A spurious speculative
+    # copy of a fast partition is ALLOWED — under system load their median
+    # inflates and the scheduler may legitimately speculate one; exactly-
+    # once is what matters and the `total` assertion above pins it.)
+    for i in range(7):
+        assert f"started_p{i}_a0" in payload["started"], payload["started"]
 
     # the job finished on the speculative copy's timeline, nowhere near
     # the straggler's 240 s budget (generous bound for scheduler jitter)
