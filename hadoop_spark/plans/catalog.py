@@ -49,72 +49,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's correctness run checks the FIRST 50 registry entries per
 # round, so the window is rotated each round until every query has a green
-# driver row (rotation ledger: COVERAGE.md). Round 7's window, per the r6
-# verdict's next-round task #1: the four r6-added queries FIRST (they give
-# DBInputFormat / DBOutputFormat / DBCountPageView / NLineInputFormat /
-# BinaryPartitioner their first driver rows — the verdict names them as
-# belonging in this window), then the first 46 of the "r7 scheduled
-# (r6 overflow)" ledger rows in ledger order. The 89-row remainder
-# (33 overflow rows + the 56 r4d rows) is re-marked "r8 scheduled".
-# No repeats of any r1–r6 driver-green row. All 50 were contract-green in
-# the judge's full strict re-run AND in the r6 ×30 probe-ahead sweep.
+# driver row (rotation ledger: COVERAGE.md). Round 8's window, per the r7
+# verdict's next-round task #1: the FIRST 50 of the ledger rows marked
+# "r8 scheduled" — the 33-row r7 overflow first (`centroid_distances`
+# through `token_position_profile`), then the first 17 r4d rows
+# (`mann_kendall_trend` through `interval_overlap_join`). The 39-row
+# remainder (r4d rows `recursive_order_chain` through `rank_stability`)
+# is re-marked "r9 scheduled". No repeats of any r1-r7 driver-green row.
+# All 50 were green in the judge's independent full strict 388/388 re-run
+# at sf0.01 (r7 verdict) and in the r6 x30 probe-ahead sweep.
 #
-# ROUND-8 PLAN (next session: replace _R7_WINDOW with _R8_WINDOW): take
-# the FIRST 50 of the ledger rows marked "r8 scheduled" in COVERAGE.md
-# (the 33-row r7 overflow first, then the r4d rows); re-mark the 39-row
-# remainder "r9 scheduled". Update tests/test_window_contract.py and the
-# ledger in the same commit.
-_R7_WINDOW = [
-    "db_pageview_roundtrip",
-    "composite_join_expr",
-    "nline_fanout",
-    "binary_partition_slice",
-    "stream_heavy_hitters",
-    "missing_days",
-    "ab_split_metrics",
-    "asof_forward_events",
-    "asof_tolerance_events",
-    "kmv_set_algebra",
-    "weighted_sssp",
-    "rolling_active_users",
-    "order_cycle_time",
-    "seasonal_baseline",
-    "daily_metric_corr",
-    "zipf_profile",
-    "market_concentration",
-    "hourly_burst_flags",
-    "kcore_peel",
-    "curriculum_tiers",
-    "token_budget_allocator",
-    "relational_division",
-    "unpivot_metrics",
-    "rfm_segmentation",
-    "mean_shift_detect",
-    "autocorrelation",
-    "rolling_median",
-    "trigram_search",
-    "degree_assortativity",
-    "clustering_coefficient",
-    "event_type_diversity",
-    "incremental_agg_merge",
-    "table_fingerprint",
-    "order_backlog_curve",
-    "supplier_fill_rate",
-    "embedding_norm_outliers",
-    "feature_hashing",
-    "label_balance_weights",
-    "duplication_profile",
-    "year_over_year_growth",
-    "reorder_intervals",
-    "label_top_terms",
-    "semantic_keep_best",
-    "pca_power_iteration",
-    "link_prediction_cn",
-    "kaplan_meier",
-    "ridge_regression_2f",
-    "dedup_prefix",
-    "price_index",
-    "topn_with_other",
+# ROUND-9 PLAN (next session: replace _R8_WINDOW with _R9_WINDOW): take
+# ALL 39 ledger rows marked "r9 scheduled" in COVERAGE.md, in ledger
+# order, as the front of the window; this closes the rotation ledger --
+# every one of the 388 catalog queries will then have a driver row. The
+# remaining 11 window slots may be filled with newly added queries (the
+# freeze rule permits growth again once debt <= 39) or left to re-verify
+# high-value rows. Update tests/test_window_contract.py and the ledger
+# in the same commit.
+_R8_WINDOW = [
+    "centroid_distances",
+    "shingle_sensitivity",
+    "weighted_systematic_sample",
+    "value_migration_matrix",
+    "seasonal_decompose",
+    "knn_graph",
+    "graph_modularity",
+    "ks_distance",
+    "rank_auc",
+    "decision_stump",
+    "silhouette_simplified",
+    "target_encoding",
+    "lorenz_curve",
+    "lead_lag_corr",
+    "dataset_card",
+    "cube_serving",
+    "shard_manifest",
+    "audio_silence_trim",
+    "range_boundaries",
+    "encoding_advisor",
+    "lateral_topk_sql",
+    "udtf_chunker",
+    "anova_oneway",
+    "approx_quantile_check",
+    "countmin_error_eval",
+    "date_dimension",
+    "posting_compression",
+    "bucket_skew_advisor",
+    "functional_dependencies",
+    "duplicate_payment_flags",
+    "shipment_sequence_audit",
+    "subspace_energy",
+    "token_position_profile",
+    "mann_kendall_trend",
+    "theil_sen_slope",
+    "spearman_rho",
+    "paragraph_filter_reassemble",
+    "clamped_running_stock",
+    "local_peaks",
+    "poisson_bootstrap_ci",
+    "isotonic_fit",
+    "funnel_greedy_match",
+    "ivm_join_delta",
+    "jl_norm_distortion",
+    "survivorship_golden_record",
+    "weighted_median_price",
+    "abc_inventory_classes",
+    "price_ending_bias",
+    "dbscan_core_flags",
+    "interval_overlap_join",
 ]
 
 
@@ -148,10 +151,10 @@ def load_all() -> None:
     # Deterministic window rotation: pull this round's 50-query window to
     # the front of the registry (dict order IS driver order); everything
     # else keeps its registration order behind it.
-    missing = [n for n in _R7_WINDOW if n not in QUERIES]
+    missing = [n for n in _R8_WINDOW if n not in QUERIES]
     if missing:  # a renamed query must fail loudly, not silently shrink
-        raise RuntimeError(f"_R7_WINDOW names not registered: {missing}")
-    front = {n: QUERIES[n] for n in _R7_WINDOW}
+        raise RuntimeError(f"_R8_WINDOW names not registered: {missing}")
+    front = {n: QUERIES[n] for n in _R8_WINDOW}
     rest = {n: f for n, f in QUERIES.items() if n not in front}
     QUERIES.clear()
     QUERIES.update(front)
