@@ -222,9 +222,17 @@ def xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a per-partition concat is |docs|/tasks — one executor-OOM string
     # at 100 TB), writer parallelism scales with the data, and the
     # downstream byte-range-split read recovers the same record SET from
-    # any layout, so the fixture stays hash-stable.
+    # any layout, so the fixture stays hash-stable. The key is computed
+    # in INTEGER arithmetic (subtract pmod, then exact `div`): double
+    # division truncates toward zero (merging the chunks around zero for
+    # negative ids) and rounds above 2^53 — floor semantics at any
+    # magnitude keep the documented ≤1024-records-per-stream bound exact
+    # (r7 ADVICE).
     (
-        docs.select((F.col("doc_id") / 1024).cast("bigint").alias("chunk"), rec)
+        docs.select(
+            F.expr("(doc_id - pmod(doc_id, 1024)) div 1024").alias("chunk"),
+            rec,
+        )
         .groupBy("chunk")
         .agg(F.concat_ws("", F.array_sort(F.collect_list("rec"))).alias("value"))
         .select("value")

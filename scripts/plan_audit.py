@@ -26,19 +26,29 @@ Verdicts need an A/B timing on a QUIET machine (contended timings
 reversed a conclusion once — see COVERAGE r7 notes); this audit is the
 finder, not the judge.
 
+CAVEAT — this audit EXECUTES REAL WORK for some queries (r7 ADVICE):
+building the DataFrame runs each query's eager side effects — xml_records
+writes its fixture and runs an eager localCheckpoint, the sorted-run /
+roundtrip queries write parquet under .tmp/io, JDBC queries populate the
+embedded Derby table. "Initial plan" means the plan of the RETURNED
+frame; fixture construction ahead of it is not elided. Corollary: do
+NOT run this concurrently with scripts/drive_contract.py at the same
+sf — both write the same .tmp/io fixture paths and the commit-rename
+protocols race (observed r8: a concurrent sweep failed
+pyds_fixed_width_roundtrip's os.replace commit).
+
 Usage: python scripts/plan_audit.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
 import os
-import re
 import sys
-from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hadoop_spark.plans import QUERIES, load_all
+from hadoop_spark.plans.audit import build_plan, measure
 from hadoop_spark.session import get_session
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -49,41 +59,25 @@ def main() -> None:
     load_all()
     spark = get_session(app_name="plan_audit")
     rows, errors = [], {}
-    for name, fn in QUERIES.items():
+    for name in QUERIES:
         if ONLY and name not in ONLY:
             continue
         try:
-            plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            plan = build_plan(spark, SF, name)
         except Exception as exc:  # noqa: BLE001 — audit must cover the rest
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        uniq_ex = len(
-            set(
-                re.findall(
-                    r"Exchange (?:hashpartitioning|rangepartitioning|"
-                    r"SinglePartition).*?\[plan_id=(\d+)\]",
-                    plan,
-                )
-            )
-        )
-        scans = Counter(
-            re.findall(
-                r"FileScan parquet[^\n]*?(\w+)\.parquet[^\n]*?"
-                r"ReadSchema: (struct<[^>]*>)",
-                plan,
-            )
-        )
+        m = measure(plan)
         rows.append(
             (
                 name,
-                uniq_ex,
-                plan.count("InMemoryTableScan"),
-                plan.count("CartesianProduct"),
-                plan.count("BroadcastNestedLoopJoin"),
-                {k: v for k, v in scans.items() if v >= 3},
+                m["unique_exchanges"],
+                m["imts"],
+                m["cartesian"],
+                m["bnlj"],
+                m["repeated_scans"],
             )
         )
-        spark.catalog.clearCache()
     print(f"audited {len(rows)} plans, {len(errors)} errors")
     for name, err in errors.items():
         print(f"ERROR {name}: {err}")
