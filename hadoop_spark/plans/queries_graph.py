@@ -82,6 +82,15 @@ FROM r{_ITERS}"""
 @query("pagerank", _pagerank_oracle())
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank, 5 Lloyd-style driver iterations, decimal-exact."""
+    return _pagerank_impl(spark, sf_dir, lineage="lazy")
+
+
+def _pagerank_impl(spark: SparkSession, sf_dir: str, lineage: str) -> DataFrame:
+    """PageRank loop with a switchable per-iteration lineage cut, so the
+    variance probe (scripts/pagerank_ab.py) can A/B the regimes on the
+    SAME code: "lazy" (production — localCheckpoint(eager=False), cuts
+    lineage, materializes on first use), "eager" (materialize each
+    iteration synchronously), "none" (raw 5-iteration lineage)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = shared(symmetrize(cooccurrence_pairs(li, "l_orderkey", "l_suppkey")))
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
@@ -112,8 +121,10 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
         # Cut lineage growth per iteration (same discipline as
-        # dedup_components): ranks stays node-sized.
-        ranks = ranks.localCheckpoint(eager=False)
+        # dedup_components): ranks stays node-sized. Regime chosen by the
+        # r8 variance A/B (scripts/pagerank_ab.py, README probe table).
+        if lineage != "none":
+            ranks = ranks.localCheckpoint(eager=(lineage == "eager"))
     return ranks.select(
         "node", F.col("r").cast(f"decimal(18,{_SCALE})").cast("double").alias("pr")
     )

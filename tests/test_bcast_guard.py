@@ -354,3 +354,33 @@ def test_gauge_call_sites_are_audited():
                         found.add((p.name, df_arg, _ast.unparse(kw.value)))
     assert found <= audited, f"unaudited gauge= call sites: {found - audited}"
     assert audited <= found, f"stale audited gauge entries: {audited - found}"
+
+
+def test_gauge_precondition_holds_empirically(spark):
+    """The one audited gauge site (tpch_q2's euro, gauged on supplier)
+    claims |euro| <= |supplier| in bytes. That holds iff the joins are
+    key-unique (supplier.s_nationkey -> exactly one nation row; nation ->
+    <=1 EUROPE region row) and non-widening (euro keeps a strict subset
+    of supplier's weight plus one narrow n_name). Assert both halves on
+    real data each round (r7 verdict carried task #7: re-verify until
+    Catalyst's multiplicative join estimate is root-caused upstream)."""
+    nation = load_table(spark, SF_DIR, "nation")
+    region = load_table(spark, SF_DIR, "region")
+    supp = load_table(spark, SF_DIR, "supplier")
+    # key-uniqueness of both dim sides => the join cannot fan out
+    assert nation.count() == nation.select("n_nationkey").distinct().count()
+    assert region.count() == region.select("r_regionkey").distinct().count()
+    euro = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(
+            region.filter(F.col("r_name") == "EUROPE"),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    n_euro, n_supp = euro.count(), supp.count()
+    assert n_euro <= n_supp, (n_euro, n_supp)
+    # non-widening: every euro column except n_name comes from supplier,
+    # and n_name (<=25 chars) is no wider than the dropped supplier
+    # columns (s_address/s_phone/s_comment), so bytes-per-row shrinks
+    assert set(euro.columns) - {"n_name"} <= set(supp.columns)
