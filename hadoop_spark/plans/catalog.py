@@ -60,13 +60,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # at sf0.01 (r7 verdict) and in the r6 x30 probe-ahead sweep.
 #
 # ROUND-9 PLAN (next session: replace _R8_WINDOW with _R9_WINDOW): take
-# ALL 39 ledger rows marked "r9 scheduled" in COVERAGE.md, in ledger
-# order, as the front of the window; this closes the rotation ledger --
-# every one of the 388 catalog queries will then have a driver row. The
-# remaining 11 window slots may be filled with newly added queries (the
-# freeze rule permits growth again once debt <= 39) or left to re-verify
-# high-value rows. Update tests/test_window_contract.py and the ledger
-# in the same commit.
+# ALL 41 ledger rows marked "r9 scheduled" in COVERAGE.md, in ledger
+# order, as the front of the window — the 39 final r4d rows plus the two
+# r8 additions (`sorted_input_validate`, `lazy_output_manifest`, the
+# pytest-ceiling graduations the r7 verdict endorsed); this closes the
+# rotation ledger — every one of the 390 catalog queries will then have
+# a driver row. The remaining 9 window slots may be filled with newly
+# added queries or left to re-verify high-value rows. Update
+# tests/test_window_contract.py and the ledger in the same commit.
 _R8_WINDOW = [
     "centroid_distances",
     "shingle_sensitivity",

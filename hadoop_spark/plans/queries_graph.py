@@ -81,8 +81,13 @@ FROM r{_ITERS}"""
 
 @query("pagerank", _pagerank_oracle())
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Damped PageRank, 5 Lloyd-style driver iterations, decimal-exact."""
-    return _pagerank_impl(spark, sf_dir, lineage="lazy")
+    """Damped PageRank, 5 Lloyd-style driver iterations, decimal-exact.
+
+    Lineage regime chosen by the r8 variance A/B (README probe row):
+    eager per-iteration localCheckpoint was flatter AND faster than the
+    lazy checkpoint at both sf0.1 (6.12 s med / 1.08x spread vs 7.18 /
+    1.43x) and x30 (40.8 / 1.09x vs 42.7 / 1.12x)."""
+    return _pagerank_impl(spark, sf_dir, lineage="eager")
 
 
 def _pagerank_impl(spark: SparkSession, sf_dir: str, lineage: str) -> DataFrame:

@@ -2015,3 +2015,75 @@ def nline_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_split.groupBy("rows_per_split").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_splits")
     )
+
+
+# Oracle recomputes routes + counts from content and pins empty_files to
+# a LITERAL 0 — the hash match proves the three lazy-output properties
+# (no dir for the empty route, every listed file visible to the scan,
+# counts intact).
+_LAZY_MANIFEST_ORACLE = """
+SELECT o_orderstatus AS route,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS empty_files
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("lazy_output_manifest", _LAZY_MANIFEST_ORACLE)
+def lazy_output_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LazyOutputFormat / FilterOutputFormat as a driver-checkable
+    observable (`lib/output/LazyOutputFormat.java:39`: the real output
+    format is created only on the first actual write, so a route that
+    receives zero records leaves NO file behind; `NullOutputFormat
+    .java:33` is the all-routes-empty degenerate case).
+
+    Write orders routed by status with a candidate route ('X_EMPTY') that
+    matches zero rows, then build the manifest from the FILESYSTEM, not
+    the data: listed route dirs + per-route file counts from the commit
+    listing, row counts and file visibility from the read-back scan. If
+    the writer materialized the empty route, an extra (X_EMPTY, 0, 0) row
+    breaks the hash; if any committed file were empty, empty_files > 0
+    breaks it. The listing is O(#files) driver work — the same order the
+    committer itself pays at commit time (`FileOutputCommitter`'s task-
+    dir merge); the manifest frame is O(#routes).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "lazy_routed_orders")
+    routed = orders.select(
+        F.when(F.col("o_totalprice") < 0, F.lit("X_EMPTY"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("route"),
+        "o_orderkey",
+    )
+    routed_write(routed, path, "route")
+    listed = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("route="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        listed.append((d.split("=", 1)[1], len(files)))
+    manifest = spark.createDataFrame(listed, "route string, n_files int")
+    back = (
+        spark.read.parquet(path)
+        .withColumn("fname", F.input_file_name())
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fname").alias("files_with_rows"),
+        )
+    )
+    return manifest.join(back, "route", "full_outer").select(
+        "route",
+        F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+        (
+            F.coalesce("n_files", F.lit(0))
+            - F.coalesce("files_with_rows", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("empty_files"),
+    )

@@ -555,3 +555,76 @@ def binary_partition_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("pid").cast("bigint").alias("n_partitions"),
         )
     )
+
+
+# Oracle pins the sorted-reduce-input contract (`MapTask.java`'s
+# sort/spill + `ReduceTask`'s merged iterator — every reducer sees its
+# keys in sort order, each key entirely in one partition): order_violations
+# is a LITERAL 0, and n_keys is the SUM of per-partition local distincts,
+# which equals COUNT(DISTINCT) iff no key is split across partitions
+# (HashPartitioner co-location). n_rows keeps the row content-derived.
+_SORTED_INPUT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_keys,
+       CAST(0 AS BIGINT) AS order_violations
+FROM lineitem
+"""
+
+
+@query("sorted_input_validate", _SORTED_INPUT_ORACLE)
+def sorted_input_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition sorted reduce input as a driver-checkable observable.
+
+    MapReduce guarantees every reduce task reads its input grouped by key
+    in key-sorted order. The Spark equivalent is
+    ``repartition(key).sortWithinPartitions(key, ...)``; this query
+    MEASURES the physical layout that produces, streaming each partition
+    once through an Arrow-batched summarizer (same idiom as
+    ``operators/sort.sorted_run_check`` / TeraValidate.java:52):
+
+    - ``order_violations``: adjacent-pair inversions of the full sort key
+      (l_suppkey, l_orderkey, l_linenumber) in physical row order — the
+      oracle pins 0, so a hash match proves the within-partition order;
+    - ``n_keys``: sum of per-partition local distinct-key counts — equals
+      the oracle's global COUNT(DISTINCT) iff the hash partitioner put
+      every key in exactly one partition (co-location, the grouping half
+      of the contract);
+    - ``n_rows``: content-derived total.
+
+    Scales: the summarizer is O(1) memory per partition (streaming
+    adjacent-pair compare), summaries are O(#partitions) rows, and the
+    final aggregate is a single tiny reduction.
+    """
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    staged = li.repartition("l_suppkey").sortWithinPartitions(
+        "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+
+    def summarize(batches):
+        n = inversions = local_keys = 0
+        prev = None  # (suppkey, orderkey, linenumber) of the previous row
+        for pdf in batches:
+            for t in pdf.itertuples(index=False, name=None):
+                n += 1
+                if prev is None or t[0] != prev[0]:
+                    local_keys += 1
+                if prev is not None and t < prev:
+                    inversions += 1
+                prev = t
+        if n:
+            yield pd.DataFrame(
+                {"n_rows": [n], "inversions": [inversions], "local_keys": [local_keys]}
+            )
+
+    summary = staged.mapInPandas(
+        summarize, "n_rows bigint, inversions bigint, local_keys bigint"
+    )
+    return summary.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("local_keys"), F.lit(0)).cast("bigint").alias("n_keys"),
+        F.coalesce(F.sum("inversions"), F.lit(0)).cast("bigint").alias("order_violations"),
+    )
