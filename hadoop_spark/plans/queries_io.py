@@ -2068,8 +2068,12 @@ def lazy_output_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         listed.append((d.split("=", 1)[1], len(files)))
     manifest = spark.createDataFrame(listed, "route string, n_files int")
+    # explicit schema: an all-routes-empty write (the NullOutputFormat
+    # degenerate case) leaves no data files to infer from — the read must
+    # still resolve, returning the empty manifest
     back = (
-        spark.read.parquet(path)
+        spark.read.schema(routed.schema)
+        .parquet(path)
         .withColumn("fname", F.input_file_name())
         .groupBy("route")
         .agg(
