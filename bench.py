@@ -386,17 +386,21 @@ def main() -> None:
     # compilation, not execution.
     # Cold-outlier guard (r7 verdict task #2): the r7 official artifact
     # carried a 23.6 s link_prediction_cn row whose warm steady state is
-    # ~9 s — all three passes hit the same transient session-load window,
-    # so the median offered no protection. When the 3-pass spread exceeds
-    # OUTLIER_SPREAD (a cold pass is ~2-3× its warm self; genuine
-    # run-to-run noise on these plans is ≤1.3×), run up to 2 extra passes
-    # and report the median of the 3 FASTEST — later passes sample a
-    # different moment of session load, and the fastest-3 median converges
-    # on the steady state while still refusing to report a single lucky
-    # minimum. Per-query min-of-all-passes is persisted alongside
-    # ("queries_min" in the sidecar) so a judge can separate drift from
-    # plan changes without re-running.
-    OUTLIER_SPREAD = 1.8
+    # ~9 s — TWO of three passes hit the same transient session-load
+    # window, so the median offered no protection. The trigger is the
+    # actual distortion signal — the would-be MEDIAN sitting more than
+    # OUTLIER_SPREAD above the fastest pass (genuine run-to-run noise on
+    # these plans is ≤1.3×; the common pass-1-cold pattern does NOT
+    # trigger because the median already discards pass 1 — measured on
+    # the first r8 sweep: 15/306 trigger on median/min, vs 148/306 on a
+    # naive max/min spread). When it fires, run up to 2 extra passes and
+    # report the median of the 3 FASTEST — later passes sample a
+    # different moment of session load, and the fastest-3 median
+    # converges on the steady state while still refusing to report a
+    # single lucky minimum. Per-query min-of-all-passes is persisted
+    # alongside ("queries_min" in the sidecar) so a judge can separate
+    # drift from plan changes without re-running.
+    OUTLIER_SPREAD = 1.3
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -407,9 +411,9 @@ def main() -> None:
         runs: list[float] = []
         for it in range(5):
             if len(runs) == 3 and (
-                max(runs) / max(min(runs), 1e-9) <= OUTLIER_SPREAD
+                sorted(runs)[1] / max(min(runs), 1e-9) <= OUTLIER_SPREAD
             ):
-                break  # passes 4-5 only fire on a cold-outlier spread
+                break  # passes 4-5 only fire on a distorted median
             # Cold, self-contained runs: earlier queries' (and the previous
             # pass's) shared() persists otherwise pile up and their
             # memory/GC pressure bleeds into later timings (caching WITHIN
