@@ -3,8 +3,14 @@ top-k as the baseline, IVF cell-probing as the scale path.
 
 No reference analogue (SURVEY §7 M9 extension). Spark-first design:
 
-- Dot products ride `zip_with` + `aggregate` (JVM higher-order functions,
-  whole-stage codegen) — no Python, no UDF.
+- Dot products ride `zip_with` + `aggregate` (JVM higher-order functions)
+  when they appear O(1) times per row — no Python, no UDF. CAVEAT
+  (measured, r8): Spark evaluates HOF lambdas INTERPRETED, outside
+  whole-stage codegen, at ~1 µs per element — fine for one 64-dim dot
+  per row, CPU-hours per 10⁹ rows once a row folds over K centroids or
+  K projections. Those K-fold sites use `int_argmin_assign` below (or
+  the jl kernel in queries_similarity.py): the same exact BIGINT
+  arithmetic as an Arrow-batched numpy int64 matmul.
 - **Integer quantization for determinism**: each float is quantized to a
   BIGINT at 1e7 scale; dot products and squared norms are then *exact*
   integer arithmetic (bounds: |q| < 1e7 ⇒ 64-dim dot < 6.4e15 < 2^63, and
@@ -55,6 +61,71 @@ def int_dot_sql(a: str, b: str) -> str:
     # list_dot_product returns DOUBLE; exact while |value| < 2^53 (see module
     # doc for bounds), cast back to BIGINT.
     return f"CAST(list_dot_product({a}, {b}) AS BIGINT)"
+
+
+def int_argmin_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int], int]],
+    keep: list[str],
+    schema: str,
+    out: str = "cluster_id",
+    d2_col: str | None = None,
+    q_col: str = "q",
+    n2_col: str = "n2",
+) -> DataFrame:
+    """Exact nearest-centroid assignment as an Arrow+numpy kernel.
+
+    Semantically identical to the K-way ``F.aggregate`` fold it replaces
+    (kmeans_assign / kmeans_iterate / cluster_purity, r8): per row the
+    squared L2 to each centroid is the exact BIGINT
+    ``n2 + cn2 − 2·(q·cq)``; ties keep the SMALLEST cid (``centroids``
+    must be cid-ascending; ``argmin`` returns the first minimum, the
+    fold's strict ``<`` kept the first too). int64 matmul bounds: with
+    |q| < 1e7 (QUANT_SCALE) a 64-dim dot is < 6.4e15 and d2 < 2.6e16,
+    far under 2^63 — bit-equal to the fold (A/B-verified).
+
+    Why Python here: the fold evaluates K×dim interpreted lambda calls
+    per row (HOFs run outside whole-stage codegen) — ~1.5 ms/row at
+    K=8, dim=64. The kernel is one BLAS-shaped integer matmul per Arrow
+    batch; the assignment stays map-side (zero shuffles), exactly as
+    before.
+
+    ``keep``: input columns copied through; ``schema``: output schema
+    string for keep + out (+ d2_col when requested). Rows with a null
+    ``q``/``n2`` get the first centroid and a null d2 — the fold's
+    null-propagation behavior.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([c[0] for c in centroids], dtype=np.int64)
+    CQ = np.array([c[1] for c in centroids], dtype=np.int64)
+    cn2 = np.array([c[2] for c in centroids], dtype=np.int64)
+    keep = list(keep)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_df = pdf[keep].copy()
+            ok = (~pdf[q_col].isna() & ~pdf[n2_col].isna()).to_numpy()
+            cid_out = np.full(len(pdf), cids[0], dtype=np.int64)
+            d2_vals = np.zeros(len(pdf), dtype=np.int64)  # stays int64: d2 > 2^53 must not round through float
+            if ok.any():
+                Q = np.array(pdf[q_col][ok].tolist(), dtype=np.int64)
+                n2 = pdf[n2_col][ok].to_numpy(dtype=np.int64)
+                D2 = n2[:, None] + cn2[None, :] - 2 * (Q @ CQ.T)
+                idx = D2.argmin(axis=1)
+                cid_out[ok] = cids[idx]
+                d2_vals[ok] = D2[np.arange(len(idx)), idx]
+            out_df[out] = cid_out
+            if d2_col is not None:
+                out_df[d2_col] = pd.arrays.IntegerArray(d2_vals, mask=~ok)
+            yield out_df
+
+    return df.select(*dict.fromkeys(keep + [q_col, n2_col])).mapInPandas(
+        kernel, schema
+    )
 
 
 def cos_q(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:

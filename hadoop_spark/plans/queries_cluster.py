@@ -12,7 +12,13 @@ from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from hadoop_spark.operators.join import bcast_if_small
-from hadoop_spark.operators.similarity import int_dot, int_dot_sql, quantize_sql, with_quantized
+from hadoop_spark.operators.similarity import (
+    int_argmin_assign,
+    int_dot,
+    int_dot_sql,
+    quantize_sql,
+    with_quantized,
+)
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import fanout_small, load_table, shared
 
@@ -97,35 +103,15 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id bigint, n_members bigint, sum_vec_ids bigint, "
             "centroid_l1_q bigint, centroid_dim_checksum bigint",
         )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.cid)).alias("cid"),
-                F.array(*[F.lit(int(v)) for v in r.q]).alias("cq"),
-                F.lit(int(r.n2)).alias("cn2"),
-            )
-            for r in sorted(cent_rows, key=lambda r: r.cid)
-        ]
-    )
-
-    def d2_to(c):  # exact BIGINT squared-L2 to centroid struct c
-        return F.col("n2") + c["cn2"] - 2 * int_dot(F.col("q"), c["cq"])
-
-    # map-side argmin: fold the centroid array, keep (best_d2, best_cid);
-    # strict < keeps the SMALLEST cid on ties (the array is cid-ascending)
-    best = F.aggregate(
-        cent_arr,
-        F.struct(
-            F.lit(None).cast("bigint").alias("d2"),
-            F.lit(None).cast("int").alias("cid"),
-        ),
-        lambda acc, c: F.when(
-            acc["cid"].isNull() | (d2_to(c) < acc["d2"]),
-            F.struct(d2_to(c).alias("d2"), c["cid"].alias("cid")),
-        ).otherwise(acc),
-    )
-    assign = emb.select(
-        "vec_id", best["cid"].cast("bigint").alias("cluster_id"), "q"
+    # map-side argmin against the cid-ascending centroid list; smallest
+    # cid wins ties. Arrow+numpy kernel (int_argmin_assign) — the former
+    # K-way F.aggregate fold paid K*dim interpreted lambda calls per row
+    # (HOFs are outside whole-stage codegen); bit-equal, A/B'd r8.
+    assign = int_argmin_assign(
+        emb,
+        sorted((int(r.cid), [int(v) for v in r.q], int(r.n2)) for r in cent_rows),
+        keep=["vec_id", "q"],
+        schema="vec_id bigint, q array<bigint>, cluster_id bigint",
     )
     assign = shared(assign)
     members = assign.groupBy("cluster_id").agg(
@@ -684,33 +670,13 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id bigint, n bigint, majority_label int,"
             " n_majority bigint, purity double",
         )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.cid)).alias("cid"),
-                F.array(*[F.lit(int(v)) for v in r.q]).alias("cq"),
-                F.lit(int(r.n2)).alias("cn2"),
-            )
-            for r in sorted(cent_rows, key=lambda r: r.cid)
-        ]
-    )
-
-    def d2_to(c):
-        return F.col("n2") + c["cn2"] - 2 * int_dot(F.col("q"), c["cq"])
-
-    best = F.aggregate(
-        cent_arr,
-        F.struct(
-            F.lit(None).cast("bigint").alias("d2"),
-            F.lit(None).cast("int").alias("cid"),
-        ),
-        lambda acc, c: F.when(
-            acc["cid"].isNull() | (d2_to(c) < acc["d2"]),
-            F.struct(d2_to(c).alias("d2"), c["cid"].alias("cid")),
-        ).otherwise(acc),
-    )
-    labeled = emb.select(
-        best["cid"].cast("bigint").alias("cluster_id"), "label"
+    # same Arrow+numpy map-side argmin as kmeans_assign (bit-equal to
+    # the former K-way fold; smallest cid wins ties)
+    labeled = int_argmin_assign(
+        emb,
+        sorted((int(r.cid), [int(v) for v in r.q], int(r.n2)) for r in cent_rows),
+        keep=["label"],
+        schema="label int, cluster_id bigint",
     )
     cl = labeled.groupBy("cluster_id", "label").agg(
         F.count(F.lit(1)).alias("c")
@@ -859,39 +825,15 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign_against(cent_list):
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cid"),
-                    F.array(*[F.lit(v) for v in cq]).alias("cq"),
-                    F.lit(cn2).alias("cn2"),
-                )
-                for cid, cq, cn2 in cent_list
-            ]
-        )
-
-        def d2_to(c):
-            return F.col("n2") + c["cn2"] - 2 * int_dot(F.col("q"), c["cq"])
-
-        best = F.aggregate(
-            cent_arr,
-            F.struct(
-                F.lit(None).cast("bigint").alias("d2"),
-                F.lit(None).cast("bigint").alias("cid"),
-            ),
-            lambda acc, c: F.when(
-                acc["cid"].isNull() | (d2_to(c) < acc["d2"]),
-                F.struct(
-                    d2_to(c).cast("bigint").alias("d2"),
-                    c["cid"].cast("bigint").alias("cid"),
-                ),
-            ).otherwise(acc),
-        )
-        return emb.select(
-            "vec_id",
-            best["cid"].alias("cluster_id"),
-            "q",
-            best["d2"].alias("d2"),
+        # Arrow+numpy map-side argmin (bit-equal to the former K-way
+        # fold; smallest cid wins ties) — re-built per round against the
+        # fresh centroid literal, same iterate-broadcast discipline
+        return int_argmin_assign(
+            emb,
+            cent_list,
+            keep=["vec_id", "q"],
+            schema="vec_id bigint, q array<bigint>, cluster_id bigint, d2 bigint",
+            d2_col="d2",
         )
 
     def new_means(assign):  # -> {cid: {dim: mean_q}} via ONE bounded collect
