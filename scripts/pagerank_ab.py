@@ -7,8 +7,10 @@ back-to-back on the SAME session (noop sink, cache cleared per run, same
 protocol as bench.py) and prints median + spread, so the flatter regime
 can be picked on evidence:
 
-- lazy  : production — ranks.localCheckpoint(eager=False) per iteration
-- eager : ranks.localCheckpoint(eager=True) per iteration
+- lazy  : ranks.localCheckpoint(eager=False) per iteration (production
+          until r8; the A/B below flipped production to eager)
+- eager : ranks.localCheckpoint(eager=True) per iteration — PRODUCTION
+          since r8 (flatter AND faster at sf0.1 and ×30; README row)
 - none  : no per-iteration cut (5-iteration lineage, AQE stage reuse)
 
 Usage: python scripts/pagerank_ab.py [sf_dir] [runs_per_regime]
