@@ -427,9 +427,15 @@ def main() -> None:
                 # driver-side transfer.
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                msg = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}[{it}]: FAILED: {msg}", file=sys.stderr)
+                if len(runs) >= 3:
+                    # a guard-triggered EXTRA pass failed (likely the same
+                    # transient session load that fired the guard): keep
+                    # the three valid timings instead of discarding them
+                    break
+                errors[name] = msg
                 runs = []
-                print(f"# {name}[{it}]: FAILED: {errors[name]}", file=sys.stderr)
                 break
             took = round(time.time() - t0, 3)
             runs.append(took)

@@ -108,7 +108,18 @@ def int_argmin_assign(
             if not len(pdf):
                 continue
             out_df = pdf[keep].copy()
-            ok = (~pdf[q_col].isna() & ~pdf[n2_col].isna()).to_numpy()
+            dim = CQ.shape[1]
+            ok = (
+                ~pdf[q_col].isna()
+                & ~pdf[n2_col].isna()
+                & (pdf[q_col].map(lambda a: hasattr(a, "__len__") and len(a) == dim))
+            ).to_numpy()
+            if ok.any():
+                # float64 pass detects null ELEMENTS (None -> nan) without
+                # crashing the int64 conversion (r8 review); exact below
+                # 2^53, and |q| < 1e7 per element
+                A = np.array(pdf[q_col][ok].tolist(), dtype=np.float64)
+                ok[np.flatnonzero(ok)[np.isnan(A).any(axis=1)]] = False
             cid_out = np.full(len(pdf), cids[0], dtype=np.int64)
             d2_vals = np.zeros(len(pdf), dtype=np.int64)  # stays int64: d2 > 2^53 must not round through float
             if ok.any():

@@ -33,10 +33,16 @@ def build_plan(spark, sf_dir: str, name: str) -> str:
 def measure(plan: str) -> dict:
     """Counters over one printed plan. Exchange dedupe is by plan_id —
     a cached subplan is printed once per reference but executes once.
-    Any partitioning scheme counts (RoundRobinPartitioning from
+    Any SHUFFLE partitioning scheme counts (RoundRobinPartitioning from
     repartition(n) included — r7 ADVICE; the original
-    hash/range/single list undercounted repartition-heavy plans)."""
-    uniq_ex = len(set(re.findall(r"Exchange \w+.*?\[plan_id=(\d+)\]", plan)))
+    hash/range/single list undercounted repartition-heavy plans). The
+    lookbehind excludes BroadcastExchange — broadcasts are not
+    shuffles, and counting them both skewed round-over-round
+    comparisons and made broadcast-heavy plans trip the exchange
+    ceiling (r8 review finding)."""
+    uniq_ex = len(
+        set(re.findall(r"(?<![A-Za-z])Exchange \w+.*?\[plan_id=(\d+)\]", plan))
+    )
     scans = Counter(
         re.findall(
             r"FileScan parquet[^\n]*?(\w+)\.parquet[^\n]*?"

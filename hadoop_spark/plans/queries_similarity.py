@@ -1000,12 +1000,22 @@ def jl_norm_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kernel(batches):
         for pdf in batches:
-            # null-embedding rows: the HOF form propagated null n2 which
-            # the n2 > 0 filter dropped; drop them before the matmul
+            # null/malformed rows: the HOF form propagated a null element
+            # to a null n2 which the n2 > 0 filter dropped — reproduce
+            # that drop (r8 review: np.int64 conversion would crash on a
+            # null ELEMENT instead). Detect via float64 (None -> nan;
+            # exact below 2^53, and |q4| <= 1e4 scale), length-gate first
+            # so a short array can't make the ndarray ragged.
             pdf = pdf[pdf["q4"].notna()]
+            pdf = pdf[pdf["q4"].map(len) == _JL_D]
             if not len(pdf):
                 continue
-            Q = np.array(pdf["q4"].tolist(), dtype=np.int64)  # (n, 64)
+            A = np.array(pdf["q4"].tolist(), dtype=np.float64)
+            clean = ~np.isnan(A).any(axis=1)
+            pdf = pdf[clean]
+            if not len(pdf):
+                continue
+            Q = A[clean].astype(np.int64)  # (n, 64), exact
             n2 = (Q * Q).sum(axis=1)
             P = Q @ S.T  # (n, 16), exact int64
             yield pd.DataFrame(

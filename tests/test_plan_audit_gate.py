@@ -24,11 +24,17 @@ counts; AQE reuses identical map stages at runtime with no trace in the
 initial plan) make a crisp mechanical bound impossible — see the
 scripts/plan_audit.py docstring.
 
-Plans are built at the test SF (sf0.001). Exchange counts and BNLJ
-presence can only shrink at smaller SFs (bcast_if_small broadcasts
-more, scalar crossJoins are size-independent), so the ceilings and the
-subset assertion remain sound; the manual sf0.01 sweep stays the
-higher-resolution instrument.
+Plans are built at the test SF (sf0.001). Exchange counts can only
+shrink at smaller SFs (bcast_if_small broadcasts more), so the ceiling
+stays sound. The cartesian/BNLJ gates are commit-time TRIPWIRES, not a
+scale proof: shrinking SF can convert a would-be CartesianProduct into
+a BNLJ (the non-equi side fits the broadcast threshold at sf0.001 but
+not at production scale), so a new site can surface here as a BNLJ
+allowlist failure rather than a cartesian failure — when extending the
+allowlist, verify the broadcast side is 1-row-bounded AT SCALE (a
+scalar aggregate), not merely small at the test SF. The manual sf0.01
+sweep (scripts/plan_audit.py) is the higher-resolution instrument and
+the authority for cartesian detection.
 """
 
 from __future__ import annotations
