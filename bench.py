@@ -366,6 +366,22 @@ def main() -> None:
 
     # Warmup: trigger JVM classloading + codegen on a trivial plan.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Graph-family warmup (r8 verdict optional #6): pagerank's eager
+    # per-iteration localCheckpoint regime pays one-time block-manager /
+    # local-dir setup on its FIRST execution in a session (judge measured
+    # 12.2 s cold vs 6.5 s steady at sf0.1). The trivial warmup above does
+    # not exercise that path, so the graph family's first timed pass could
+    # carry it. One untimed pagerank execution moves that cost out of every
+    # timed pass; the median already discards pass-1 cold, this removes the
+    # residual risk of TWO passes landing near the cold window.
+    if "pagerank" in BENCH_QUERIES and "pagerank" in QUERIES:
+        try:
+            QUERIES["pagerank"](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001 — warmup must not kill the bench
+            print(f"# pagerank warmup failed (non-fatal): {exc}", file=sys.stderr)
 
     # Three passes per query, report the MEDIAN of passes 2-3 plus a
     # single-elimination of pass 1 (i.e. median of all three, which with
@@ -404,21 +420,36 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Sidecar forensics: queries where the outlier guard fired but even the
+    # extra passes never restored a tight fastest-3 spread (the committed
+    # median may still be contention-distorted), and per-pass 1-min load
+    # average so the contention evidence lives in the artifact itself
+    # rather than in COVERAGE prose (r8 verdict task #5).
+    guard_unresolved: list[str] = []
+    loadavg: dict[str, list[float]] = {}
     unknown = [n for n in BENCH_QUERIES if n not in QUERIES]
     if unknown:  # a renamed query must fail loudly, not silently shrink
         raise RuntimeError(f"BENCH_QUERIES names not registered: {unknown}")
     for name in BENCH_QUERIES:
         runs: list[float] = []
         for it in range(5):
-            if len(runs) == 3 and (
-                sorted(runs)[1] / max(min(runs), 1e-9) <= OUTLIER_SPREAD
-            ):
-                break  # passes 4-5 only fire on a distorted median
+            # Early break once 3+ passes exist and the 3 FASTEST are tight:
+            # at len==3 this is the plain guard trigger; at len==4 it lets a
+            # single corrective pass end the query without always paying
+            # pass 5 (ADVICE r8 #2 — "up to 2 extra passes" now means it).
+            if len(runs) >= 3:
+                b3 = sorted(runs)[:3]
+                if b3[1] / max(b3[0], 1e-9) <= OUTLIER_SPREAD:
+                    break  # extra passes only fire on a distorted median
             # Cold, self-contained runs: earlier queries' (and the previous
             # pass's) shared() persists otherwise pile up and their
             # memory/GC pressure bleeds into later timings (caching WITHIN
             # a query still counts — it happens after this point).
             spark.catalog.clearCache()
+            try:
+                loadavg.setdefault(name, []).append(round(os.getloadavg()[0], 2))
+            except OSError:
+                pass  # platform without getloadavg: sidecar just omits it
             t0 = time.time()
             try:
                 df = QUERIES[name](spark, SF_DIR)
@@ -432,7 +463,11 @@ def main() -> None:
                 if len(runs) >= 3:
                     # a guard-triggered EXTRA pass failed (likely the same
                     # transient session load that fired the guard): keep
-                    # the three valid timings instead of discarding them
+                    # the three valid timings instead of discarding them —
+                    # but mark the query, since the reported median is the
+                    # one the guard flagged as distorted (ADVICE r8 #1)
+                    if name not in guard_unresolved:
+                        guard_unresolved.append(name)
                     break
                 errors[name] = msg
                 runs = []
@@ -446,6 +481,16 @@ def main() -> None:
             best3 = sorted(runs)[:3]
             timings[name] = best3[len(best3) // 2]
             timings_min[name] = min(runs)
+            # Guard fired and even 5 passes never restored a tight
+            # fastest-3 spread: the committed median is still suspect —
+            # record it so a judge can distinguish a clean median from a
+            # distorted one the extra passes never corrected (ADVICE r8 #1).
+            if (
+                len(best3) == 3
+                and best3[1] / max(best3[0], 1e-9) > OUTLIER_SPREAD
+                and name not in guard_unresolved
+            ):
+                guard_unresolved.append(name)
 
     out = {
         "metric": "headline_query_set_total",
@@ -461,13 +506,17 @@ def main() -> None:
     # adjudication (kept out of the driver's primary "queries" dict so the
     # round-over-round comparison stays a single well-defined statistic).
     out["queries_min"] = timings_min
+    if guard_unresolved:
+        out["guard_unresolved"] = guard_unresolved
+    if loadavg:
+        out["loadavg_1m"] = loadavg
     # Persist the FULL per-query dict to a committed file (r6 verdict
     # missing #2): the driver's BENCH_r{N}.json keeps only a ~2,000-char
     # stdout tail, so round-over-round per-query comparison needs this
     # sidecar. Round number comes from the env when the driver sets it;
     # the default name still lands next to the round files.
     full_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_FULL", os.path.join(os.path.dirname(__file__), "BENCH_full_r08.json")
+        "SPARK_GRAFT_BENCH_FULL", os.path.join(os.path.dirname(__file__), "BENCH_full_r09.json")
     )
     try:
         with open(full_path, "w") as fh:

@@ -403,9 +403,13 @@ def pipe_shipped_script(
 # one type-code byte, then a type-specific big-endian payload. Implemented
 # here so a user with a typed-bytes mapper/reducer binary has a migration
 # path. Codes are the public spec's: 0 bytes, 2 bool, 3 int, 4 long,
-# 6 double, 7 UTF-8 string.
+# 6 double, 7 UTF-8 string, 8 vector (count-prefixed, nested values;
+# `TypedBytesInput.java readVector`), 9 list (values until the 255
+# end-marker; `readList`). Python list/tuple encodes as VECTOR; both
+# container codes decode to a Python list.
 
 _TB_BYTES, _TB_BOOL, _TB_INT, _TB_LONG, _TB_DOUBLE, _TB_STRING = 0, 2, 3, 4, 6, 7
+_TB_VECTOR, _TB_LIST, _TB_MARKER = 8, 9, 255
 
 
 def tb_encode(value) -> bytes:
@@ -425,37 +429,62 @@ def tb_encode(value) -> bytes:
         return struct.pack(">BI", _TB_STRING, len(raw)) + raw
     if isinstance(value, (bytes, bytearray)):
         return struct.pack(">BI", _TB_BYTES, len(value)) + bytes(value)
+    if isinstance(value, (list, tuple)):
+        # VECTOR (`TypedBytesOutput.java writeVector`): count, then each
+        # element as its own typed-bytes record (nested containers nest).
+        return struct.pack(">Bi", _TB_VECTOR, len(value)) + b"".join(
+            tb_encode(v) for v in value
+        )
     raise TypeError(f"typed-bytes: unsupported type {type(value).__name__}")
+
+
+def _tb_read_one(fh, code: int):
+    """Decode one value whose type-code byte has already been read."""
+    import struct
+
+    if code == _TB_BOOL:
+        return fh.read(1)[0] != 0
+    if code == _TB_INT:
+        return struct.unpack(">i", fh.read(4))[0]
+    if code == _TB_LONG:
+        return struct.unpack(">q", fh.read(8))[0]
+    if code == _TB_DOUBLE:
+        return struct.unpack(">d", fh.read(8))[0]
+    if code in (_TB_STRING, _TB_BYTES):
+        (n,) = struct.unpack(">I", fh.read(4))
+        raw = fh.read(n)
+        return raw.decode("utf-8") if code == _TB_STRING else raw
+    if code == _TB_VECTOR:
+        (n,) = struct.unpack(">i", fh.read(4))
+        return [_tb_read_one(fh, fh.read(1)[0]) for _ in range(n)]
+    if code == _TB_LIST:
+        out = []
+        while True:
+            nxt = fh.read(1)
+            if not nxt:
+                raise ValueError("typed-bytes: EOF inside LIST (no 255 marker)")
+            if nxt[0] == _TB_MARKER:
+                return out
+            out.append(_tb_read_one(fh, nxt[0]))
+    raise ValueError(f"typed-bytes: unsupported type code {code}")
 
 
 def tb_decode_stream(fh):
     """Yield decoded values from a typed-bytes byte stream until EOF
     (`TypedBytesInput.java:34` read loop)."""
-    import struct
-
     while True:
         code_b = fh.read(1)
         if not code_b:
             return
-        code = code_b[0]
-        if code == _TB_BOOL:
-            yield fh.read(1)[0] != 0
-        elif code == _TB_INT:
-            yield struct.unpack(">i", fh.read(4))[0]
-        elif code == _TB_LONG:
-            yield struct.unpack(">q", fh.read(8))[0]
-        elif code == _TB_DOUBLE:
-            yield struct.unpack(">d", fh.read(8))[0]
-        elif code in (_TB_STRING, _TB_BYTES):
-            (n,) = struct.unpack(">I", fh.read(4))
-            raw = fh.read(n)
-            yield raw.decode("utf-8") if code == _TB_STRING else raw
-        else:
-            raise ValueError(f"typed-bytes: unsupported type code {code}")
+        yield _tb_read_one(fh, code_b[0])
 
 
 def pipe_typedbytes(
-    df: DataFrame, command: str, out_schema: str, check_exit: bool = True
+    df: DataFrame,
+    command: str,
+    out_schema: str,
+    check_exit: bool = True,
+    ship_script: str | None = None,
 ) -> DataFrame:
     """:func:`pipe` speaking the typed-bytes protocol instead of text lines:
     each input row's columns are written as consecutive typed-bytes records
@@ -466,21 +495,43 @@ def pipe_typedbytes(
     lifecycle as :func:`pipe_with_counters`. Nulls are not representable in
     the reference protocol and are rejected, as the reference would — the
     rejection raises INSIDE the writer thread, so it is captured and
-    re-raised on the task thread (not a silent truncation)."""
+    re-raised on the task thread (not a silent truncation).
+
+    ``ship_script``: local path shipped to every executor via
+    ``sc.addFile`` (streaming's ``-file`` + ``-io typedbytes`` combination
+    — `DistributedCache.java:107`); ``command`` is then the interpreter,
+    and the executor runs ``[command, SparkFiles.get(basename)]`` with the
+    task-local cached copy — push-once-per-node, not once per task."""
+    import os
     import subprocess
 
     spark = df.sparkSession
     n_in = len(df.columns)
     cmd = command
+    script_name = None
+    if ship_script is not None:
+        spark.sparkContext.addFile(ship_script)
+        script_name = os.path.basename(ship_script)
 
     def run_partition(rows):
-        proc = subprocess.Popen(
-            cmd,
-            shell=True,
-            stdin=subprocess.PIPE,
-            stdout=subprocess.PIPE,
-            text=False,
-        )
+        if script_name is not None:
+            from pyspark import SparkFiles
+
+            argv = [cmd, SparkFiles.get(script_name)]
+            proc = subprocess.Popen(
+                argv,
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                text=False,
+            )
+        else:
+            proc = subprocess.Popen(
+                cmd,
+                shell=True,
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                text=False,
+            )
 
         def feed_stdin():
             try:

@@ -49,77 +49,101 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's correctness run checks the FIRST 50 registry entries per
 # round, so the window is rotated each round until every query has a green
-# driver row (rotation ledger: COVERAGE.md). Round 8's window, per the r7
-# verdict's next-round task #1: the FIRST 50 of the ledger rows marked
-# "r8 scheduled" — the 33-row r7 overflow first (`centroid_distances`
-# through `token_position_profile`), then the first 17 r4d rows
-# (`mann_kendall_trend` through `interval_overlap_join`). The 39-row
-# remainder (r4d rows `recursive_order_chain` through `rank_stability`)
-# is re-marked "r9 scheduled". No repeats of any r1-r7 driver-green row.
-# All 50 were green in the judge's independent full strict 388/388 re-run
-# at sf0.01 (r7 verdict) and in the r6 x30 probe-ahead sweep.
-#
-# ROUND-9 PLAN (next session: replace _R8_WINDOW with _R9_WINDOW): take
-# ALL 41 ledger rows marked "r9 scheduled" in COVERAGE.md, in ledger
-# order, as the front of the window — the 39 final r4d rows plus the two
-# r8 additions (`sorted_input_validate`, `lazy_output_manifest`, the
-# pytest-ceiling graduations the r7 verdict endorsed); this closes the
-# rotation ledger — every one of the 390 catalog queries will then have
-# a driver row. The remaining 9 window slots may be filled with newly
-# added queries or left to re-verify high-value rows. Update
-# tests/test_window_contract.py and the ledger in the same commit.
-_R8_WINDOW = [
-    "centroid_distances",
-    "shingle_sensitivity",
-    "weighted_systematic_sample",
-    "value_migration_matrix",
-    "seasonal_decompose",
-    "knn_graph",
-    "graph_modularity",
-    "ks_distance",
-    "rank_auc",
-    "decision_stump",
-    "silhouette_simplified",
-    "target_encoding",
-    "lorenz_curve",
-    "lead_lag_corr",
-    "dataset_card",
-    "cube_serving",
-    "shard_manifest",
-    "audio_silence_trim",
-    "range_boundaries",
-    "encoding_advisor",
-    "lateral_topk_sql",
-    "udtf_chunker",
-    "anova_oneway",
-    "approx_quantile_check",
-    "countmin_error_eval",
-    "date_dimension",
-    "posting_compression",
-    "bucket_skew_advisor",
-    "functional_dependencies",
-    "duplicate_payment_flags",
-    "shipment_sequence_audit",
-    "subspace_energy",
-    "token_position_profile",
-    "mann_kendall_trend",
-    "theil_sen_slope",
-    "spearman_rho",
-    "paragraph_filter_reassemble",
-    "clamped_running_stock",
-    "local_peaks",
-    "poisson_bootstrap_ci",
-    "isotonic_fit",
-    "funnel_greedy_match",
-    "ivm_join_delta",
-    "jl_norm_distortion",
-    "survivorship_golden_record",
-    "weighted_median_price",
-    "abc_inventory_classes",
-    "price_ending_bias",
-    "dbscan_core_flags",
-    "interval_overlap_join",
+# driver row (rotation ledger: COVERAGE.md). Round 9's window, per the r8
+# verdict's next-round task #1: ALL 41 ledger rows marked "r9 scheduled",
+# in ledger order — the 39 final r4d rows (`recursive_order_chain`
+# through `rank_stability`) plus the two r8 pytest-ceiling graduations
+# (`sorted_input_validate`, `lazy_output_manifest`). This CLOSES the
+# rotation ledger: with these 41 green, every query that existed at the
+# start of r9 has a driver row (debt 41 -> 0). The remaining 9 slots:
+# the two r9 catalog additions (`tb_vector_pipe`,
+# `combine_compaction_bins` — typed-bytes VECTOR pipe and write-side
+# CombineFileInputFormat compaction, per r8 verdict task #4), then 7
+# re-verifications of the highest-value rows (explicitly endorsed by the
+# r8 verdict; these are deliberate REPEATS of long-green rows, exempted
+# in tests/test_window_contract.py).
+_R9_SCHEDULED = [
+    "recursive_order_chain",
+    "capture_recapture",
+    "asof_nearest_events",
+    "kwic_windows",
+    "calibration_bins",
+    "community_conductance",
+    "chi2_independence",
+    "privacy_risk_audit",
+    "temporal_split_audit",
+    "clv_cohort_curve",
+    "catalog_coverage_curve",
+    "churn_risk_flags",
+    "json_nested_shred",
+    "image_channel_stats",
+    "audio_peak_normalize",
+    "stream_bloom_membership",
+    "cuped_adjusted_ab",
+    "ab_quantile_effect",
+    "srm_check",
+    "p_chart_control_limits",
+    "rich_club_coefficient",
+    "slo_burn_rate",
+    "hierarchical_share",
+    "ann_mrr",
+    "pit_feature_join",
+    "business_day_latency",
+    "latency_percentile_trend",
+    "dispersion_index",
+    "substitute_candidates",
+    "doc_quality_ensemble_gate",
+    "activity_islands",
+    "langid_prf1",
+    "revenue_waterfall",
+    "daily_active_span",
+    "naive_forecast_mae",
+    "multigrain_distinct",
+    "attribute_split_profile",
+    "error_cascade_rate",
+    "rank_stability",
+    "sorted_input_validate",
+    "lazy_output_manifest",
 ]
+
+_R9_ADDITIONS = [
+    "tb_vector_pipe",
+    "combine_compaction_bins",
+]
+
+# Re-verification slots (intentional repeats of driver-green rows).
+_R9_REVERIFY = [
+    "tpch_q1",
+    "dedup_components",
+    "teragen_sort",
+    "composite_join_inner",
+    "composite_join_outer",
+    "dedup_minhash",
+    "pagerank",
+]
+
+_R9_WINDOW = _R9_SCHEDULED + _R9_ADDITIONS + _R9_REVERIFY
+
+# POST-LEDGER MAINTENANCE POLICY (r8 verdict task #3 — in force from r10,
+# once CORRECTNESS_r09.json lands the final 41 first-time rows): with
+# rotation debt at 0, each round's 50-slot window becomes re-verification
+# budget, allocated in priority order:
+#   1. MANDATORY: every query whose builder, oracle, or any operator/
+#      function module it imports changed that round (a changed query
+#      re-earns its driver row the same round the change ships);
+#   2. any newly added catalog query (additions always debut in their
+#      add-round's window, strict+TZ-verified and x30-probed on add day);
+#   3. the remainder filled by rotating coverage of the untouched catalog
+#      in ledger order, oldest driver row first, so every query re-earns
+#      a driver row at least every ~8 rounds (392 queries / ~45 rotating
+#      slots per round).
+#
+# ROUND-10 PLAN (next session: replace _R9_WINDOW with _R10_WINDOW):
+# apply the policy above — (1) queries touched in r10, (2) r10 additions,
+# (3) rotation restart in ledger order from the top of COVERAGE.md
+# (wordcount, grep, kv_text_roundtrip, ... — the r1 rows, which by then
+# hold the oldest driver rows). Update tests/test_window_contract.py and
+# the COVERAGE ledger in the same commit, as every round has.
 
 
 def load_all() -> None:
@@ -152,10 +176,10 @@ def load_all() -> None:
     # Deterministic window rotation: pull this round's 50-query window to
     # the front of the registry (dict order IS driver order); everything
     # else keeps its registration order behind it.
-    missing = [n for n in _R8_WINDOW if n not in QUERIES]
+    missing = [n for n in _R9_WINDOW if n not in QUERIES]
     if missing:  # a renamed query must fail loudly, not silently shrink
-        raise RuntimeError(f"_R8_WINDOW names not registered: {missing}")
-    front = {n: QUERIES[n] for n in _R8_WINDOW}
+        raise RuntimeError(f"_R9_WINDOW names not registered: {missing}")
+    front = {n: QUERIES[n] for n in _R9_WINDOW}
     rest = {n: f for n, f in QUERIES.items() if n not in front}
     QUERIES.clear()
     QUERIES.update(front)

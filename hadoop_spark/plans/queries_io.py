@@ -2091,3 +2091,196 @@ def lazy_output_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("empty_files"),
     )
+
+
+# ----------------------------------------------------------------------
+# tb_vector_pipe — typed-bytes VECTOR type (code 8) through a real
+# external process (`hadoop-streaming/.../typedbytes/Type.java` VECTOR,
+# `TypedBytesInput.java readVector`): the migration path for a user whose
+# typed-bytes mapper consumes ARRAY-valued records (`-io typedbytes` with
+# vector payloads). The mapper script is a STANDALONE struct-based
+# typed-bytes implementation (it shares no code with operators/pipe.py —
+# the wire format is the only contract, exactly as a foreign binary
+# would), shipped via the `-file` mechanism (sc.addFile). Embeddings are
+# quantized to exact integers (the jl/q4 idiom) so the subprocess's sums
+# are engine-independent. Map-side only: one subprocess per partition,
+# no shuffle — at 100 TB this is the same embarrassingly-parallel shape
+# as every streaming mapper.
+# ----------------------------------------------------------------------
+
+_TB_VECTOR_ORACLE = """
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS BIGINT)
+         AS vsum,
+       CAST(len(embedding) AS INT) AS n_dims
+FROM embeddings
+"""
+
+# Standalone typed-bytes vector mapper: reads (LONG/INT vec_id, VECTOR of
+# LONG/INT) pairs, emits (vec_id, element sum, element count). Implements
+# the public wire spec directly — independent of hadoop_spark.
+_TB_VECTOR_MAPPER = '''\
+import struct, sys
+
+r, w = sys.stdin.buffer, sys.stdout.buffer
+
+
+def read_one(code):
+    if code == 3:
+        return struct.unpack(">i", r.read(4))[0]
+    if code == 4:
+        return struct.unpack(">q", r.read(8))[0]
+    if code == 8:
+        (n,) = struct.unpack(">i", r.read(4))
+        return [read_one(r.read(1)[0]) for _ in range(n)]
+    raise ValueError(f"unexpected type code {code}")
+
+
+def write_long(v):
+    if -(2**31) <= v < 2**31:
+        w.write(struct.pack(">Bi", 3, v))
+    else:
+        w.write(struct.pack(">Bq", 4, v))
+
+
+while True:
+    b = r.read(1)
+    if not b:
+        break
+    vec_id = read_one(b[0])
+    vec = read_one(r.read(1)[0])
+    write_long(vec_id)
+    write_long(sum(vec))
+    write_long(len(vec))
+'''
+
+
+@query("tb_vector_pipe", _TB_VECTOR_ORACLE)
+def tb_vector_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-bytes VECTOR records piped through a shipped foreign mapper.
+
+    Exercises code 8 (count-prefixed nested values) in BOTH directions of
+    the wire: our encoder writes (vec_id, vector<long>) records; the
+    subprocess — a standalone implementation of the spec — decodes them,
+    sums the vector, and writes scalar typed-bytes back. The oracle
+    recomputes the quantized element sums in SQL, so a mis-framed vector
+    (wrong count, wrong nesting, byte-order slip) shifts every downstream
+    record and cannot hash-match."""
+    script_dir = _scratch(sf_dir, "tb_vector")
+    os.makedirs(script_dir, exist_ok=True)
+    script = os.path.join(script_dir, "tb_vector_mapper.py")
+    with open(script, "w") as f:
+        f.write(_TB_VECTOR_MAPPER)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 10_000).cast("bigint"),
+        ).alias("q4"),
+    )
+    return pipe_typedbytes(
+        emb,
+        "python3",
+        "vec_id bigint, vsum bigint, n_dims int",
+        ship_script=script,
+    )
+
+
+# ----------------------------------------------------------------------
+# combine_compaction_bins — CombineFileInputFormat's packing policy on
+# the WRITE side (`lib/input/CombineFileInputFormat.java:292` createSplits
+# accumulates files into a split until maxSplitSize is reached; HAR /
+# small-files compaction applies the same policy when REWRITING): given a
+# directory of real committed small files, plan target-size bins over the
+# per-file listing (exclusive-prefix-sum binning — each bin's payload is
+# < target + one file, the same straddle tolerance the reference's
+# accumulate-loop has), execute the compaction (one shuffle by bin — the
+# rewrite itself), and derive the result from the COMMITTED output:
+# per-bin row/byte totals recomputed from content, input-file fan-in, and
+# the committed-file count, which the oracle pins to a literal 1 — a bin
+# split across output files, an unplanned bin, or a lost/duplicated row
+# all break the hash. Scale: the plan is a window over the per-FILE
+# listing (O(#files), the same order any compactor pays to list the
+# directory), the file->bin map is a broadcast of that listing, and the
+# data movement is one hash shuffle by bin.
+# ----------------------------------------------------------------------
+
+_COMBINE_BINS_TARGET = 16_384  # bytes of text payload per compacted bin
+
+_COMBINE_BINS_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id % 64 AS file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS fbytes
+  FROM documents GROUP BY 1
+), p AS (
+  SELECT file_id, n_rows, fbytes,
+         COALESCE(SUM(fbytes) OVER (ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM f
+)
+SELECT CAST(prefix // {_COMBINE_BINS_TARGET} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_input_files,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(fbytes) AS BIGINT) AS bin_bytes,
+       CAST(1 AS BIGINT) AS files_committed
+FROM p GROUP BY 1
+"""
+
+
+@query("combine_compaction_bins", _COMBINE_BINS_ORACLE)
+def combine_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction with the CombineFileInputFormat packing policy,
+    verified from the committed filesystem output (see block comment)."""
+    from pyspark.sql import Window
+
+    from hadoop_spark.operators.join import bcast_if_small
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 64).alias("file_id")
+    )
+    small = _scratch(sf_dir, "combine_small_in")
+    out = _scratch(sf_dir, "combine_compacted")
+    shutil.rmtree(small, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    docs.repartition("file_id").write.partitionBy("file_id").parquet(small)
+
+    # Plan from the physical small-file listing's CONTENT (logical bytes —
+    # the policy input; physical parquet bytes are encoder-dependent and
+    # not oracle-derivable). The window is over #files rows, not data.
+    # Explicit schema: a zero-row source writes no part files to infer
+    # from (the partition column stays string-typed then — cast it).
+    back = spark.read.schema("doc_id bigint, text string, file_id bigint").parquet(
+        small
+    ).select(
+        F.col("file_id").cast("bigint").alias("file_id"),
+        "doc_id",
+        "text",
+        F.octet_length("text").cast("bigint").alias("nb"),
+    )
+    sizes = back.groupBy("file_id").agg(F.sum("nb").alias("fbytes"))
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    plan = sizes.withColumn(
+        "prefix", F.coalesce(F.sum("fbytes").over(w), F.lit(0))
+    ).select(
+        "file_id", F.expr(f"prefix DIV {_COMBINE_BINS_TARGET}").alias("bin")
+    )
+
+    # Execute the rewrite: file->bin map broadcast (size-guarded — the
+    # listing is O(#files) and a million-file directory should degrade to
+    # a shuffle join, not OOM the driver), one shuffle by bin, one
+    # committed file per bin (repartition co-locates each bin in one task).
+    binned = back.join(bcast_if_small(plan), "file_id")
+    binned.repartition("bin").write.partitionBy("bin").parquet(out)
+
+    comp = spark.read.schema(
+        "file_id bigint, doc_id bigint, text string, nb bigint, bin bigint"
+    ).parquet(out).withColumn("fname", F.input_file_name())
+    return comp.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.countDistinct("file_id").cast("bigint").alias("n_input_files"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("nb").cast("bigint").alias("bin_bytes"),
+        F.countDistinct("fname").cast("bigint").alias("files_committed"),
+    )

@@ -985,7 +985,17 @@ def jl_norm_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equal, 4.0→0.57 s at sf0.1 and 11.2→1.9 s at ×30. The one
     exception to "prefer built-ins over Python" the guide itself makes:
     HOF lambda chains are not the vectorized JVM path that rule
-    protects."""
+    protects.
+
+    Intentional divergence from the retired HOF form (ADVICE r8 #3): a
+    row whose embedding length != 64 is treated as MALFORMED and dropped.
+    The old ``zip_with``/``aggregate`` chain kept such a row with a valid
+    ``n2 > 0`` and a null ``pn2`` (zip_with null-pads the shorter side),
+    surfacing it as a null-bucket histogram row; this kernel drops it at
+    the length gate instead — a short vector carries no 64-dim projection
+    semantics, so a null-keyed bucket row was noise, not signal. The
+    fixture (and any well-formed embeddings table) is all-64-dim, where
+    the two forms are bit-equal (r8 A/B)."""
     import numpy as np
     import pandas as pd
 

@@ -591,9 +591,23 @@ def sorted_input_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
       of the contract);
     - ``n_rows``: content-derived total.
 
-    Scales: the summarizer is O(1) memory per partition (streaming
-    adjacent-pair compare), summaries are O(#partitions) rows, and the
-    final aggregate is a single tiny reduction.
+    Scales: the summarizer is vectorized numpy per Arrow batch (shifted
+    lexicographic compares; one scalar carry — the previous batch's last
+    row — across batch boundaries), O(1) memory per partition beyond the
+    current batch, summaries are O(#partitions) rows, and the final
+    aggregate is a single tiny reduction. The r8 form iterated rows in
+    Python (`itertuples`) — same counts, Python-speed; this form is the
+    Arrow-speed equivalent (bit-equal by construction: the within-batch
+    shift compares and the boundary carry enumerate exactly the same
+    adjacent pairs and key runs the row loop did; equality cross-checked
+    on random UNSORTED data where inversions are nonzero). Measured r9:
+    kernel 32x (2M rows single-thread: 0.78 s itertuples vs 0.024 s
+    vectorized); end-to-end at sf0.1/x30 is unchanged (~7.5 s at x30,
+    old = new within noise) because the repartition+sort shuffle of the
+    18M-row table dominates and local[32] parallelism hid the loop — the
+    win is per-core CPU budget at cluster scale (10^9 rows/executor:
+    ~7 CPU-min of itertuples -> ~13 s of numpy per core), not local
+    wall-clock at these SFs.
     """
     import pandas as pd
 
@@ -608,13 +622,32 @@ def sorted_input_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = inversions = local_keys = 0
         prev = None  # (suppkey, orderkey, linenumber) of the previous row
         for pdf in batches:
-            for t in pdf.itertuples(index=False, name=None):
-                n += 1
-                if prev is None or t[0] != prev[0]:
+            if not len(pdf):
+                continue
+            s = pdf["l_suppkey"].to_numpy()
+            o = pdf["l_orderkey"].to_numpy()
+            ln = pdf["l_linenumber"].to_numpy()
+            n += len(s)
+            # Adjacent-pair inversions within the batch: lexicographic
+            # (s, o, ln) < previous row, vectorized over the shift-by-1.
+            ps, po, pl = s[:-1], o[:-1], ln[:-1]
+            cs, co, cl = s[1:], o[1:], ln[1:]
+            inversions += int(
+                ((cs < ps) | ((cs == ps) & ((co < po) | ((co == po) & (cl < pl))))).sum()
+            )
+            # Key runs within the batch: suppkey changes between adjacents.
+            local_keys += int((cs != ps).sum())
+            # Batch boundary: the first row of this batch vs the carried
+            # last row of the previous one (or the partition start).
+            first = (int(s[0]), int(o[0]), int(ln[0]))
+            if prev is None:
+                local_keys += 1
+            else:
+                if first[0] != prev[0]:
                     local_keys += 1
-                if prev is not None and t < prev:
+                if first < prev:
                     inversions += 1
-                prev = t
+            prev = (int(s[-1]), int(o[-1]), int(ln[-1]))
         if n:
             yield pd.DataFrame(
                 {"n_rows": [n], "inversions": [inversions], "local_keys": [local_keys]}

@@ -35,6 +35,15 @@ allowlist, verify the broadcast side is 1-row-bounded AT SCALE (a
 scalar aggregate), not merely small at the test SF. The manual sf0.01
 sweep (scripts/plan_audit.py) is the higher-resolution instrument and
 the authority for cartesian detection.
+
+Do NOT run this gate concurrently with scripts/drive_contract.py (or a
+second pytest of this module) on the same checkout: building the ~390
+query frames executes real fixture side effects (parquet/xml writes,
+eager pagerank localCheckpoints) into the same .tmp/io scratch paths
+the contract drive uses, and the fixture writers' os.replace commit
+rename can race a concurrent reader/writer of the same path (observed
+once in r8 as a same-sf concurrency failure — the caveat documented in
+scripts/plan_audit.py applies equally here, ADVICE r8 #4).
 """
 
 from __future__ import annotations

@@ -99,3 +99,71 @@ def test_tb_codec_property_roundtrip(vals):
     typed-bytes mapper binary depends on)."""
     blob = b"".join(tb_encode(v) for v in vals)
     assert list(tb_decode_stream(io.BytesIO(blob))) == vals
+
+
+# ---------------------------------------------------------- containers
+# VECTOR (code 8, count-prefixed) and LIST (code 9, 255-terminated) —
+# `TypedBytesInput.java readVector/readList`, added r9.
+
+import struct
+
+
+@pytest.mark.parametrize(
+    "value",
+    [
+        [],
+        [1, 2, 3],
+        [2**40, -(2**40)],                # long elements
+        ["a", 1.5, b"\x00", True],        # heterogeneous
+        [[1, 2], ["x"], []],              # nested vectors
+    ],
+)
+def test_tb_vector_roundtrip(value):
+    decoded = list(tb_decode_stream(io.BytesIO(tb_encode(value))))
+    assert decoded == [value]
+
+
+def test_tb_vector_wire_format_is_the_spec():
+    # code byte 8, big-endian int32 count, then each element's own record
+    blob = tb_encode([1, "ab"])
+    assert blob[0] == 8
+    assert struct.unpack(">i", blob[1:5])[0] == 2
+    assert blob[5] == 3  # int element
+    assert blob[10] == 7  # string element
+
+
+def test_tb_list_decode_with_marker():
+    # LIST: values until the 255 marker (we decode; encode emits VECTOR)
+    blob = b"\x09" + tb_encode(5) + tb_encode("x") + b"\xff"
+    assert list(tb_decode_stream(io.BytesIO(blob))) == [[5, "x"]]
+
+
+def test_tb_list_missing_marker_rejected():
+    blob = b"\x09" + tb_encode(5)  # EOF before the 255 marker
+    with pytest.raises(ValueError, match="LIST"):
+        list(tb_decode_stream(io.BytesIO(blob)))
+
+
+@given(vals=st.lists(st.lists(tb_value, max_size=8), max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_tb_vector_property_roundtrip(vals):
+    blob = b"".join(tb_encode(v) for v in vals)
+    assert list(tb_decode_stream(io.BytesIO(blob))) == vals
+
+
+def test_pipe_typedbytes_vector_shipped_script(spark, tmp_path):
+    """End-to-end VECTOR pipe through a shipped foreign script: array
+    column encoded as code-8 records, summed by a standalone typed-bytes
+    implementation, scalars decoded back (the tb_vector_pipe idiom)."""
+    from hadoop_spark.plans.queries_io import _TB_VECTOR_MAPPER
+
+    script = tmp_path / "mapper.py"
+    script.write_text(_TB_VECTOR_MAPPER)
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [10, -4]), (3, [])],
+        "k bigint, vec array<bigint>",
+    )
+    out = pipe_typedbytes(
+        df, "python3", "k bigint, vsum bigint, n int", ship_script=str(script)
+    )
+    assert sorted(map(tuple, out.collect())) == [(1, 6, 3), (2, 6, 2), (3, 0, 0)]
