@@ -402,14 +402,19 @@ def pipe_shipped_script(
 # `hadoop-streaming/.../typedbytes/TypedBytesInput.java:34`, `Type.java`):
 # one type-code byte, then a type-specific big-endian payload. Implemented
 # here so a user with a typed-bytes mapper/reducer binary has a migration
-# path. Codes are the public spec's: 0 bytes, 2 bool, 3 int, 4 long,
-# 6 double, 7 UTF-8 string, 8 vector (count-prefixed, nested values;
-# `TypedBytesInput.java readVector`), 9 list (values until the 255
-# end-marker; `readList`). Python list/tuple encodes as VECTOR; both
-# container codes decode to a Python list.
+# path. Codes are the public spec's full `Type.java` set: 0 bytes,
+# 1 byte, 2 bool, 3 int, 4 long, 5 float, 6 double, 7 UTF-8 string,
+# 8 vector (count-prefixed, nested values; `TypedBytesInput.java
+# readVector`), 9 list (values until the 255 end-marker; `readList`),
+# 10 map (count-prefixed key/value pairs; `readMap`). Python list/tuple
+# encodes as VECTOR and dict as MAP; both sequence codes decode to a
+# Python list, MAP to a dict. BYTE and FLOAT are decode-only (Python has
+# no distinct scalar for either — ints encode as INT/LONG, floats as
+# DOUBLE — but a foreign binary may emit them and must round-trip).
 
-_TB_BYTES, _TB_BOOL, _TB_INT, _TB_LONG, _TB_DOUBLE, _TB_STRING = 0, 2, 3, 4, 6, 7
-_TB_VECTOR, _TB_LIST, _TB_MARKER = 8, 9, 255
+_TB_BYTES, _TB_BYTE, _TB_BOOL, _TB_INT, _TB_LONG = 0, 1, 2, 3, 4
+_TB_FLOAT, _TB_DOUBLE, _TB_STRING = 5, 6, 7
+_TB_VECTOR, _TB_LIST, _TB_MAP, _TB_MARKER = 8, 9, 10, 255
 
 
 def tb_encode(value) -> bytes:
@@ -435,6 +440,12 @@ def tb_encode(value) -> bytes:
         return struct.pack(">Bi", _TB_VECTOR, len(value)) + b"".join(
             tb_encode(v) for v in value
         )
+    if isinstance(value, dict):
+        # MAP (`TypedBytesOutput.java writeMap`): entry count, then each
+        # key record followed by its value record.
+        return struct.pack(">Bi", _TB_MAP, len(value)) + b"".join(
+            tb_encode(k) + tb_encode(v) for k, v in value.items()
+        )
     raise TypeError(f"typed-bytes: unsupported type {type(value).__name__}")
 
 
@@ -444,10 +455,14 @@ def _tb_read_one(fh, code: int):
 
     if code == _TB_BOOL:
         return fh.read(1)[0] != 0
+    if code == _TB_BYTE:
+        return struct.unpack(">b", fh.read(1))[0]
     if code == _TB_INT:
         return struct.unpack(">i", fh.read(4))[0]
     if code == _TB_LONG:
         return struct.unpack(">q", fh.read(8))[0]
+    if code == _TB_FLOAT:
+        return struct.unpack(">f", fh.read(4))[0]
     if code == _TB_DOUBLE:
         return struct.unpack(">d", fh.read(8))[0]
     if code in (_TB_STRING, _TB_BYTES):
@@ -466,6 +481,15 @@ def _tb_read_one(fh, code: int):
             if nxt[0] == _TB_MARKER:
                 return out
             out.append(_tb_read_one(fh, nxt[0]))
+    if code == _TB_MAP:
+        (n,) = struct.unpack(">i", fh.read(4))
+        entries = {}
+        for _ in range(n):
+            k = _tb_read_one(fh, fh.read(1)[0])
+            if isinstance(k, list):  # container keys can't be dict keys
+                k = tuple(k)
+            entries[k] = _tb_read_one(fh, fh.read(1)[0])
+        return entries
     raise ValueError(f"typed-bytes: unsupported type code {code}")
 
 

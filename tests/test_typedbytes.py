@@ -167,3 +167,55 @@ def test_pipe_typedbytes_vector_shipped_script(spark, tmp_path):
         df, "python3", "k bigint, vsum bigint, n int", ship_script=str(script)
     )
     assert sorted(map(tuple, out.collect())) == [(1, 6, 3), (2, 6, 2), (3, 0, 0)]
+
+
+# ------------------------------------------------- full Type.java parity
+# BYTE (1) and FLOAT (5) decode-only, MAP (10) both ways — added r9 after
+# the VECTOR/LIST work, completing the reference's type-code set.
+
+
+def test_tb_byte_and_float_decode():
+    blob = struct.pack(">Bb", 1, -7) + struct.pack(">Bf", 5, 2.5)
+    assert list(tb_decode_stream(io.BytesIO(blob))) == [-7, 2.5]
+
+
+@pytest.mark.parametrize(
+    "value",
+    [
+        {},
+        {"a": 1, "b": 2.5},
+        {1: "x", True: b"\x00"},       # NB True == 1 in Python: 1 entry
+        {"nested": {"k": [1, 2]}},
+    ],
+)
+def test_tb_map_roundtrip(value):
+    decoded = list(tb_decode_stream(io.BytesIO(tb_encode(value))))
+    assert decoded == [value]
+
+
+def test_tb_map_wire_format_is_the_spec():
+    blob = tb_encode({"k": 9})
+    assert blob[0] == 10
+    assert struct.unpack(">i", blob[1:5])[0] == 1
+    assert blob[5] == 7  # string key record follows
+
+
+def test_tb_map_vector_key_decodes_to_tuple():
+    # A foreign binary may key a MAP by a VECTOR; Python dicts need a
+    # hashable key, so the decoder tuples it.
+    blob = struct.pack(">Bi", 10, 1) + tb_encode([1, 2]) + tb_encode("v")
+    assert list(tb_decode_stream(io.BytesIO(blob))) == [{(1, 2): "v"}]
+
+
+tb_scalar_key = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.text(max_size=20),
+    st.binary(max_size=20),
+)
+
+
+@given(m=st.dictionaries(tb_scalar_key, tb_value, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_tb_map_property_roundtrip(m):
+    assert list(tb_decode_stream(io.BytesIO(tb_encode(m)))) == [m]
