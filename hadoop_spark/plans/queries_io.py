@@ -2190,8 +2190,9 @@ def tb_vector_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------------
 # combine_compaction_bins — CombineFileInputFormat's packing policy on
-# the WRITE side (`lib/input/CombineFileInputFormat.java:292` createSplits
-# accumulates files into a split until maxSplitSize is reached; HAR /
+# the WRITE side (`lib/input/CombineFileInputFormat.java:365` — the
+# curSplitSize >= maxSize loop accumulates files into a split until
+# maxSplitSize is reached; HAR /
 # small-files compaction applies the same policy when REWRITING): given a
 # directory of real committed small files, plan target-size bins over the
 # per-file listing (exclusive-prefix-sum binning — each bin's payload is
