@@ -3687,10 +3687,23 @@ def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # normalized value (the propensity proxy), binned into 10 equal-width
 # score bins, and each bin reports predicted-vs-actual purchase rate and
 # the |gap| that sums (count-weighted) to ECE. Min/max come from one
-# 1-row aggregate broadcast back (never a global window); the mean score
-# is decimal-quantized (dsum), the actual rate an exact integer ratio,
-# and the gap a difference of engine-identical doubles — no final
-# quantization needed.
+# 1-row aggregate broadcast back (never a global window); the actual
+# rate is an exact integer ratio and the gap a difference of
+# engine-identical doubles.
+#
+# mean_score uses LINEARITY — mean(s) = (mean(value) − lo)/(hi − lo) —
+# so the decimal-quantized sum runs over the RAW 2-decimal currency
+# column (tie-free at scale 6: a cents double's binary error is ~1e-14
+# relative, never near the 5e-7 rounding boundary) and the
+# normalization is two scalar double ops identical in both engines.
+# The r9 ×10-SF probe caught the previous form — dsum over the per-row
+# NORMALIZED score s at scale 12 — flipping one quantization ulp at
+# sf0.1: one of 100k rows landed on s = 0.5358704771425000235…, whose
+# shortest repr terminates in …1425 exactly at digit 13; Spark's
+# BigDecimal HALF_UP rounds the EXACT binary value (…143 — correctly
+# rounded), DuckDB's double→DECIMAL cast rounds the shortest repr
+# half-even (…142). Quantizing an arbitrary-quotient double is
+# tie-prone at any scale; quantizing the fixed-decimal source never is.
 # ----------------------------------------------------------------------
 
 _CALIB_ORACLE = f"""
@@ -3698,19 +3711,24 @@ WITH mm AS (
   SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
 ), scored AS (
   SELECT CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         e.value AS value,
          (e.value - mm.lo) / (mm.hi - mm.lo) AS s
   FROM events e CROSS JOIN mm
 ), binned AS (
-  SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, y, s FROM scored
+  SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, y, value FROM scored
+), g AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         {dsum_sql("value", 6)} / CAST(COUNT(*) AS DOUBLE) AS mean_value
+  FROM binned GROUP BY bin
 )
-SELECT bin,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(y) AS BIGINT) AS n_pos,
-       {dsum_sql("s", 12)} / CAST(COUNT(*) AS DOUBLE) AS mean_score,
-       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS actual_rate,
-       ABS({dsum_sql("s", 12)} / CAST(COUNT(*) AS DOUBLE)
-           - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS gap
-FROM binned GROUP BY bin
+SELECT bin, n, n_pos,
+       (mean_value - mm.lo) / (mm.hi - mm.lo) AS mean_score,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS actual_rate,
+       ABS((mean_value - mm.lo) / (mm.hi - mm.lo)
+           - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+FROM g CROSS JOIN mm
 """
 
 
@@ -3721,19 +3739,26 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     scored = ev.join(F.broadcast(mm)).select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        "value",
         ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias("s"),
     )
     binned = scored.select(
         F.least(F.floor(F.col("s") * 10).cast("bigint"), F.lit(9)).alias("bin"),
         "y",
-        "s",
+        "value",
     )
     n = F.count(F.lit(1))
-    mean_score = dsum(F.col("s"), 12) / n.cast("double")
-    actual = F.sum("y").cast("double") / n.cast("double")
-    return binned.groupBy("bin").agg(
+    g = binned.groupBy("bin").agg(
         n.cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n_pos"),
+        (dsum(F.col("value"), 6) / n.cast("double")).alias("mean_value"),
+    )
+    mean_score = (F.col("mean_value") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    actual = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return g.join(F.broadcast(mm)).select(
+        "bin",
+        "n",
+        "n_pos",
         mean_score.alias("mean_score"),
         actual.alias("actual_rate"),
         F.abs(mean_score - actual).alias("gap"),

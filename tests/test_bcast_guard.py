@@ -180,7 +180,7 @@ _AUDITED_BARE_BROADCASTS = {
     # --- queries_stats.py ---
     ('queries_stats.py', 'anomaly_mad', 'mad'): 1,  # bound: 1-row MAD agg
     ('queries_stats.py', 'anomaly_mad', 'med'): 1,  # bound: 1-row median agg
-    ('queries_stats.py', 'calibration_bins', 'mm'): 1,  # bound: 1-row min/max agg
+    ('queries_stats.py', 'calibration_bins', 'mm'): 2,  # bound: 1-row min/max agg (row-level scoring + post-agg normalization, r9 linearity fix)
     ('queries_stats.py', 'catalog_coverage_curve', 'tot'): 1,  # bound: 1-row total agg
     ('queries_stats.py', 'chi2_independence', 'cols_p'): 1,  # bound: per-priority margin (5 rows)
     ('queries_stats.py', 'chi2_independence', 'n'): 2,  # bound: 1-row grand-total agg
