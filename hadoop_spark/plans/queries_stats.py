@@ -2056,7 +2056,16 @@ def value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over the DAY-AGGREGATED series (bounded by the calendar), never raw
 # facts. Exactness trick: everything scales by 7 so the moving mean
 # stays INTEGER (detr7 = 7x − Σ₇x); the only floats are the three final
-# /7-style divisions and the seasonal mean, each quantized identically.
+# /7-style divisions and the seasonal mean — RAW IEEE quotients of
+# engine-identical exact operands (s7/detr7 are int64 < 2^53, the
+# seasonal sum goes through the decimal→varchar→double path), so they
+# are bit-equal with NO final quantization. The r9 ×10-SF probe caught
+# the previous form's DECIMAL(18,6) output casts flipping one digit:
+# s7/7's 17-digit shortest repr ends in '5' one place past scale 6, and
+# DuckDB's double→decimal cast rounds the SHORTEST REPR half-even while
+# Spark's BigDecimal rounds the exact binary value — the same lesson
+# the jl_norm_distortion oracle records: quantizing an identical-
+# operand quotient only reintroduces the tie divergence.
 # dow is epoch-day mod 7 — calendar-library-free and engine-identical.
 # ----------------------------------------------------------------------
 
@@ -2081,18 +2090,14 @@ det AS (
 ),
 seas AS (
   SELECT dow,
-         CAST(CAST(
-           CAST(CAST(SUM(CAST(detr7 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE)
-         AS DECIMAL(18,6)) AS DOUBLE) AS seasonal7
+         CAST(CAST(SUM(CAST(detr7 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS seasonal7
   FROM det GROUP BY dow
 )
 SELECT d.day, d.x AS revenue_cents,
-       CAST(CAST(CAST(d.s7 AS DOUBLE) / 7 AS DECIMAL(18,6)) AS DOUBLE)
-         AS trend,
-       CAST(CAST(s.seasonal7 / 7 AS DECIMAL(18,6)) AS DOUBLE) AS seasonal,
-       CAST(CAST((CAST(d.detr7 AS DOUBLE) - s.seasonal7) / 7
-            AS DECIMAL(18,6)) AS DOUBLE) AS residual
+       CAST(d.s7 AS DOUBLE) / 7 AS trend,
+       s.seasonal7 / 7 AS seasonal,
+       (CAST(d.detr7 AS DOUBLE) - s.seasonal7) / 7 AS residual
 FROM det d JOIN seas s ON d.dow = s.dow
 """
 
@@ -2132,18 +2137,14 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string")
             .cast("double")
             / F.count(F.lit(1)).cast("double")
-        )
-        .cast("decimal(18,6)")
-        .cast("double")
-        .alias("seasonal7")
+        ).alias("seasonal7")
     )
-    q6 = lambda c: c.cast("decimal(18,6)").cast("double")  # noqa: E731
     return det.join(F.broadcast(seas), "dow").select(
         "day",
         F.col("x").alias("revenue_cents"),
-        q6(F.col("s7").cast("double") / 7).alias("trend"),
-        q6(F.col("seasonal7") / 7).alias("seasonal"),
-        q6((F.col("detr7").cast("double") - F.col("seasonal7")) / 7).alias(
+        (F.col("s7").cast("double") / 7).alias("trend"),
+        (F.col("seasonal7") / 7).alias("seasonal"),
+        ((F.col("detr7").cast("double") - F.col("seasonal7")) / 7).alias(
             "residual"
         ),
     )
