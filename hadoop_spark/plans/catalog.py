@@ -139,11 +139,31 @@ _R9_WINDOW = _R9_SCHEDULED + _R9_ADDITIONS + _R9_REVERIFY
 #      slots per round).
 #
 # ROUND-10 PLAN (next session: replace _R9_WINDOW with _R10_WINDOW):
-# apply the policy above — (1) queries touched in r10, (2) r10 additions,
-# (3) rotation restart in ledger order from the top of COVERAGE.md
-# (wordcount, grep, kv_text_roundtrip, ... — the r1 rows, which by then
-# hold the oldest driver rows). Update tests/test_window_contract.py and
-# the COVERAGE ledger in the same commit, as every round has.
+# apply the policy above — (1) queries touched in r10 PLUS the one r9
+# post-window change (`seasonal_decompose` — its quantization fix
+# shipped after its r8 driver row; r9-verified at 3 SFs but owed a
+# fresh driver row), (2) r10 additions, (3) rotation restart in ledger
+# order from the top of COVERAGE.md (wordcount, grep,
+# kv_text_roundtrip, ... — the r1 rows, which by then hold the oldest
+# driver rows). Update tests/test_window_contract.py and the COVERAGE
+# ledger in the same commit, as every round has.
+#
+# R10 CANDIDATE TASK (from the r9 ×10-SF full-strict finding): ~25
+# remaining `.cast("decimal(18,N)").cast("double")` finalizations of
+# COMPUTED quotients (queries_stats 16, cluster 4, lm 3, graph 1,
+# text 1, + multiline-styled sites e.g. queries_sort's
+# violation_share) are the same latent cross-engine tie class fixed in
+# calibration_bins/seasonal_decompose this round: Spark rounds the
+# exact binary value HALF_UP, DuckDB rounds the 10^N-scaled double
+# half-even, so the SAME double can quantize differently — and
+# string-mediated quantization is no better (the engines' double→
+# string reprs differ: Java shortest-roundtrip vs DuckDB %.17g-style).
+# All 25 are empirically green at sf0.001/0.01/0.1 today; the durable
+# convention is the one those two fixes applied — make final outputs
+# RAW IEEE quotients of engine-identical exact operands and delete the
+# quantization. Convert one query at a time, each verified at 3 SFs;
+# a site whose raw form mismatches is masking an operand divergence
+# and needs restructuring (exact sums), not a rounding cast.
 
 
 def load_all() -> None:
