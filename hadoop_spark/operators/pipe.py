@@ -417,6 +417,24 @@ _TB_FLOAT, _TB_DOUBLE, _TB_STRING = 5, 6, 7
 _TB_VECTOR, _TB_LIST, _TB_MAP, _TB_MARKER = 8, 9, 10, 255
 
 
+def _tb_read_exact(fh, n: int) -> bytes:
+    """Read exactly ``n`` bytes or raise — ``fh.read(n)`` on a pipe may
+    legally return fewer (short read), which would otherwise decode as a
+    silently truncated value (the reference uses ``DataInput.readFully``,
+    which throws ``EOFException`` on the same condition)."""
+    chunks = []
+    need = n
+    while need > 0:
+        chunk = fh.read(need)
+        if not chunk:
+            raise ValueError(
+                f"typed-bytes: unexpected EOF ({n - need} of {n} bytes read)"
+            )
+        chunks.append(chunk)
+        need -= len(chunk)
+    return chunks[0] if len(chunks) == 1 else b"".join(chunks)
+
+
 def tb_encode(value) -> bytes:
     """Encode one value as a typed-bytes record (`TypedBytesOutput.java`)."""
     import struct
@@ -450,28 +468,34 @@ def tb_encode(value) -> bytes:
 
 
 def _tb_read_one(fh, code: int):
-    """Decode one value whose type-code byte has already been read."""
+    """Decode one value whose type-code byte has already been read.
+
+    Every fixed-size and length-prefixed read goes through
+    :func:`_tb_read_exact`, so a stream truncated mid-record raises a
+    typed-bytes ``ValueError`` (the reference's ``TypedBytesInput.java``
+    readers raise ``EOFException`` from ``DataInput.readFully``) instead
+    of silently yielding a short value or a bare ``IndexError``."""
     import struct
 
     if code == _TB_BOOL:
-        return fh.read(1)[0] != 0
+        return _tb_read_exact(fh, 1)[0] != 0
     if code == _TB_BYTE:
-        return struct.unpack(">b", fh.read(1))[0]
+        return struct.unpack(">b", _tb_read_exact(fh, 1))[0]
     if code == _TB_INT:
-        return struct.unpack(">i", fh.read(4))[0]
+        return struct.unpack(">i", _tb_read_exact(fh, 4))[0]
     if code == _TB_LONG:
-        return struct.unpack(">q", fh.read(8))[0]
+        return struct.unpack(">q", _tb_read_exact(fh, 8))[0]
     if code == _TB_FLOAT:
-        return struct.unpack(">f", fh.read(4))[0]
+        return struct.unpack(">f", _tb_read_exact(fh, 4))[0]
     if code == _TB_DOUBLE:
-        return struct.unpack(">d", fh.read(8))[0]
+        return struct.unpack(">d", _tb_read_exact(fh, 8))[0]
     if code in (_TB_STRING, _TB_BYTES):
-        (n,) = struct.unpack(">I", fh.read(4))
-        raw = fh.read(n)
+        (n,) = struct.unpack(">I", _tb_read_exact(fh, 4))
+        raw = _tb_read_exact(fh, n)
         return raw.decode("utf-8") if code == _TB_STRING else raw
     if code == _TB_VECTOR:
-        (n,) = struct.unpack(">i", fh.read(4))
-        return [_tb_read_one(fh, fh.read(1)[0]) for _ in range(n)]
+        (n,) = struct.unpack(">i", _tb_read_exact(fh, 4))
+        return [_tb_read_one(fh, _tb_read_exact(fh, 1)[0]) for _ in range(n)]
     if code == _TB_LIST:
         out = []
         while True:
@@ -482,13 +506,13 @@ def _tb_read_one(fh, code: int):
                 return out
             out.append(_tb_read_one(fh, nxt[0]))
     if code == _TB_MAP:
-        (n,) = struct.unpack(">i", fh.read(4))
+        (n,) = struct.unpack(">i", _tb_read_exact(fh, 4))
         entries = {}
         for _ in range(n):
-            k = _tb_read_one(fh, fh.read(1)[0])
+            k = _tb_read_one(fh, _tb_read_exact(fh, 1)[0])
             if isinstance(k, list):  # container keys can't be dict keys
                 k = tuple(k)
-            entries[k] = _tb_read_one(fh, fh.read(1)[0])
+            entries[k] = _tb_read_one(fh, _tb_read_exact(fh, 1)[0])
         return entries
     raise ValueError(f"typed-bytes: unsupported type code {code}")
 
@@ -523,25 +547,31 @@ def pipe_typedbytes(
 
     ``ship_script``: local path shipped to every executor via
     ``sc.addFile`` (streaming's ``-file`` + ``-io typedbytes`` combination
-    — `DistributedCache.java:107`); ``command`` is then the interpreter,
-    and the executor runs ``[command, SparkFiles.get(basename)]`` with the
-    task-local cached copy — push-once-per-node, not once per task."""
+    — `DistributedCache.java:107`); ``command`` is then the interpreter
+    (shlex-split, so flagged interpreters like ``"python3 -u"`` work
+    instead of failing at task time as a nonexistent executable name),
+    and the executor runs ``shlex.split(command) +
+    [SparkFiles.get(basename)]`` with the task-local cached copy —
+    push-once-per-node, not once per task."""
     import os
+    import shlex
     import subprocess
 
     spark = df.sparkSession
     n_in = len(df.columns)
     cmd = command
     script_name = None
+    interp_argv = None
     if ship_script is not None:
         spark.sparkContext.addFile(ship_script)
         script_name = os.path.basename(ship_script)
+        interp_argv = shlex.split(cmd)
 
     def run_partition(rows):
         if script_name is not None:
             from pyspark import SparkFiles
 
-            argv = [cmd, SparkFiles.get(script_name)]
+            argv = interp_argv + [SparkFiles.get(script_name)]
             proc = subprocess.Popen(
                 argv,
                 stdin=subprocess.PIPE,

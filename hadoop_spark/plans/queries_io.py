@@ -2110,9 +2110,9 @@ def lazy_output_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TB_VECTOR_ORACLE = """
 SELECT vec_id,
-       CAST(list_sum(list_transform(embedding,
-           x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS BIGINT)
-         AS vsum,
+       CAST(COALESCE(list_sum(list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))), 0)
+         AS BIGINT) AS vsum,
        CAST(len(embedding) AS INT) AS n_dims
 FROM embeddings
 """
@@ -2166,7 +2166,15 @@ def tb_vector_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums the vector, and writes scalar typed-bytes back. The oracle
     recomputes the quantized element sums in SQL, so a mis-framed vector
     (wrong count, wrong nesting, byte-order slip) shifts every downstream
-    record and cannot hash-match."""
+    record and cannot hash-match.
+
+    Quantization is ``floor(x * 10^4 + 0.5)`` on BOTH sides, not ROUND:
+    multiply, add, and floor are exactly-defined IEEE operations, so the
+    two engines produce bit-identical integers with no dependence on
+    either engine's decimal-rounding tie rule (the r9 cross-engine
+    HALF_UP-vs-half-even class). The oracle's list_sum is COALESCE'd to 0
+    so a zero-length embedding row matches the mapper's ``sum([]) == 0``
+    (DuckDB's list_sum of an empty list is NULL)."""
     script_dir = _scratch(sf_dir, "tb_vector")
     os.makedirs(script_dir, exist_ok=True)
     script = os.path.join(script_dir, "tb_vector_mapper.py")
@@ -2177,7 +2185,7 @@ def tb_vector_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.transform(
             "embedding",
-            lambda x: F.round(x.cast("double") * 10_000).cast("bigint"),
+            lambda x: F.floor(x.cast("double") * 10_000 + 0.5).cast("bigint"),
         ).alias("q4"),
     )
     return pipe_typedbytes(

@@ -219,3 +219,49 @@ tb_scalar_key = st.one_of(
 @settings(max_examples=100, deadline=None)
 def test_tb_map_property_roundtrip(m):
     assert list(tb_decode_stream(io.BytesIO(tb_encode(m)))) == [m]
+
+
+# ----------------------------------------------- truncated-stream guard
+# r9 ADVICE: fh.read(n) on a pipe may legally return fewer than n bytes,
+# and EOF mid-container used to surface as IndexError. Every fixed-size /
+# length-prefixed read now goes through _tb_read_exact, which raises a
+# typed-bytes ValueError (the reference's readFully -> EOFException).
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        struct.pack(">BI", 7, 10) + b"short",          # STRING: 5 of 10 bytes
+        struct.pack(">BI", 0, 4) + b"ab",              # BYTES: 2 of 4
+        struct.pack(">Bi", 3, 0)[:3],                  # INT payload cut
+        struct.pack(">Bq", 4, 0)[:5],                  # LONG payload cut
+        struct.pack(">Bd", 6, 1.0)[:4],                # DOUBLE payload cut
+        struct.pack(">Bi", 8, 2) + tb_encode(1),       # VECTOR: 1 of 2 elems
+        struct.pack(">Bi", 8, 1),                      # VECTOR: EOF at elem code
+        struct.pack(">Bi", 10, 1) + tb_encode("k"),    # MAP: EOF at value code
+        struct.pack(">B", 8) + b"\x00\x00",            # VECTOR count cut
+    ],
+)
+def test_tb_truncated_stream_raises_typed_error(blob):
+    with pytest.raises(ValueError, match="typed-bytes"):
+        list(tb_decode_stream(io.BytesIO(blob)))
+
+
+def test_tb_zero_length_payloads_decode():
+    blob = struct.pack(">BI", 7, 0) + struct.pack(">BI", 0, 0)
+    assert list(tb_decode_stream(io.BytesIO(blob))) == ["", b""]
+
+
+def test_pipe_typedbytes_interpreter_with_flags(spark, tmp_path):
+    """r9 ADVICE: `command` for a shipped script is shlex-split, so an
+    interpreter with flags ('python3 -u') works instead of failing as a
+    nonexistent executable name."""
+    from hadoop_spark.plans.queries_io import _TB_VECTOR_MAPPER
+
+    script = tmp_path / "mapper_flags.py"
+    script.write_text(_TB_VECTOR_MAPPER)
+    df = spark.createDataFrame([(1, [4, 5])], "k bigint, vec array<bigint>")
+    out = pipe_typedbytes(
+        df, "python3 -u", "k bigint, vsum bigint, n int", ship_script=str(script)
+    )
+    assert sorted(map(tuple, out.collect())) == [(1, 9, 2)]
