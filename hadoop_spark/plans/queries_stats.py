@@ -33,6 +33,12 @@ from hadoop_spark.sources.tables import load_table, shared
 # with 8 lag() taps — one shuffle on user_id, whole-stage-codegen'd, and
 # at 100 TB each user's history sorts within its partition (no global
 # sort, no single-partition window).
+# Numerics (r10 quantization audit): numer and denom are identical
+# left-associated IEEE chains of literal-weight multiplies over the same
+# lag taps on both engines, so the raw quotient is bit-equal — the former
+# DECIMAL(18,8) output cast was the only cross-engine divergence risk
+# (Spark HALF_UP on the exact binary value vs DuckDB half-even on the
+# 10^8-scaled double) and is deleted per the seasonal_decompose r9 fix.
 # ----------------------------------------------------------------------
 
 _ALPHA = 0.25
@@ -67,7 +73,7 @@ WITH lagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id, value,
-       CAST(CAST(({numer}) / ({denom}) AS DECIMAL(18,8)) AS DOUBLE) AS ewma
+       ({numer}) / ({denom}) AS ewma
 FROM lagged
 """
 
@@ -96,7 +102,7 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        (numer / denom).cast("decimal(18,8)").cast("double").alias("ewma"),
+        (numer / denom).alias("ewma"),
     )
 
 
@@ -127,17 +133,13 @@ WITH pts AS (
   FROM pts GROUP BY event_type
 )
 SELECT event_type, n,
-       CAST(CAST(
-         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-       AS DECIMAL(18,10)) AS DOUBLE) AS slope,
-       CAST(CAST(
-         (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
-       AS DECIMAL(18,10)) AS DOUBLE) AS intercept
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
 FROM sums
 """
 
@@ -162,11 +164,15 @@ def linreg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd * F.col("sxx").cast("double") - sxd * sxd
     )
     intercept = (F.col("sy") - slope * sxd) / nd
+    # r10 audit: slope/intercept are raw IEEE quotients of exact,
+    # engine-identical sufficient statistics (BIGINT sx/sxx, dsum sy/sxy)
+    # — bit-equal without the former DECIMAL(18,10) finalization, which
+    # was itself the only cross-engine tie risk.
     return sums.select(
         "event_type",
         "n",
-        slope.cast("decimal(18,10)").cast("double").alias("slope"),
-        intercept.cast("decimal(18,10)").cast("double").alias("intercept"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
     )
 
 
@@ -179,8 +185,11 @@ def linreg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form's shuffle is bounded by |distinct values|, and its explicit
 # (lo + hi) / 2 interpolation is mirrored verbatim in the oracle so the
 # result is bit-identical (engine-internal quantile interpolation is
-# not). The outlier comparison runs on DECIMAL-quantized deviations so
-# the flag cannot flip on sub-quantum noise.
+# not). r10 audit: med/mad/adev are all exact IEEE values over identical
+# operands ((lo+hi)/2 of data values, |x-med|, 3*mad — every op exactly
+# defined), so outputs AND the outlier comparison use the raw doubles;
+# the former DECIMAL(18,6) casts were the only cross-engine tie risk and
+# could themselves flip the flag they meant to stabilize.
 # ----------------------------------------------------------------------
 
 from hadoop_spark.operators.stats import group_median, group_median_sql  # noqa: E402
@@ -194,10 +203,9 @@ dev AS (
 {group_median_sql("dev", "event_type", "adev", "mad", "m2")}
 SELECT d.event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(CAST(MIN(d.med) AS DECIMAL(18,6)) AS DOUBLE) AS med,
-       CAST(CAST(MIN(m.mad) AS DECIMAL(18,6)) AS DOUBLE) AS mad,
-       CAST(SUM(CASE WHEN CAST(d.adev AS DECIMAL(18,6))
-                      > CAST(3 * m.mad AS DECIMAL(18,6))
+       MIN(d.med) AS med,
+       MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d JOIN m2 m ON d.event_type = m.event_type
 GROUP BY d.event_type
@@ -219,12 +227,11 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = dev.join(F.broadcast(mad), "event_type")
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.min("med").cast("decimal(18,6)").cast("double").alias("med"),
-        F.min("mad").cast("decimal(18,6)").cast("double").alias("mad"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
         F.sum(
             F.when(
-                F.col("adev").cast("decimal(18,6)")
-                > (F.lit(3) * F.col("mad")).cast("decimal(18,6)"),
+                F.col("adev") > F.lit(3) * F.col("mad"),
                 1,
             ).otherwise(0)
         )
@@ -346,11 +353,9 @@ WITH pts AS (
   FROM fits2
 )
 SELECT p.event_id,
-       CAST(CAST(p.y - (g.icept + g.slope * CAST(p.x AS DOUBLE))
-            AS DECIMAL(18,6)) AS DOUBLE) AS residual,
-       (CAST(ABS(p.y - (g.icept + g.slope * CAST(p.x AS DOUBLE)))
-             AS DECIMAL(18,6))
-        > CAST(3 * g.s AS DECIMAL(18,6))) AS is_outlier
+       p.y - (g.icept + g.slope * CAST(p.x AS DOUBLE)) AS residual,
+       (ABS(p.y - (g.icept + g.slope * CAST(p.x AS DOUBLE)))
+        > 3 * g.s) AS is_outlier
 FROM pts p JOIN sigma g ON p.event_type = g.event_type
 """
 
@@ -395,14 +400,15 @@ def linreg_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigma = fits2.select("event_type", "slope", "icept", s.alias("s"))
     j = pts.join(F.broadcast(sigma), "event_type")
+    # r10 audit: slope/icept/s and hence resid are identical IEEE chains of
+    # exact sufficient statistics on both engines (sqrt is correctly
+    # rounded), so the residual and the 3-sigma comparison use raw doubles
+    # — the deleted DECIMAL(18,6) casts were the only divergence risk.
     resid = F.col("y") - (F.col("icept") + F.col("slope") * F.col("x").cast("double"))
     return j.select(
         "event_id",
-        resid.cast("decimal(18,6)").cast("double").alias("residual"),
-        (
-            F.abs(resid).cast("decimal(18,6)")
-            > (F.lit(3) * F.col("s")).cast("decimal(18,6)")
-        ).alias("is_outlier"),
+        resid.alias("residual"),
+        (F.abs(resid) > F.lit(3) * F.col("s")).alias("is_outlier"),
     )
 
 
@@ -1053,14 +1059,13 @@ s AS (
   FROM j
 )
 SELECT n,
-       CAST(CAST(
-         (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
-          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
-         / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
-                 - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
-            * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
-                   - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
-       AS DECIMAL(18,12)) AS DOUBLE) AS pearson_r
+       (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+       AS pearson_r
 FROM s
 """
 
@@ -1110,9 +1115,11 @@ def daily_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
         * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
     )
-    return s.select(
-        "n", r.cast("decimal(18,12)").cast("double").alias("pearson_r")
-    )
+    # r10 audit: raw IEEE Pearson r — all six sufficient statistics are
+    # exact DECIMAL(38,0), rendered to double by correctly-rounded paths
+    # on both engines (Spark BigDecimal.doubleValue, DuckDB strtod via
+    # VARCHAR), so the quotient is bit-equal without quantization.
+    return s.select("n", r.alias("pearson_r"))
 
 
 # ----------------------------------------------------------------------
@@ -1120,9 +1127,9 @@ def daily_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an (event_type, hour) is bursty when its count exceeds the trailing
 # 24-hour mean by 3σ. The window runs over the HOUR SERIES (bounded by
 # the time span, never by row count); mean/σ come from exact integer
-# window sums, and the burst decision is a DECIMAL-quantized margin so
-# the boolean cannot flip on sub-ulp noise (the anomaly_mad discipline
-# applied to a trailing frame).
+# window sums, so the burst margin is an identical IEEE chain on both
+# engines and the decision compares the raw double (r10 audit — the
+# former DECIMAL quantization was itself the only tie risk).
 # ----------------------------------------------------------------------
 
 _BURST_ORACLE = """
@@ -1142,13 +1149,11 @@ win AS (
 )
 SELECT event_type, CAST(hr AS BIGINT) AS hr, cnt,
        CAST(CASE WHEN n >= 6 THEN
-         CAST(CAST(
-           CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-           - 3.0 * sqrt(GREATEST(0.0,
-               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
-               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
-         AS DECIMAL(18,6)) AS DOUBLE) > 0
+         (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+          - 3.0 * sqrt(GREATEST(0.0,
+              CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))) > 0
        ELSE FALSE END AS BOOLEAN) AS burst
 FROM win
 """
@@ -1177,11 +1182,11 @@ def hourly_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = F.greatest(
         F.lit(0.0), F.col("s2").cast("double") / nd - mean * mean
     )
-    margin = (
-        (F.col("cnt").cast("double") - mean - F.lit(3.0) * F.sqrt(var))
-        .cast("decimal(18,6)")
-        .cast("double")
-    )
+    # r10 audit: the burst margin is an identical IEEE chain of exact
+    # integer window sums on both engines (sqrt correctly rounded), so the
+    # comparison runs on the raw double — the former DECIMAL(18,6)
+    # quantization was the only cross-engine tie risk.
+    margin = F.col("cnt").cast("double") - mean - F.lit(3.0) * F.sqrt(var)
     burst = F.when(F.col("n") >= 6, margin > 0).otherwise(F.lit(False))
     return win.select("event_type", "hr", "cnt", burst.alias("burst"))
 
@@ -1450,11 +1455,10 @@ comp AS (
   FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS BIGINT) AS lag, n,
-       CAST(CAST(
-         (CAST(n AS DOUBLE) * {dd("sxy")} - {dd("sx")} * {dd("sy")})
-         / (SQRT(CAST(n AS DOUBLE) * {dd("sxx")} - {dd("sx")} * {dd("sx")})
-            * SQRT(CAST(n AS DOUBLE) * {dd("syy")} - {dd("sy")} * {dd("sy")}))
-       AS DECIMAL(18,12)) AS DOUBLE) AS acf
+       (CAST(n AS DOUBLE) * {dd("sxy")} - {dd("sx")} * {dd("sy")})
+       / (SQRT(CAST(n AS DOUBLE) * {dd("sxx")} - {dd("sx")} * {dd("sx")})
+          * SQRT(CAST(n AS DOUBLE) * {dd("syy")} - {dd("sy")} * {dd("sy")}))
+       AS acf
 FROM comp
 """
 
@@ -1514,9 +1518,9 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
         * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
     )
-    return comp.select(
-        "lag", "n", acf.cast("decimal(18,12)").cast("double").alias("acf")
-    )
+    # r10 audit: raw IEEE acf — exact DECIMAL(38,0) sufficient statistics
+    # through correctly-rounded decimal->double paths on both engines.
+    return comp.select("lag", "n", acf.alias("acf"))
 
 
 # ----------------------------------------------------------------------
@@ -1595,9 +1599,7 @@ ag AS (
 )
 SELECT user_id, n,
        CASE WHEN n >= 2 THEN
-         CAST(CAST(
-           CAST(1 AS DOUBLE) - CAST(ss AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
-         AS DECIMAL(18,12)) AS DOUBLE)
+         CAST(1 AS DOUBLE) - CAST(ss AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
        ELSE CAST(0 AS DOUBLE) END AS simpson_diversity
 FROM ag
 """
@@ -1611,15 +1613,13 @@ def event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n"),
         F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("ss"),
     )
+    # r10 audit: raw IEEE — 1 - ss/(n(n-1)) over exact int64 operands is
+    # bit-equal across engines; the DECIMAL(18,12) finalization is gone.
     div = F.when(
         F.col("n") >= 2,
-        (
-            F.lit(1).cast("double")
-            - F.col("ss").cast("double")
-            / (F.col("n") * (F.col("n") - 1)).cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double"),
+        F.lit(1).cast("double")
+        - F.col("ss").cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double"),
     ).otherwise(F.lit(0.0))
     return ag.select("user_id", "n", div.alias("simpson_diversity"))
 
@@ -1811,8 +1811,7 @@ risk AS (
 ),
 evt AS (
   SELECT dur, d, n,
-         CAST(CAST(1 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
-              AS DECIMAL(18,12)) AS DOUBLE) AS f
+         1 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS f
   FROM risk WHERE d > 0
 ),
 km AS (
@@ -1822,8 +1821,7 @@ km AS (
   FROM evt
 )
 SELECT dur, d, n AS n_at_risk,
-       CAST(CAST(list_reduce(fl, (a, b) -> a * b) AS DECIMAL(18,12))
-            AS DOUBLE) AS survival
+       list_reduce(fl, (a, b) -> a * b) AS survival
 FROM km
 """
 
@@ -1866,24 +1864,23 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk = hist.select(
         "dur", "d", F.sum("a").over(w_desc).cast("bigint").alias("n")
     )
-    factor = (
-        (F.lit(1).cast("double") - F.col("d").cast("double") / F.col("n").cast("double"))
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: f = 1 - d/n is a raw IEEE quotient of int64 operands
+    # (bit-equal), and the survival product folds the factors in the SAME
+    # unique ascending-dur order on both engines (Spark aggregate from
+    # 1.0 vs DuckDB list_reduce from f1 — multiplying by 1.0 is exact),
+    # so each partial product is bit-equal with no quantization anywhere.
+    factor = F.lit(1).cast("double") - F.col("d").cast("double") / F.col(
+        "n"
+    ).cast("double")
     evt = risk.filter(F.col("d") > 0).select("dur", "d", "n", factor.alias("f"))
     w_asc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
     km = evt.select(
         "dur", "d", "n", F.collect_list("f").over(w_asc).alias("fl")
     )
-    surv = (
-        F.aggregate(
-            F.col("fl"),
-            F.lit(1.0).cast("double"),
-            lambda acc, x: acc * x,
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
+    surv = F.aggregate(
+        F.col("fl"),
+        F.lit(1.0).cast("double"),
+        lambda acc, x: acc * x,
     )
     return km.select("dur", "d", F.col("n").alias("n_at_risk"), surv.alias("survival"))
 
