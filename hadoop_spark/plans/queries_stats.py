@@ -1896,7 +1896,8 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # percent points, price in cents), so every moment is an exact
 # DECIMAL(38,0) sum — quantizing float products invites half-way-tie
 # rounding skew between engines; integer moments cannot. Only the 2×2
-# solve is floating, as the identical IEEE tree, quantized on output.
+# solve is floating, as the identical IEEE tree — emitted RAW (r10
+# audit: the former output quantization was itself the only tie risk).
 # ----------------------------------------------------------------------
 
 _RIDGE_LAMBDA = "1000.0"
@@ -1921,14 +1922,12 @@ WITH g AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       CAST(CAST(
-         ((a22 + {_RIDGE_LAMBDA}) * b1 - a12 * b2)
-         / ((a11 + {_RIDGE_LAMBDA}) * (a22 + {_RIDGE_LAMBDA}) - a12 * a12)
-       AS DECIMAL(18,8)) AS DOUBLE) AS w_qty,
-       CAST(CAST(
-         ((a11 + {_RIDGE_LAMBDA}) * b2 - a12 * b1)
-         / ((a11 + {_RIDGE_LAMBDA}) * (a22 + {_RIDGE_LAMBDA}) - a12 * a12)
-       AS DECIMAL(18,8)) AS DOUBLE) AS w_disc
+       ((a22 + {_RIDGE_LAMBDA}) * b1 - a12 * b2)
+       / ((a11 + {_RIDGE_LAMBDA}) * (a22 + {_RIDGE_LAMBDA}) - a12 * a12)
+         AS w_qty,
+       ((a11 + {_RIDGE_LAMBDA}) * b2 - a12 * b1)
+       / ((a11 + {_RIDGE_LAMBDA}) * (a22 + {_RIDGE_LAMBDA}) - a12 * a12)
+         AS w_disc
 FROM g
 """
 
@@ -1952,11 +1951,14 @@ def ridge_regression_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = (F.col("a11") + lam) * (F.col("a22") + lam) - F.col("a12") * F.col("a12")
     w_qty = ((F.col("a22") + lam) * F.col("b1") - F.col("a12") * F.col("b2")) / det
     w_disc = ((F.col("a11") + lam) * F.col("b2") - F.col("a12") * F.col("b1")) / det
+    # r10 audit: raw IEEE 2x2 solve — the Gram/moment sums are exact
+    # DECIMAL(38,0) rendered through correctly-rounded decimal->double
+    # paths, and the solve is the same expression tree on both engines.
     return g.select(
         "l_returnflag",
         "n",
-        w_qty.cast("decimal(18,8)").cast("double").alias("w_qty"),
-        w_disc.cast("decimal(18,8)").cast("double").alias("w_disc"),
+        w_qty.alias("w_qty"),
+        w_disc.alias("w_disc"),
     )
 
 
@@ -2196,10 +2198,8 @@ d AS (
 )
 SELECT source, n_src, n_rest,
        CAST(MAX(d_scaled) AS BIGINT) AS d_scaled,
-       CAST(CAST(
-         CAST(MAX(d_scaled) AS DOUBLE)
-         / (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE))
-       AS DECIMAL(18,12)) AS DOUBLE) AS ks_d
+       CAST(MAX(d_scaled) AS DOUBLE)
+         / (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks_d
 FROM d GROUP BY source, n_src, n_rest
 """
 
@@ -2250,13 +2250,9 @@ def ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = d.groupBy("source", "n_src", "n_rest").agg(
         F.max("d_scaled").cast("bigint").alias("d_scaled")
     )
-    ks = (
-        (
-            F.col("d_scaled").cast("double")
-            / (F.col("n_src").cast("double") * F.col("n_rest").cast("double"))
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
+    # r10 audit: raw IEEE quotient of exact int64 operands — bit-equal.
+    ks = F.col("d_scaled").cast("double") / (
+        F.col("n_src").cast("double") * F.col("n_rest").cast("double")
     )
     return agg.select("source", "n_src", "n_rest", "d_scaled", ks.alias("ks_d"))
 
@@ -2297,10 +2293,8 @@ s AS (
 )
 SELECT n1, n2,
        CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
-       CAST(CAST(
-         CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
-         / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
-       AS DECIMAL(18,12)) AS DOUBLE) AS auc
+       CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+         / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
 FROM s
 """
 
@@ -2331,13 +2325,11 @@ def rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
     )
     u1x2 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("bigint")
-    auc = (
-        (
-            u1x2.cast("double")
-            / (F.col("n1").cast("double") * F.col("n2").cast("double") * 2)
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
+    # r10 audit: raw IEEE quotient of exact int64 midrank statistics.
+    # (n1*n2)*2 here vs the oracle's (2*n1)*n2 are bit-equal: scaling by
+    # a power of two is exact and commutes with IEEE rounding.
+    auc = u1x2.cast("double") / (
+        F.col("n1").cast("double") * F.col("n2").cast("double") * 2
     )
     return s.select("n1", "n2", u1x2.alias("u1_x2"), auc.alias("auc"))
 
@@ -2371,11 +2363,9 @@ tot AS (
   FROM g
 )
 SELECT g.nationkey, g.n,
-       CAST(CAST(
-         (CAST(g.s AS DOUBLE)
-          + {_TENC_M} * (CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE)))
-         / (CAST(g.n AS DOUBLE) + {_TENC_M}) / 100
-       AS DECIMAL(18,8)) AS DOUBLE) AS encoded_value
+       (CAST(g.s AS DOUBLE)
+        + {_TENC_M} * (CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE)))
+       / (CAST(g.n AS DOUBLE) + {_TENC_M}) / 100 AS encoded_value
 FROM g, tot
 """
 
@@ -2402,19 +2392,12 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("tn"),
         F.sum(F.col("s").cast("decimal(38,0)")).cast("bigint").alias("ts"),
     )
+    # r10 audit: raw IEEE smoothing quotient of exact integer-cent sums.
     enc = (
-        (
-            (
-                F.col("s").cast("double")
-                + F.lit(_TENC_M)
-                * (F.col("ts").cast("double") / F.col("tn").cast("double"))
-            )
-            / (F.col("n").cast("double") + F.lit(_TENC_M))
-            / 100
-        )
-        .cast("decimal(18,8)")
-        .cast("double")
-    )
+        F.col("s").cast("double")
+        + F.lit(_TENC_M)
+        * (F.col("ts").cast("double") / F.col("tn").cast("double"))
+    ) / (F.col("n").cast("double") + F.lit(_TENC_M)) / 100
     return g.join(F.broadcast(tot)).select(
         "nationkey", "n", enc.alias("encoded_value")
     )
@@ -2456,10 +2439,10 @@ cum AS (
   WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT bucket, n_cust, cum_cust,
-       CAST(CAST(CAST(cum_cust AS DOUBLE) / CAST((SELECT tn FROM tot) AS DOUBLE)
-            AS DECIMAL(18,12)) AS DOUBLE) AS cust_share,
-       CAST(CAST(CAST(cum_cents AS DOUBLE) / CAST((SELECT ts FROM tot) AS DOUBLE)
-            AS DECIMAL(18,12)) AS DOUBLE) AS revenue_share
+       CAST(cum_cust AS DOUBLE) / CAST((SELECT tn FROM tot) AS DOUBLE)
+         AS cust_share,
+       CAST(cum_cents AS DOUBLE) / CAST((SELECT ts FROM tot) AS DOUBLE)
+         AS revenue_share
 FROM cum
 """
 
@@ -2492,15 +2475,15 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_cust").over(w).cast("bigint").alias("cum_cust"),
         F.sum("s").over(w).cast("bigint").alias("cum_cents"),
     )
-    q12 = lambda c: c.cast("decimal(18,12)").cast("double")  # noqa: E731
+    # r10 audit: raw IEEE shares — exact int64 cumulative sums over totals.
     return cum.join(F.broadcast(tot)).select(
         "bucket",
         "n_cust",
         "cum_cust",
-        q12(F.col("cum_cust").cast("double") / F.col("tn").cast("double")).alias(
+        (F.col("cum_cust").cast("double") / F.col("tn").cast("double")).alias(
             "cust_share"
         ),
-        q12(
+        (
             F.col("cum_cents").cast("double") / F.col("ts").cast("double")
         ).alias("revenue_share"),
     )
@@ -2559,11 +2542,10 @@ comp AS (
 ),
 r AS (
   SELECT CAST(lag AS BIGINT) AS lag, n,
-         CAST(CAST(
-           (CAST(n AS DOUBLE) * {dd("sxy")} - {dd("sx")} * {dd("sy")})
-           / (SQRT(CAST(n AS DOUBLE) * {dd("sxx")} - {dd("sx")} * {dd("sx")})
-              * SQRT(CAST(n AS DOUBLE) * {dd("syy")} - {dd("sy")} * {dd("sy")}))
-         AS DECIMAL(18,12)) AS DOUBLE) AS r
+         (CAST(n AS DOUBLE) * {dd("sxy")} - {dd("sx")} * {dd("sy")})
+         / (SQRT(CAST(n AS DOUBLE) * {dd("sxx")} - {dd("sx")} * {dd("sx")})
+            * SQRT(CAST(n AS DOUBLE) * {dd("syy")} - {dd("sy")} * {dd("sy")}))
+           AS r
   FROM comp
 )
 SELECT lag, n, r,
@@ -2620,13 +2602,13 @@ def lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    rr = (
-        (nd * F.col("sxy").cast("double") - sxd * syd)
-        / (
-            F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
-            * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
-        )
-    ).cast("decimal(18,12)").cast("double")
+    # r10 audit: raw IEEE r (exact DECIMAL(38,0) statistics both sides);
+    # the peak-equality test still matches because max(|r|) IS one of the
+    # bit-identical |r| values on both engines.
+    rr = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+        * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+    )
     r = shared(
         comp.select(F.col("lag").cast("bigint").alias("lag"), "n", rr.alias("r"))
     )
@@ -2960,16 +2942,14 @@ WITH r AS (
   FROM r GROUP BY p_brand
 )
 SELECT p_brand, n,
-       CAST(CAST(
-         (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
-            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-         / SQRT(GREATEST(
-             (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
-                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-             * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
-                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)),
-             1e-300))
-       AS DECIMAL(18,12)) AS DOUBLE) AS rho
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / SQRT(GREATEST(
+           (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)),
+           1e-300)) AS rho
 FROM s
 """
 
@@ -3007,11 +2987,8 @@ def spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1e-300),
         )
     )
-    return s.select(
-        "p_brand",
-        "n",
-        (num / den).cast("decimal(18,12)").cast("double").alias("rho"),
-    )
+    # r10 audit: raw IEEE rho of exact integer doubled-rank statistics.
+    return s.select("p_brand", "n", (num / den).alias("rho"))
 
 
 # ----------------------------------------------------------------------
@@ -4978,16 +4955,14 @@ WITH yr AS (
   FROM r
 )
 SELECT n,
-       CAST(CAST(
-         (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
-            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-         / SQRT(GREATEST(
-             (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
-                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-             * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
-                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)),
-             1e-300))
-       AS DECIMAL(18,12)) AS DOUBLE) AS rank_corr
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / SQRT(GREATEST(
+           (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)),
+           1e-300)) AS rank_corr
 FROM s
 """
 
@@ -5041,6 +5016,5 @@ def rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1e-300),
         )
     )
-    return s.select(
-        "n", (num / den).cast("decimal(18,12)").cast("double").alias("rank_corr")
-    )
+    # r10 audit: raw IEEE Spearman over exact doubled-rank statistics.
+    return s.select("n", (num / den).alias("rank_corr"))
