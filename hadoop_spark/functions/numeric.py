@@ -43,3 +43,35 @@ def davg(expr: Column, scale: int = 4) -> Column:
 
 def davg_sql(expr: str, scale: int = 4) -> str:
     return f"({dsum_sql(expr, scale)} / CAST(COUNT({expr}) AS DOUBLE))"
+
+
+# ---------------------------------------------------------------------------
+# floor-quantized exact sums (r10 quantization audit). dsum's per-addend
+# double→DECIMAL cast is engine-identical only up to the shortest-repr
+# tail-tie class: both engines round the ~17-significant-digit repr, and
+# when its tail past the target scale is exactly "5…0" Spark (HALF_UP)
+# and DuckDB (half-even) disagree — measured ≈ 0.5·10^-k per value, k =
+# repr digits beyond the scale (e.g. 2.2e-5 at |x|≈0.5, scale 12). For
+# addends that are near grid multiples (cents, source-column products)
+# the tail is zeros and dsum is deterministic-safe; for GENERIC addends
+# (quotients, centered values) use fsum: floor(x·10^s + 0.5) — multiply,
+# add, floor are all exactly-defined IEEE ops, so both engines produce
+# bit-identical integers with NO decimal-rounding rule involved — then
+# exact integer sum, /10^s back. 10^s is exact for s ≤ 22; keep
+# |x|·10^s < 2^53 so the pre-floor double is integer-resolving.
+# ---------------------------------------------------------------------------
+
+
+def fsum(expr: Column, scale: int = 4) -> Column:
+    """Engine- and order-exact SUM of generic doubles via floor-quantization."""
+    step = float(10**scale)
+    q = F.floor(expr * F.lit(step) + F.lit(0.5)).cast("decimal(38,0)")
+    return F.sum(q).cast("string").cast("double") / F.lit(step)
+
+
+def fsum_sql(expr: str, scale: int = 4) -> str:
+    step = f"1{'0' * scale}"
+    return (
+        f"(CAST(CAST(SUM(CAST(FLOOR(({expr}) * {step} + 0.5) AS DECIMAL(38,0)))"
+        f" AS VARCHAR) AS DOUBLE) / {step})"
+    )

@@ -10,7 +10,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from hadoop_spark.functions.numeric import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    fsum,
+    fsum_sql,
+)
 from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.operators.similarity import (
     int_argmin_assign,
@@ -647,8 +654,7 @@ tot AS (
   SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS n FROM cl GROUP BY cluster_id
 )
 SELECT t.cluster_id, t.n, b.majority_label, b.n_majority,
-       CAST(CAST(CAST(b.n_majority AS DOUBLE) / CAST(t.n AS DOUBLE)
-            AS DECIMAL(18,12)) AS DOUBLE) AS purity
+       CAST(b.n_majority AS DOUBLE) / CAST(t.n AS DOUBLE) AS purity
 FROM tot t JOIN best b ON t.cluster_id = b.cluster_id
 """
 
@@ -694,11 +700,8 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = cl.groupBy("cluster_id").agg(F.sum("c").cast("long").alias("n"))
-    purity = (
-        (F.col("n_majority").cast("double") / F.col("n").cast("double"))
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: raw IEEE quotient of exact int64 counts — bit-equal.
+    purity = F.col("n_majority").cast("double") / F.col("n").cast("double")
     return tot.join(bests, "cluster_id").select(
         "cluster_id", "n", "majority_label", "n_majority", purity.alias("purity")
     )
@@ -904,7 +907,7 @@ WITH d AS (
 )
 SELECT label, dim,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ({dsum_sql("x", 8)} / CAST(COUNT(*) AS DOUBLE)) AS mean,
+       ({fsum_sql("x", 8)} / CAST(COUNT(*) AS DOUBLE)) AS mean,
        MIN(x) AS lo,
        MAX(x) AS hi
 FROM d GROUP BY label, dim
@@ -923,7 +926,9 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n"),
-        (dsum(F.col("x"), 8) / F.count(F.lit(1)).cast("double")).alias("mean"),
+        # fsum: raw embedding doubles are float32-origin and can land on
+        # exact decimal-tie boundaries where engine cast rules differ.
+        (fsum(F.col("x"), 8) / F.count(F.lit(1)).cast("double")).alias("mean"),
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),
     )
@@ -990,11 +995,15 @@ def label_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantized sum; Xᵀ·t is a broadcast join on vec_id's t + one dim-keyed
 # quantized sum. Per iteration: two partial-aggregated shuffles linear
 # in n·d, a 64-row normalization, NOTHING driver-side (v lives as a
-# broadcast DataFrame, not a collected literal). Determinism: every sum
-# runs the decimal-quantization discipline; v quantizes to 1e-12 after
-# each normalization, so both engines iterate on bit-identical state;
-# v₀ = 1/√64 = 0.125 is exactly representable. The oracle is the same
-# three steps unrolled as chained CTEs.
+# broadcast DataFrame, not a collected literal). Determinism (r10
+# audit): the iteration sums are GENERIC doubles (centered values times
+# an evolving v), so they use fsum — floor-quantized exact integer sums,
+# bit-identical across engines by construction (multiply/add/floor are
+# exactly-defined IEEE ops; dsum's per-addend decimal cast carries the
+# shortest-repr tail-tie risk instead) — and v ← s/‖s‖ is a raw IEEE
+# quotient of those exact sums: both engines iterate on bit-identical
+# state with no output re-quantization; v₀ = 1/√64 = 0.125 is exactly
+# representable. The oracle is the same three steps unrolled as CTEs.
 # ----------------------------------------------------------------------
 
 _PCA_ITERS = 3
@@ -1012,8 +1021,7 @@ WITH x AS (
   WHERE j <= len(embedding)
 ),
 mu AS (
-  SELECT dim,
-         CAST(CAST({davg_sql("xx", 12)} AS DECIMAL(18,12)) AS DOUBLE) AS m
+  SELECT dim, {fsum_sql("xx", 12)} / CAST(COUNT(*) AS DOUBLE) AS m
   FROM x GROUP BY dim
 ),
 xc AS (
@@ -1025,27 +1033,25 @@ v0 AS (SELECT DISTINCT dim, CAST(0.125 AS DOUBLE) AS vj FROM x)"""
     for k in range(1, _PCA_ITERS + 1):
         its.append(f"""
 t{k} AS (
-  SELECT xc.vec_id, {dsum_sql("xc.xv * v.vj", _PCA_TSCALE)} AS t
+  SELECT xc.vec_id, {fsum_sql("xc.xv * v.vj", _PCA_TSCALE)} AS t
   FROM xc JOIN v{k - 1} v ON xc.dim = v.dim
   GROUP BY xc.vec_id
 ),
 s{k} AS (
-  SELECT xc.dim, {dsum_sql("xc.xv * t.t", _PCA_SSCALE)} AS s
+  SELECT xc.dim, {fsum_sql("xc.xv * t.t", _PCA_SSCALE)} AS s
   FROM xc JOIN t{k} t ON xc.vec_id = t.vec_id
   GROUP BY xc.dim
 ),
 n{k} AS (
-  SELECT SQRT({dsum_sql("s * s", _PCA_SSCALE)}) AS nrm FROM s{k}
+  SELECT SQRT({fsum_sql("s * s", _PCA_SSCALE)}) AS nrm FROM s{k}
 ),
 v{k} AS (
-  SELECT dim, CAST(CAST(s / (SELECT nrm FROM n{k})
-                   AS DECIMAL(18,12)) AS DOUBLE) AS vj
+  SELECT dim, s / (SELECT nrm FROM n{k}) AS vj
   FROM s{k}
 )""")
     tail = f"""
 SELECT dim, vj AS component,
-       CAST(CAST((SELECT nrm FROM n{_PCA_ITERS}) AS DECIMAL(18,6)) AS DOUBLE)
-         AS eigenvalue_proxy
+       (SELECT nrm FROM n{_PCA_ITERS}) AS eigenvalue_proxy
 FROM v{_PCA_ITERS}
 """
     return head + "," + ",".join(its) + tail
@@ -1063,8 +1069,13 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("xf").cast("double").alias("xx"),
         )
     )
+    # fsum, not dsum/davg: the fixture's float32-origin embeddings include
+    # dyadic values (…0625) that are EXACT scale-12 ties, where Spark's
+    # HALF_UP and DuckDB's half-even decimal casts genuinely diverge
+    # (measured: 5 values / 5 shifted dim-means at sf0.1 before this fix);
+    # floor-quantization resolves every tie identically on both engines.
     mu = x.groupBy("dim").agg(
-        davg(F.col("xx"), 12).cast("decimal(18,12)").cast("double").alias("m")
+        (fsum(F.col("xx"), 12) / F.count(F.lit(1)).cast("double")).alias("m")
     )
     xc = shared(
         x.join(F.broadcast(mu), "dim").select(
@@ -1075,29 +1086,28 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = None
     for _ in range(_PCA_ITERS):
         t = xc.join(F.broadcast(v), "dim").groupBy("vec_id").agg(
-            dsum(F.col("xv") * F.col("vj"), _PCA_TSCALE).alias("t")
+            fsum(F.col("xv") * F.col("vj"), _PCA_TSCALE).alias("t")
         )
         # t has ONE ROW PER EMBEDDING VECTOR — it scales linearly with the
         # corpus (billions of rows at 100 TB), unlike v (one row per DIM).
         # Size-guarded hint: broadcast while small, degrade to the
         # vec_id-keyed shuffle join Catalyst picks on its own above the cap.
         s = xc.join(bcast_if_small(t), "vec_id").groupBy("dim").agg(
-            dsum(F.col("xv") * F.col("t"), _PCA_SSCALE).alias("s")
+            fsum(F.col("xv") * F.col("t"), _PCA_SSCALE).alias("s")
         )
         nrm = s.agg(
-            F.sqrt(dsum(F.col("s") * F.col("s"), _PCA_SSCALE)).alias("nrm")
+            F.sqrt(fsum(F.col("s") * F.col("s"), _PCA_SSCALE)).alias("nrm")
         )
         v = s.join(F.broadcast(nrm)).select(
-            "dim",
-            (F.col("s") / F.col("nrm"))
-            .cast("decimal(18,12)")
-            .cast("double")
-            .alias("vj"),
+            "dim", (F.col("s") / F.col("nrm")).alias("vj")
         )
+    # r10 audit: vj = s/nrm and the eigenvalue proxy are raw IEEE values
+    # of fsum-exact (floor-quantized integer) sums — bit-equal across
+    # engines by construction, no decimal rounding rule anywhere.
     return v.join(F.broadcast(nrm)).select(
         "dim",
         F.col("vj").alias("component"),
-        F.col("nrm").cast("decimal(18,6)").cast("double").alias("eigenvalue_proxy"),
+        F.col("nrm").alias("eigenvalue_proxy"),
     )
 
 
@@ -1141,10 +1151,8 @@ p AS (
   GROUP BY a.label, b.label
 )
 SELECT label_a, label_b,
-       CAST(CAST(
-         SQRT(CAST(CAST(d2s AS VARCHAR) AS DOUBLE))
-         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 10000000)
-       AS DECIMAL(18,10)) AS DOUBLE) AS dist
+       SQRT(CAST(CAST(d2s AS VARCHAR) AS DOUBLE))
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 10000000) AS dist
 FROM p
 """
 
@@ -1190,15 +1198,13 @@ def centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nb").alias("nb"),
         )
     )
+    # r10 audit: raw IEEE — sqrt of an exact integer d², over an exactly
+    # representable integer denominator (na*nb*1e7 < 2^53): bit-equal.
     dist = (
         F.sqrt(F.col("d2s").cast("string").cast("double"))
         / (F.col("na").cast("double") * F.col("nb").cast("double") * 10_000_000)
     )
-    return p.select(
-        "label_a",
-        "label_b",
-        dist.cast("decimal(18,10)").cast("double").alias("dist"),
-    )
+    return p.select("label_a", "label_b", dist.alias("dist"))
 
 
 # ----------------------------------------------------------------------
@@ -1238,15 +1244,13 @@ cum AS (
 ),
 curve AS (
   SELECT c.nk AS threshold, c.nl AS n_left, c.pl AS pos_left,
-         CAST(CAST(
-           (CAST(c.nl * c.nl - c.pl * c.pl
-                 - (c.nl - c.pl) * (c.nl - c.pl) AS DOUBLE) / CAST(c.nl AS DOUBLE))
-           + (CAST((t.tn - c.nl) * (t.tn - c.nl)
-                   - (t.tp - c.pl) * (t.tp - c.pl)
-                   - ((t.tn - c.nl) - (t.tp - c.pl))
-                     * ((t.tn - c.nl) - (t.tp - c.pl)) AS DOUBLE)
-              / CAST(t.tn - c.nl AS DOUBLE))
-         AS DECIMAL(18,10)) AS DOUBLE) AS gini_obj
+         (CAST(c.nl * c.nl - c.pl * c.pl
+               - (c.nl - c.pl) * (c.nl - c.pl) AS DOUBLE) / CAST(c.nl AS DOUBLE))
+         + (CAST((t.tn - c.nl) * (t.tn - c.nl)
+                 - (t.tp - c.pl) * (t.tp - c.pl)
+                 - ((t.tn - c.nl) - (t.tp - c.pl))
+                   * ((t.tn - c.nl) - (t.tp - c.pl)) AS DOUBLE)
+            / CAST(t.tn - c.nl AS DOUBLE)) AS gini_obj
   FROM cum c, tot t
   WHERE c.nl < t.tn
 )
@@ -1293,16 +1297,16 @@ def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl, pl = F.col("nl"), F.col("pl")
     nr = F.col("tn") - nl
     pr = F.col("tp") - pl
+    # r10 audit: raw IEEE sum of two exact-int64 quotients — bit-equal;
+    # the argmin equality selection matches because min() picks one of
+    # the bit-identical values on both engines.
     gini = (
-        (
-            (nl * nl - pl * pl - (nl - pl) * (nl - pl)).cast("double")
-            / nl.cast("double")
-        )
-        + (
-            (nr * nr - pr * pr - (nr - pr) * (nr - pr)).cast("double")
-            / nr.cast("double")
-        )
-    ).cast("decimal(18,10)").cast("double")
+        (nl * nl - pl * pl - (nl - pl) * (nl - pl)).cast("double")
+        / nl.cast("double")
+    ) + (
+        (nr * nr - pr * pr - (nr - pr) * (nr - pr)).cast("double")
+        / nr.cast("double")
+    )
     curve = shared(
         j.select(
             "threshold",
@@ -1347,7 +1351,7 @@ def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one final label rollup.
 # ----------------------------------------------------------------------
 
-_SIL_ORACLE = """
+_SIL_ORACLE = f"""
 WITH x AS (
   SELECT vec_id, label AS own, CAST(j - 1 AS BIGINT) AS dim,
          CAST(ROUND(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 10000000)
@@ -1383,17 +1387,12 @@ ab AS (
   FROM dist GROUP BY vec_id, own
 ),
 s AS (
-  SELECT own,
-         CAST(CAST((b - a) / GREATEST(a, b) AS DECIMAL(18,12)) AS DOUBLE)
-           AS sil
+  SELECT own, (b - a) / GREATEST(a, b) AS sil
   FROM ab
 )
 SELECT own AS label,
        CAST(COUNT(*) AS BIGINT) AS n_points,
-       CAST(CAST(
-         CAST(CAST(SUM(CAST(sil AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE)
-       AS DECIMAL(18,12)) AS DOUBLE) AS mean_silhouette
+       {fsum_sql("sil", 12)} / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
 FROM s GROUP BY own
 """
 
@@ -1440,22 +1439,12 @@ def silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("clabel") == F.col("own"), F.col("d"))).alias("a"),
         F.min(F.when(F.col("clabel") != F.col("own"), F.col("d"))).alias("b"),
     )
-    sil = (
-        ((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")))
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: sil is a raw IEEE quotient of engine-identical distances,
+    # and the per-label mean uses fsum (floor-quantized exact sum) — no
+    # decimal rounding rule anywhere in the query.
+    sil = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
     s = ab.select("own", sil.alias("sil"))
-    mean_sil = (
-        (
-            F.sum(F.col("sil").cast("decimal(18,12)"))
-            .cast("string")
-            .cast("double")
-            / F.count(F.lit(1)).cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    mean_sil = fsum(F.col("sil"), 12) / F.count(F.lit(1)).cast("double")
     return s.groupBy(F.col("own").alias("label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         mean_sil.alias("mean_silhouette"),
