@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_spark.functions.numeric import dsum, dsum_sql
+from hadoop_spark.functions.numeric import dsum, dsum_sql, fsum, fsum_sql
 from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import fanout_small, load_table, shared
@@ -143,9 +143,7 @@ WITH toks AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ugc
 ), scored AS (
   SELECT g.doc_id,
-         CAST(CAST(
-           CAST(b.c12 + 1 AS DOUBLE) / CAST(u.c1 + vocab.v AS DOUBLE)
-         AS DECIMAL(18,12)) AS DOUBLE) AS p
+         CAST(b.c12 + 1 AS DOUBLE) / CAST(u.c1 + vocab.v AS DOUBLE) AS p
   FROM grams g
   JOIN bgc b ON g.bg = b.bg
   JOIN ugc u ON g.w1 = u.w
@@ -153,9 +151,8 @@ WITH toks AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ({dsum_sql("p", 12)} / CAST(COUNT(*) AS DOUBLE)) AS mean_p,
-       (CAST({dsum_sql("p", 12)} / CAST(COUNT(*) AS DOUBLE)
-             AS DECIMAL(18,12)) >= {_LM_KEEP}) AS keep
+       ({fsum_sql("p", 12)} / CAST(COUNT(*) AS DOUBLE)) AS mean_p,
+       (({fsum_sql("p", 12)} / CAST(COUNT(*) AS DOUBLE)) >= {_LM_KEEP}) AS keep
 FROM scored GROUP BY doc_id
 """
 
@@ -200,24 +197,23 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # falls back to the AQE-skew-covered shuffle join only above the cap.
     n_vocab = ugc.agg(F.count(F.lit(1)).alias("v")).first()["v"]
     ugc_side = F.broadcast(ugc) if n_vocab <= _UGC_BCAST_MAX else ugc
-    p = (
-        (
-            (F.col("c12") + 1).cast("double")
-            / (F.col("c1") + F.lit(n_vocab)).cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: p is a raw IEEE quotient of exact integer counts
+    # (bit-equal), the per-doc mean uses fsum (floor-quantized exact sum
+    # of the generic quotients), and the keep threshold compares the raw
+    # mean — no decimal rounding rule anywhere.
+    p = (F.col("c12") + 1).cast("double") / (
+        F.col("c1") + F.lit(n_vocab)
+    ).cast("double")
     scored = (
         grams.join(bgc, "bg")
         .join(ugc_side, F.col("w1") == F.col("w"))
         .select("doc_id", p.alias("p"))
     )
-    mean_p = dsum(F.col("p"), 12) / F.count(F.lit(1)).cast("double")
+    mean_p = fsum(F.col("p"), 12) / F.count(F.lit(1)).cast("double")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         mean_p.alias("mean_p"),
-        (mean_p.cast("decimal(18,12)") >= F.lit(_LM_KEEP)).alias("keep"),
+        (mean_p >= F.lit(_LM_KEEP)).alias("keep"),
     )
 
 
@@ -269,8 +265,8 @@ _QC_MARGIN_SQL = (
 _QC_ORACLE = f"""
 WITH {_QC_FEATS_SQL}
 SELECT doc_id, n_tokens,
-       CAST(CAST(({_QC_MARGIN_SQL}) AS DECIMAL(18,8)) AS DOUBLE) AS margin,
-       (CAST(({_QC_MARGIN_SQL}) AS DECIMAL(18,8)) > 0) AS keep
+       ({_QC_MARGIN_SQL}) AS margin,
+       (({_QC_MARGIN_SQL}) > 0) AS keep
 FROM feats WHERE n_tokens > 0
 """
 
@@ -306,11 +302,14 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("w_uniq") * (F.col("n_uniq").cast("double") / F.col("n_tokens").cast("double"))
         + F.col("w_tok") * (F.col("n_tokens").cast("double") / F.lit(100).cast("double"))
     )
+    # r10 audit: margin is an identical IEEE chain (literal weights x
+    # exact-integer-count ratios) on both engines — raw double output and
+    # raw threshold compare, no quantization.
     return j.select(
         "doc_id",
         "n_tokens",
-        margin.cast("decimal(18,8)").cast("double").alias("margin"),
-        (margin.cast("decimal(18,8)") > 0).alias("keep"),
+        margin.alias("margin"),
+        (margin > 0).alias("keep"),
     )
 
 
@@ -513,15 +512,13 @@ lt AS (
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs0),
 chi AS (
   SELECT tl.lang, tl.term,
-         CAST(CAST(
-           (CAST(t2.n AS DOUBLE)
-            * (CAST(tl.a AS DOUBLE) * CAST(t2.n - tt.nt - lt.nl + tl.a AS DOUBLE)
-               - CAST(tt.nt - tl.a AS DOUBLE) * CAST(lt.nl - tl.a AS DOUBLE))
-            * (CAST(tl.a AS DOUBLE) * CAST(t2.n - tt.nt - lt.nl + tl.a AS DOUBLE)
-               - CAST(tt.nt - tl.a AS DOUBLE) * CAST(lt.nl - tl.a AS DOUBLE)))
-           / (CAST(tt.nt AS DOUBLE) * CAST(t2.n - tt.nt AS DOUBLE)
-              * CAST(lt.nl AS DOUBLE) * CAST(t2.n - lt.nl AS DOUBLE))
-         AS DECIMAL(18,6)) AS DOUBLE) AS chi2
+         (CAST(t2.n AS DOUBLE)
+          * (CAST(tl.a AS DOUBLE) * CAST(t2.n - tt.nt - lt.nl + tl.a AS DOUBLE)
+             - CAST(tt.nt - tl.a AS DOUBLE) * CAST(lt.nl - tl.a AS DOUBLE))
+          * (CAST(tl.a AS DOUBLE) * CAST(t2.n - tt.nt - lt.nl + tl.a AS DOUBLE)
+             - CAST(tt.nt - tl.a AS DOUBLE) * CAST(lt.nl - tl.a AS DOUBLE)))
+         / (CAST(tt.nt AS DOUBLE) * CAST(t2.n - tt.nt AS DOUBLE)
+            * CAST(lt.nl AS DOUBLE) * CAST(t2.n - lt.nl AS DOUBLE)) AS chi2
   FROM tl
   JOIN tt ON tl.term = tt.term
   JOIN lt ON tl.lang = lt.lang
@@ -576,15 +573,15 @@ def chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double") - (F.col("nt") - F.col("a")).cast("double") * (
         F.col("nl") - F.col("a")
     ).cast("double")
-    chi2 = (
-        (F.col("n").cast("double") * ad_bc * ad_bc)
-        / (
-            F.col("nt").cast("double")
-            * (F.col("n") - F.col("nt")).cast("double")
-            * F.col("nl").cast("double")
-            * (F.col("n") - F.col("nl")).cast("double")
-        )
-    ).cast("decimal(18,6)").cast("double")
+    # r10 audit: raw IEEE chi2 of exact int64 contingency counts (same
+    # left-associated expression tree as the oracle) — bit-equal, so the
+    # top-k ordering is identical on both engines without quantization.
+    chi2 = (F.col("n").cast("double") * ad_bc * ad_bc) / (
+        F.col("nt").cast("double")
+        * (F.col("n") - F.col("nt")).cast("double")
+        * F.col("nl").cast("double")
+        * (F.col("n") - F.col("nl")).cast("double")
+    )
     scored = j.select("lang", "term", chi2.alias("chi2"))
     # Two-level exact top-k: a single window per language would pull the
     # WHOLE vocabulary of a language through one partition (5 languages =
@@ -633,21 +630,17 @@ ct AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY term),
 tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM ct),
 obs AS (
   SELECT s.source,
-         CAST(CAST(ABS(CAST(s.c AS DOUBLE) / CAST(t.ns AS DOUBLE)
-                       - CAST(c2.cc AS DOUBLE) / CAST(o.n AS DOUBLE))
-              AS DECIMAL(18,12)) AS DOUBLE) AS adiff,
-         CAST(CAST(CAST(c2.cc AS DOUBLE) / CAST(o.n AS DOUBLE)
-              AS DECIMAL(18,12)) AS DOUBLE) AS q
+         ABS(CAST(s.c AS DOUBLE) / CAST(t.ns AS DOUBLE)
+             - CAST(c2.cc AS DOUBLE) / CAST(o.n AS DOUBLE)) AS adiff,
+         CAST(c2.cc AS DOUBLE) / CAST(o.n AS DOUBLE) AS q
   FROM st s
   JOIN stot t ON s.source = t.source
   JOIN ct c2 ON s.term = c2.term
   CROSS JOIN tot o
 )
 SELECT source,
-       CAST(CAST(
-         0.5 * ({dsum_sql("adiff", 12)}
-                + (CAST(1 AS DOUBLE) - {dsum_sql("q", 12)}))
-       AS DECIMAL(18,12)) AS DOUBLE) AS tv
+       0.5 * ({fsum_sql("adiff", 12)}
+              + (CAST(1 AS DOUBLE) - {fsum_sql("q", 12)})) AS tv
 FROM obs GROUP BY source
 """
 
@@ -669,18 +662,12 @@ def source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
     ct = st.groupBy("term").agg(F.sum("c").cast("long").alias("cc"))
     tot = ct.agg(F.sum("cc").cast("long").alias("n"))
-    q = (
-        (F.col("cc").cast("double") / F.col("n").cast("double"))
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
-    adiff = (
-        F.abs(
-            F.col("c").cast("double") / F.col("ns").cast("double")
-            - F.col("cc").cast("double") / F.col("n").cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
+    # r10 audit: adiff/q are raw IEEE quotients of exact int64 counts;
+    # their sums use fsum (generic addends), and tv is the raw result.
+    q = F.col("cc").cast("double") / F.col("n").cast("double")
+    adiff = F.abs(
+        F.col("c").cast("double") / F.col("ns").cast("double")
+        - F.col("cc").cast("double") / F.col("n").cast("double")
     )
     obs = (
         st.join(F.broadcast(stot), "source")
@@ -688,10 +675,10 @@ def source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("source", adiff.alias("adiff"), q.alias("q"))
     )
-    tv = (
-        F.lit(0.5)
-        * (dsum(F.col("adiff"), 12) + (F.lit(1).cast("double") - dsum(F.col("q"), 12)))
-    ).cast("decimal(18,12)").cast("double")
+    tv = F.lit(0.5) * (
+        fsum(F.col("adiff"), 12)
+        + (F.lit(1).cast("double") - fsum(F.col("q"), 12))
+    )
     return obs.groupBy("source").agg(tv.alias("tv"))
 
 
@@ -715,14 +702,12 @@ WITH toks AS (
 SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
-       CAST(CAST(
-         (CAST(len(w) AS DOUBLE) * CAST(len(w) AS DOUBLE)
-          - CAST(list_sum(list_transform(list_distinct(w),
-              t -> CAST(len(list_filter(w, x -> x = t)) AS BIGINT)
-                   * CAST(len(list_filter(w, x -> x = t)) AS BIGINT)))
-            AS DOUBLE))
-         / (CAST(len(w) AS DOUBLE) * CAST(len(w) AS DOUBLE))
-       AS DECIMAL(18,12)) AS DOUBLE) AS gini
+       (CAST(len(w) AS DOUBLE) * CAST(len(w) AS DOUBLE)
+        - CAST(list_sum(list_transform(list_distinct(w),
+            t -> CAST(len(list_filter(w, x -> x = t)) AS BIGINT)
+                 * CAST(len(list_filter(w, x -> x = t)) AS BIGINT)))
+          AS DOUBLE))
+       / (CAST(len(w) AS DOUBLE) * CAST(len(w) AS DOUBLE)) AS gini
 FROM toks WHERE len(w) > 0
 """
 
@@ -743,9 +728,8 @@ def token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("w").cast("long")
     nd = n.cast("double")
-    gini = ((nd * nd - sum_sq.cast("double")) / (nd * nd)).cast(
-        "decimal(18,12)"
-    ).cast("double")
+    # r10 audit: raw IEEE quotient of exact int64 token counts.
+    gini = (nd * nd - sum_sq.cast("double")) / (nd * nd)
     return toks.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -1347,12 +1331,9 @@ WITH base AS (
 msrc AS (SELECT 1 AS g, n_chars FROM documents),
 {group_median_sql("msrc", "g", "n_chars", "median_chars", "med")}
 SELECT b.n_docs, b.n_tokens, b.n_sources, b.n_langs,
-       CAST(CAST(
-         CAST(1 AS DOUBLE) - CAST(b.n_unique AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
-       AS DECIMAL(18,12)) AS DOUBLE) AS dup_share,
-       CAST(CAST(
-         CAST(b.sum_chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
-       AS DECIMAL(18,8)) AS DOUBLE) AS mean_chars,
+       CAST(1 AS DOUBLE) - CAST(b.n_unique AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+         AS dup_share,
+       CAST(b.sum_chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS mean_chars,
        med.median_chars
 FROM base b, med
 """
@@ -1379,18 +1360,13 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = group_median(
         docs.select(F.lit(1).alias("g"), "n_chars"), "g", "n_chars", "median_chars"
     ).select("median_chars")
+    # r10 audit: raw IEEE quotients of exact int64 counts — bit-equal.
     dup = (
-        (
-            F.lit(1).cast("double")
-            - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
+        F.lit(1).cast("double")
+        - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
     )
-    mean_chars = (
-        (F.col("sum_chars").cast("double") / F.col("n_docs").cast("double"))
-        .cast("decimal(18,8)")
-        .cast("double")
+    mean_chars = F.col("sum_chars").cast("double") / F.col("n_docs").cast(
+        "double"
     )
     return base.join(F.broadcast(med)).select(
         "n_docs",
