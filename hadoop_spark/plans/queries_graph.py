@@ -469,17 +469,16 @@ comp AS (
 )
 SELECT n_edges,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
-       CAST(CAST(
-         (CAST(n_edges AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
-          - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
-            * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
-         / (SQRT(CAST(n_edges AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
-                 - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
-                   * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
-            * SQRT(CAST(n_edges AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
-                   - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
-                     * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
-       AS DECIMAL(18,12)) AS DOUBLE) AS assortativity
+       (CAST(n_edges AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+       / (SQRT(CAST(n_edges AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+          * SQRT(CAST(n_edges AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+         AS assortativity
 FROM comp
 """
 
@@ -520,10 +519,9 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
         * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
     )
+    # r10 audit: raw IEEE Pearson r over exact DECIMAL(38,0) degree sums.
     return comp.join(F.broadcast(n_nodes)).select(
-        "n_edges",
-        "n_nodes",
-        r.cast("decimal(18,12)").cast("double").alias("assortativity"),
+        "n_edges", "n_nodes", r.alias("assortativity")
     )
 
 
@@ -582,10 +580,8 @@ tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY node)
 SELECT deg.node, deg.d,
        CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
        CASE WHEN deg.d >= 2 THEN
-         CAST(CAST(
-           CAST(2 * COALESCE(tc.t, 0) AS DOUBLE)
-           / CAST(deg.d * (deg.d - 1) AS DOUBLE)
-         AS DECIMAL(18,12)) AS DOUBLE)
+         CAST(2 * COALESCE(tc.t, 0) AS DOUBLE)
+         / CAST(deg.d * (deg.d - 1) AS DOUBLE)
        ELSE CAST(0 AS DOUBLE) END AS cc
 FROM deg LEFT JOIN tc ON deg.node = tc.node
 """
@@ -635,11 +631,10 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = corners.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
     out = deg.join(tc, "node", "left")
     t = F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+    # r10 audit: raw IEEE quotient of exact int64 triangle/degree counts.
     cc = F.when(
         F.col("d") >= 2,
-        ((t * 2).cast("double") / (F.col("d") * (F.col("d") - 1)).cast("double"))
-        .cast("decimal(18,12)")
-        .cast("double"),
+        (t * 2).cast("double") / (F.col("d") * (F.col("d") - 1)).cast("double"),
     ).otherwise(F.lit(0.0))
     return out.select("node", "d", t.alias("n_triangles"), cc.alias("cc"))
 
@@ -796,11 +791,10 @@ SELECT d.brand,
        d.d_c AS degree_sum,
        CAST(4 * (SELECT m FROM m) * COALESCE(i.m_c, 0)
             - d.d_c * d.d_c AS BIGINT) AS q_scaled,
-       CAST(CAST(
-         CAST(4 * (SELECT m FROM m) * COALESCE(i.m_c, 0)
-              - d.d_c * d.d_c AS DOUBLE)
-         / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS DOUBLE)
-       AS DECIMAL(18,12)) AS DOUBLE) AS q_contrib
+       CAST(4 * (SELECT m FROM m) * COALESCE(i.m_c, 0)
+            - d.d_c * d.d_c AS DOUBLE)
+       / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS DOUBLE)
+         AS q_contrib
 FROM degs d LEFT JOIN intra i ON d.brand = i.brand
 """
 
@@ -832,14 +826,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_scaled = (F.lit(4) * F.col("m") * m_c - F.col("d_c") * F.col("d_c")).cast(
         "bigint"
     )
-    q_contrib = (
-        (
-            q_scaled.cast("double")
-            / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: raw IEEE quotient of exact int64 edge statistics.
+    q_contrib = q_scaled.cast("double") / (
+        F.lit(4) * F.col("m") * F.col("m")
+    ).cast("double")
     return j.select(
         "brand",
         m_c.alias("intra_edges"),
