@@ -599,10 +599,8 @@ pairs AS (
 ),
 lifted AS (
   SELECT p.word_a, p.word_b, p.n_ab,
-         CAST(CAST(
-           (CAST(p.n_ab AS DOUBLE) * CAST(nd.n AS DOUBLE))
-           / (CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE))
-         AS DECIMAL(18,9)) AS DOUBLE) AS lift
+         (CAST(p.n_ab AS DOUBLE) * CAST(nd.n AS DOUBLE))
+           / (CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE)) AS lift
   FROM pairs p
   JOIN df da ON p.word_a = da.word
   JOIN df db ON p.word_b = db.word
@@ -657,10 +655,11 @@ def word_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = dfreq.select(F.col("word").alias("word_a"), F.col("d").alias("da"))
     db = dfreq.select(F.col("word").alias("word_b"), F.col("d").alias("db"))
-    lift = (
-        (F.col("n_ab").cast("double") * F.col("n").cast("double"))
-        / (F.col("da").cast("double") * F.col("db").cast("double"))
-    ).cast("decimal(18,9)").cast("double")
+    # r10 audit: raw IEEE lift quotient of exact int64 counts — bit-equal,
+    # so the top-k ordering matches without quantization.
+    lift = (F.col("n_ab").cast("double") * F.col("n").cast("double")) / (
+        F.col("da").cast("double") * F.col("db").cast("double")
+    )
     # da/db have one row per DISTINCT VOCABULARY WORD — vocabulary grows
     # with corpus size (Heaps' law; tens of GB of strings at 100 TB web
     # text), so the hint must degrade to a shuffle join above the cap.
@@ -855,8 +854,9 @@ def doc_sim_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus length stats), both broadcast. Determinism: idf is the integer
 # log2 bucket (same convention as doc_sim_sparse), tf/length inputs are
 # exact integers, the per-term contribution is a fixed IEEE expression
-# quantized to DECIMAL(18,8) BEFORE the per-doc sum — so the 3-term
-# addition is exact and order-independent in both engines.
+# floor-quantized to an exact integer (scale 8) BEFORE the per-doc sum —
+# order-independent AND engine-exact (r10 audit: the previous DECIMAL
+# cast carried the cross-engine shortest-repr tie risk; floor does not).
 # ----------------------------------------------------------------------
 
 _BM25_TERMS = ["filter", "scan", "vector"]
@@ -891,21 +891,22 @@ df AS (
 ),
 contrib AS (
   SELECT tf.doc_id,
-         CAST(
+         FLOOR(
            GREATEST(1, {_BM25_IDF_BITS} - length(bin(df.df)))
            * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
            / (CAST(tf.tf AS DOUBLE) + {_BM25_K1}
               * (1.0 - {_BM25_B} + {_BM25_B}
                  * (CAST(l.dl AS DOUBLE)
                     / (CAST(c.total_len AS DOUBLE) / CAST(c.n_docs AS DOUBLE)))))
-           AS DECIMAL(18,8)) AS s
+           * 100000000 + 0.5) AS s
   FROM tf
   JOIN df ON tf.term = df.term
   JOIN lens l ON tf.doc_id = l.doc_id
   CROSS JOIN corpus c
 )
 SELECT doc_id,
-       CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) AS score,
+       CAST(CAST(SUM(CAST(s AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+         / 100000000 AS score,
        CAST(COUNT(*) AS BIGINT) AS n_terms_hit
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {_BM25_TOPN}
@@ -948,11 +949,17 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     avg_len = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
     norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avg_len)
-    contrib = (
+    # r10 audit: the per-term contribution is a GENERIC quotient, so it is
+    # floor-quantized (exactly-defined IEEE ops, engine-identical) instead
+    # of DECIMAL-cast before the exact per-doc sum — the fsum idiom inlined
+    # so the contribution stays a single JVM expression.
+    contrib = F.floor(
         idf.cast("double")
         * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
         / (F.col("tf").cast("double") + F.lit(k1) * norm)
-    ).cast("decimal(18,8)")
+        * F.lit(1e8)
+        + F.lit(0.5)
+    )
     scored = (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(corpus))
@@ -961,7 +968,12 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.sum("s").cast("double").alias("score"),
+            (
+                F.sum(F.col("s").cast("decimal(38,0)"))
+                .cast("string")
+                .cast("double")
+                / F.lit(1e8)
+            ).alias("score"),
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
         .orderBy(F.desc("score"), "doc_id")
@@ -1221,9 +1233,8 @@ j AS (
 )
 SELECT df_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-       CAST(CAST(
-         CAST(SUM(permille) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-       AS DECIMAL(18,8)) AS DOUBLE) AS mean_permille_pos
+       CAST(SUM(permille) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_permille_pos
 FROM j GROUP BY df_bucket
 """
 
@@ -1254,10 +1265,9 @@ def token_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.bin("df")).cast("bigint").alias("df_bucket"),
         permille.alias("permille"),
     )
-    mean_pos = (
-        (F.sum("permille").cast("double") / F.count(F.lit(1)).cast("double"))
-        .cast("decimal(18,8)")
-        .cast("double")
+    # r10 audit: raw IEEE mean of an exact int64 permille sum.
+    mean_pos = F.sum("permille").cast("double") / F.count(F.lit(1)).cast(
+        "double"
     )
     return j.groupBy("df_bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
