@@ -1177,8 +1177,7 @@ lagged AS (
   FROM monthly
 )
 SELECT yr, mo, rev, pred,
-       CAST(CAST(CAST(ABS(rev - pred) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE)
-         AS abs_err
+       ABS(rev - pred) AS abs_err
 FROM lagged WHERE pred IS NOT NULL
 """
 
@@ -1210,10 +1209,9 @@ def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mo",
         "rev",
         "pred",
-        F.abs(F.col("rev") - F.col("pred"))
-        .cast("decimal(18,4)")
-        .cast("double")
-        .alias("abs_err"),
+        # r10 audit: raw |rev - pred| of identical exact-decimal-origin
+        # doubles — bit-equal without re-quantization.
+        F.abs(F.col("rev") - F.col("pred")).alias("abs_err"),
     )
 
 
@@ -1396,10 +1394,8 @@ WITH m AS (
 )
 SELECT cur.yr, cur.mth, cur.cents AS revenue_cents,
        prev.cents AS prev_year_cents,
-       CAST(CAST(
-         (CAST(cur.cents AS DOUBLE) - CAST(prev.cents AS DOUBLE))
-         / CAST(prev.cents AS DOUBLE)
-       AS DECIMAL(18,12)) AS DOUBLE) AS yoy_growth
+       (CAST(cur.cents AS DOUBLE) - CAST(prev.cents AS DOUBLE))
+         / CAST(prev.cents AS DOUBLE) AS yoy_growth
 FROM m cur JOIN m prev
   ON prev.yr = cur.yr - 1 AND prev.mth = cur.mth
 """
@@ -1417,14 +1413,10 @@ def year_over_year_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     cur, prev = m.alias("cur"), m.alias("prev")
+    # r10 audit: raw IEEE growth ratio of exact integer cents.
     growth = (
-        (
-            (F.col("cur.cents").cast("double") - F.col("prev.cents").cast("double"))
-            / F.col("prev.cents").cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+        F.col("cur.cents").cast("double") - F.col("prev.cents").cast("double")
+    ) / F.col("prev.cents").cast("double")
     return cur.join(
         F.broadcast(prev),
         (F.col("prev.yr") == F.col("cur.yr") - 1)
@@ -1468,18 +1460,20 @@ p0 AS (
   FROM py WHERE yr = (SELECT y0 FROM base)
 ),
 terms AS (
+  -- generic quotient-products: floor-quantized to exact scale-4 integers
+  -- (engine-identical IEEE ops; a DECIMAL cast here sits squarely in the
+  -- shortest-repr tie zone at these magnitudes) before the exact sums
   SELECT py.yr,
-         CAST(CAST(py.cents AS DOUBLE) / CAST(py.qty AS DOUBLE)
-              * CAST(p0.q0 AS DOUBLE) AS DECIMAL(18,6)) AS cur_term,
-         CAST(p0.price0 * CAST(p0.q0 AS DOUBLE) AS DECIMAL(18,6)) AS base_term
+         FLOOR(CAST(py.cents AS DOUBLE) / CAST(py.qty AS DOUBLE)
+               * CAST(p0.q0 AS DOUBLE) * 10000 + 0.5) AS cur_term,
+         FLOOR(p0.price0 * CAST(p0.q0 AS DOUBLE) * 10000 + 0.5) AS base_term
   FROM py JOIN p0 ON py.l_partkey = p0.l_partkey
 )
 SELECT yr,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
-       CAST(CAST(
-         CAST(CAST(SUM(cur_term) AS VARCHAR) AS DOUBLE)
-         / CAST(CAST(SUM(base_term) AS VARCHAR) AS DOUBLE)
-       AS DECIMAL(18,10)) AS DOUBLE) AS laspeyres_index
+       CAST(CAST(SUM(CAST(cur_term AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(base_term AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+         AS laspeyres_index
 FROM terms GROUP BY yr
 """
 
@@ -1515,26 +1509,28 @@ def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty").alias("q0"),
         )
     )
+    # r10 audit: the Laspeyres terms are GENERIC quotient-products whose
+    # magnitudes (~1e8-1e10) sit in the DECIMAL shortest-repr tie zone, so
+    # they are floor-quantized to exact scale-4 integers (engine-identical
+    # by construction; pre-floor values stay far below 2^53) and the index
+    # is the raw quotient of the exact sums.
     terms = py.join(p0, py.l_partkey == F.col("pk0")).select(
         "yr",
-        (
+        F.floor(
             F.col("cents").cast("double")
             / F.col("qty").cast("double")
             * F.col("q0").cast("double")
-        )
-        .cast("decimal(18,6)")
-        .alias("cur_term"),
-        (F.col("price0") * F.col("q0").cast("double"))
-        .cast("decimal(18,6)")
-        .alias("base_term"),
+            * F.lit(10_000.0)
+            + F.lit(0.5)
+        ).alias("cur_term"),
+        F.floor(
+            F.col("price0") * F.col("q0").cast("double") * F.lit(10_000.0)
+            + F.lit(0.5)
+        ).alias("base_term"),
     )
     idx = (
-        (
-            F.sum("cur_term").cast("string").cast("double")
-            / F.sum("base_term").cast("string").cast("double")
-        )
-        .cast("decimal(18,10)")
-        .cast("double")
+        F.sum(F.col("cur_term").cast("decimal(38,0)")).cast("string").cast("double")
+        / F.sum(F.col("base_term").cast("decimal(38,0)")).cast("string").cast("double")
     )
     return terms.groupBy("yr").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
@@ -1574,9 +1570,7 @@ unioned AS (
   SELECT 'OTHER' AS bucket, (SELECT t FROM tot) - (SELECT tt FROM topt) AS cents
 )
 SELECT bucket, cents AS revenue_cents,
-       CAST(CAST(
-         CAST(cents AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
-       AS DECIMAL(18,12)) AS DOUBLE) AS share
+       CAST(cents AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) AS share
 FROM unioned
 """
 
@@ -1610,11 +1604,8 @@ def topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned = top.select(
         F.col("l_partkey").cast("string").alias("bucket"), "cents"
     ).unionByName(other)
-    share = (
-        (F.col("cents").cast("double") / F.col("t").cast("double"))
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: raw IEEE share of exact integer cents.
+    share = F.col("cents").cast("double") / F.col("t").cast("double")
     return unioned.join(F.broadcast(tot)).select(
         "bucket", F.col("cents").alias("revenue_cents"), share.alias("share")
     )
@@ -1864,9 +1855,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
        BOOL_AND(est_n >= exact_n) AS never_underestimates,
        CAST(SUM(est_n - exact_n) AS BIGINT) AS total_overestimate,
        CAST(MAX(est_n - exact_n) AS BIGINT) AS max_overestimate,
-       CAST(CAST(
-         CAST(SUM(est_n - exact_n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-       AS DECIMAL(18,10)) AS DOUBLE) AS mean_overestimate
+       CAST(SUM(est_n - exact_n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_overestimate
 FROM probe
 """
 
@@ -1912,14 +1902,10 @@ def countmin_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe = probe.join(F.broadcast(gd), f"cell{d}")
     est = F.least(*[F.col(f"n{d}") for d in range(_CMS_DEPTH)])
     probe = probe.select("l_partkey", "exact_n", est.alias("est_n"))
-    mean_over = (
-        (
-            F.sum(F.col("est_n") - F.col("exact_n")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        )
-        .cast("decimal(18,10)")
-        .cast("double")
-    )
+    # r10 audit: raw IEEE mean of exact int64 overestimates.
+    mean_over = F.sum(F.col("est_n") - F.col("exact_n")).cast("double") / F.count(
+        F.lit(1)
+    ).cast("double")
     return probe.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.min(F.col("est_n") >= F.col("exact_n")).alias("never_underestimates"),

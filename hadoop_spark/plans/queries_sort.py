@@ -370,10 +370,8 @@ SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
        CAST(COUNT(*) AS BIGINT) AS occupied,
        CAST(MAX(c) AS BIGINT) AS max_bucket,
        CAST(SUM(c) AS BIGINT) AS n_rows,
-       CAST(CAST(
-         CAST(MAX(c) AS DOUBLE) * CAST(n_buckets AS DOUBLE)
-         / CAST(SUM(c) AS DOUBLE)
-       AS DECIMAL(18,10)) AS DOUBLE) AS imbalance
+       CAST(MAX(c) AS DOUBLE) * CAST(n_buckets AS DOUBLE)
+         / CAST(SUM(c) AS DOUBLE) AS imbalance
 FROM bc GROUP BY n_buckets
 """
 
@@ -400,14 +398,11 @@ def bucket_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = pairs.groupBy("n_buckets", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    # r10 audit: raw IEEE imbalance ratio of exact int64 bucket counts.
     imb = (
-        (
-            F.col("max_bucket").cast("double")
-            * F.col("n_buckets").cast("double")
-            / F.col("n_rows").cast("double")
-        )
-        .cast("decimal(18,10)")
-        .cast("double")
+        F.col("max_bucket").cast("double")
+        * F.col("n_buckets").cast("double")
+        / F.col("n_rows").cast("double")
     )
     agg = bc.groupBy(F.col("n_buckets").cast("bigint").alias("n_buckets")).agg(
         F.count(F.lit(1)).cast("bigint").alias("occupied"),
@@ -454,9 +449,8 @@ j AS (
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(violated) AS BIGINT) AS n_violating,
-       CAST(CAST(
-         CAST(SUM(violated) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-       AS DECIMAL(18,12)) AS DOUBLE) AS violation_share
+       CAST(SUM(violated) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS violation_share
 FROM j GROUP BY o_orderpriority
 """
 
@@ -496,10 +490,9 @@ def shipment_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", "o_orderpriority"),
         per_order.l_orderkey == F.col("o_orderkey"),
     )
-    share = (
-        (F.col("n_violating").cast("double") / F.col("n_orders").cast("double"))
-        .cast("decimal(18,12)")
-        .cast("double")
+    # r10 audit: raw IEEE share of exact int64 counts.
+    share = F.col("n_violating").cast("double") / F.col("n_orders").cast(
+        "double"
     )
     agg = j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
