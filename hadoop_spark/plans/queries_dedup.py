@@ -401,14 +401,12 @@ hits AS (
 SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
        CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
        CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
-       CAST(CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
             ELSE CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-                 / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END
-         AS DECIMAL(18,12)) AS DOUBLE) AS recall,
-       CAST(CAST(CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN NULL
+                 / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END AS recall,
+       CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN NULL
             ELSE CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-                 / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) END
-         AS DECIMAL(18,12)) AS DOUBLE) AS precision
+                 / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) END AS precision
 """
 
 
@@ -442,21 +440,14 @@ def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
     j = nt.crossJoin(nc).crossJoin(nh)
-    recall = (
-        F.when(
-            F.col("n_truth") > 0,
-            F.col("n_hits").cast("double") / F.col("n_truth").cast("double"),
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
+    # r10 audit: raw IEEE recall/precision of exact int64 counts.
+    recall = F.when(
+        F.col("n_truth") > 0,
+        F.col("n_hits").cast("double") / F.col("n_truth").cast("double"),
     )
-    precision = (
-        F.when(
-            F.col("n_candidates") > 0,
-            F.col("n_hits").cast("double") / F.col("n_candidates").cast("double"),
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
+    precision = F.when(
+        F.col("n_candidates") > 0,
+        F.col("n_hits").cast("double") / F.col("n_candidates").cast("double"),
     )
     return j.select(
         "n_truth",
@@ -647,10 +638,9 @@ WITH fp AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique,
-       CAST(CAST(
-         CAST(1 AS DOUBLE)
+       CAST(1 AS DOUBLE)
          - CAST(COUNT(DISTINCT f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-       AS DECIMAL(18,12)) AS DOUBLE) AS dup_share
+         AS dup_share
 FROM fp GROUP BY source
 """
 
@@ -663,14 +653,10 @@ def duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("f").cast("bigint").alias("n_unique"),
     )
-    share = (
-        (
-            F.lit(1).cast("double")
-            - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: raw IEEE dup share of exact int64 counts.
+    share = F.lit(1).cast("double") - F.col("n_unique").cast(
+        "double"
+    ) / F.col("n_docs").cast("double")
     return agg.select("source", "n_docs", "n_unique", share.alias("dup_share"))
 
 
@@ -830,10 +816,9 @@ hashed AS (SELECT k, {h} AS hv FROM sh)
 SELECT CAST(k AS BIGINT) AS k,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
        CAST(COUNT(DISTINCT hv) AS BIGINT) AS n_distinct,
-       CAST(CAST(
-         CAST(1 AS DOUBLE)
+       CAST(1 AS DOUBLE)
          - CAST(COUNT(DISTINCT hv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-       AS DECIMAL(18,12)) AS DOUBLE) AS dup_share
+         AS dup_share
 FROM hashed GROUP BY k
 """
 
@@ -863,14 +848,10 @@ def shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
         F.countDistinct("hv").cast("bigint").alias("n_distinct"),
     )
-    share = (
-        (
-            F.lit(1).cast("double")
-            - F.col("n_distinct").cast("double") / F.col("n_shingles").cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: raw IEEE dup share of exact int64 counts.
+    share = F.lit(1).cast("double") - F.col("n_distinct").cast(
+        "double"
+    ) / F.col("n_shingles").cast("double")
     return agg.select("k", "n_shingles", "n_distinct", share.alias("dup_share"))
 
 

@@ -1286,8 +1286,7 @@ st AS (
   FROM vc GROUP BY col
 )
 SELECT col, n, ndv,
-       CAST(CAST(CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE)
-            AS DECIMAL(18,12)) AS DOUBLE) AS top_share,
+       CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE) AS top_share,
        CASE WHEN ndv * 1000 < n OR ndv <= 64 THEN 'DICT'
             WHEN top_c * 10 >= 4 * n THEN 'RLE'
             ELSE 'PLAIN' END AS encoding
@@ -1329,11 +1328,8 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("ndv"),
         F.max("c").cast("bigint").alias("top_c"),
     )
-    share = (
-        (F.col("top_c").cast("double") / F.col("n").cast("double"))
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: raw IEEE top-value share of exact int64 counts.
+    share = F.col("top_c").cast("double") / F.col("n").cast("double")
     enc = (
         F.when(
             (F.col("ndv") * 1000 < F.col("n")) | (F.col("ndv") <= 64), "DICT"

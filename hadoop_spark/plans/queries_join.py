@@ -686,9 +686,8 @@ WITH j AS (
 SELECT l_suppkey,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(filled) AS BIGINT) AS n_filled,
-       CAST(CAST(
-         CAST(SUM(filled) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-       AS DECIMAL(18,12)) AS DOUBLE) AS fill_rate
+       CAST(SUM(filled) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS fill_rate
 FROM j GROUP BY 1
 """
 
@@ -709,11 +708,8 @@ def supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("filled").cast("bigint").alias("n_filled"),
     )
-    rate = (
-        (F.col("n_filled").cast("double") / F.col("n_lines").cast("double"))
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: raw IEEE fill rate of exact int64 counts.
+    rate = F.col("n_filled").cast("double") / F.col("n_lines").cast("double")
     return agg.select("l_suppkey", "n_lines", "n_filled", rate.alias("fill_rate"))
 
 

@@ -1477,9 +1477,8 @@ tot AS (
   FROM ct
 )
 SELECT ct.label, ct.n,
-       CAST(CAST(
-         CAST(tot.total AS DOUBLE) / (CAST(tot.k AS DOUBLE) * CAST(ct.n AS DOUBLE))
-       AS DECIMAL(18,12)) AS DOUBLE) AS weight
+       CAST(tot.total AS DOUBLE) / (CAST(tot.k AS DOUBLE) * CAST(ct.n AS DOUBLE))
+         AS weight
 FROM ct, tot
 """
 
@@ -1492,13 +1491,9 @@ def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )
-    w = (
-        (
-            F.col("total").cast("double")
-            / (F.col("k").cast("double") * F.col("n").cast("double"))
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
+    # r10 audit: raw IEEE balance weight of exact int64 counts.
+    w = F.col("total").cast("double") / (
+        F.col("k").cast("double") * F.col("n").cast("double")
     )
     return ct.join(F.broadcast(tot)).select("label", "n", w.alias("weight"))
 

@@ -330,6 +330,8 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIM = 64  # embedding dimensionality (model constant, asserted in tests)
 
 from hadoop_spark.functions.numeric import dsum_sql as _dsum_sql  # noqa: E402
+from hadoop_spark.functions.numeric import fsum as _fsum  # noqa: E402
+from hadoop_spark.functions.numeric import fsum_sql as _fsum_sql  # noqa: E402
 
 _DIM_STATS_ORACLE = f"""
 WITH d AS (
@@ -341,7 +343,7 @@ SELECT dim,
        CAST(COUNT(*) AS BIGINT) AS n,
        MIN(x) AS lo,
        MAX(x) AS hi,
-       ({_dsum_sql("x", 8)} / CAST(COUNT(*) AS DOUBLE)) AS mean
+       ({_fsum_sql("x", 8)} / CAST(COUNT(*) AS DOUBLE)) AS mean
 FROM d GROUP BY dim
 """
 
@@ -359,7 +361,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),
-        dsum(F.col("x"), 8).alias("mean_sum"),
+        # fsum: float32-origin embedding values can land on exact decimal
+        # tie boundaries where the engines' cast rules differ (r10 audit).
+        _fsum(F.col("x"), 8).alias("mean_sum"),
     ).select(
         "dim",
         "n",
@@ -854,10 +858,8 @@ t AS (SELECT CAST(SUM(block_en) AS DECIMAL(38,0)) AS tot FROM b)
 SELECT b.block,
        CAST(CAST(b.block_en AS VARCHAR) AS DOUBLE)
          / (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE) * 1e14) AS energy,
-       CAST(CAST(
-         CAST(CAST(b.block_en AS VARCHAR) AS DOUBLE)
-         / CAST(CAST(t.tot AS VARCHAR) AS DOUBLE)
-       AS DECIMAL(18,12)) AS DOUBLE) AS energy_share
+       CAST(CAST(b.block_en AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(t.tot AS VARCHAR) AS DOUBLE) AS energy_share
 FROM b, t
 """
 
@@ -895,14 +897,10 @@ def subspace_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     energy = F.col("block_en").cast("string").cast("double") / (
         F.col("n").cast("double") * F.col("n").cast("double") * F.lit(1e14)
     )
-    share = (
-        (
-            F.col("block_en").cast("string").cast("double")
-            / F.col("tot").cast("string").cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
-    )
+    # r10 audit: raw IEEE share of exact integer block energies.
+    share = F.col("block_en").cast("string").cast("double") / F.col(
+        "tot"
+    ).cast("string").cast("double")
     return b.join(F.broadcast(t)).select(
         "block", energy.alias("energy"), share.alias("energy_share")
     )
@@ -961,11 +959,11 @@ WITH q AS (
 )
 SELECT (5 * pn2) // (4 * n2) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       -- both engines divide IDENTICAL decimal-exact sums by identical
-       -- counts: the raw IEEE quotient is bit-equal, and a final
-       -- DECIMAL(18,12) quantization would only reintroduce the
-       -- HALF_UP/HALF_EVEN tie divergence (observed 1-ulp flip)
-       {_dsum_sql(f"CAST(pn2 AS DOUBLE) / ({_JL_K}.0 * CAST(n2 AS DOUBLE))", 12)}
+       -- both engines divide IDENTICAL floor-quantized exact sums by
+       -- identical counts: the raw IEEE quotient is bit-equal, and any
+       -- DECIMAL quantization would only reintroduce the
+       -- HALF_UP/half-even tie divergence (observed 1-ulp flip)
+       {_fsum_sql(f"CAST(pn2 AS DOUBLE) / ({_JL_K}.0 * CAST(n2 AS DOUBLE))", 12)}
          / CAST(COUNT(*) AS DOUBLE) AS mean_ratio
 FROM r GROUP BY 1
 """
@@ -1042,7 +1040,7 @@ def jl_norm_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(5 * pn2) DIV (4 * n2)").alias("bucket"), ratio.alias("ratio")
     ).groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-        (dsum(F.col("ratio"), 12) / F.count(F.lit(1)).cast("double")).alias(
+        (_fsum(F.col("ratio"), 12) / F.count(F.lit(1)).cast("double")).alias(
             "mean_ratio"
         ),
     )
