@@ -48,122 +48,146 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness run checks the FIRST 50 registry entries per
-# round, so the window is rotated each round until every query has a green
-# driver row (rotation ledger: COVERAGE.md). Round 9's window, per the r8
-# verdict's next-round task #1: ALL 41 ledger rows marked "r9 scheduled",
-# in ledger order — the 39 final r4d rows (`recursive_order_chain`
-# through `rank_stability`) plus the two r8 pytest-ceiling graduations
-# (`sorted_input_validate`, `lazy_output_manifest`). This CLOSES the
-# rotation ledger: with these 41 green, every query that existed at the
-# start of r9 has a driver row (debt 41 -> 0). The remaining 9 slots:
-# the two r9 catalog additions (`tb_vector_pipe`,
-# `combine_compaction_bins` — typed-bytes VECTOR pipe and write-side
-# CombineFileInputFormat compaction, per r8 verdict task #4), then 7
-# re-verifications of the highest-value rows (explicitly endorsed by the
-# r8 verdict; these are deliberate REPEATS of long-green rows, exempted
-# in tests/test_window_contract.py).
-_R9_SCHEDULED = [
-    "recursive_order_chain",
-    "capture_recapture",
-    "asof_nearest_events",
-    "kwic_windows",
+# round (rotation ledger: COVERAGE.md; the ledger CLOSED in r9 — every
+# catalog query has a green driver row). Round 10 executes the first
+# post-ledger maintenance window under the policy below: the r10
+# quantization-class audit (the r9 verdict's top task) changed the
+# builder AND oracle of 56 queries (DECIMAL finalizations of computed
+# quotients deleted on both sides; generic-addend sums moved from dsum to
+# the new engine-exact fsum), and operators/pipe.py changed (typed-bytes
+# EOF hardening + shlex interpreter split), touching the 5 pipe-family
+# queries. With the 2 owed re-verifications (`seasonal_decompose` — its
+# r9 fix shipped after its r8 driver row — and `calibration_bins`), the
+# mandatory set is 62 for 50 slots: the 50 below land this round (every
+# fsum-converted query included — their output VALUES changed), and the
+# 12-query remainder is _R10_CARRYOVER, owed as mandatory rows at the
+# TOP of the r11 window. Every one of the 62 was builder-verified
+# hash-equal at sf0.001/0.01/0.1 strict on the day it changed; the
+# carryover queries additionally ride the end-of-round full strict
+# sweeps. No r10 catalog additions: priority 1 (changed queries) already
+# over-subscribes the window.
+_R10_OWED = [
+    "seasonal_decompose",
     "calibration_bins",
-    "community_conductance",
-    "chi2_independence",
-    "privacy_risk_audit",
-    "temporal_split_audit",
-    "clv_cohort_curve",
-    "catalog_coverage_curve",
-    "churn_risk_flags",
-    "json_nested_shred",
-    "image_channel_stats",
-    "audio_peak_normalize",
-    "stream_bloom_membership",
-    "cuped_adjusted_ab",
-    "ab_quantile_effect",
-    "srm_check",
-    "p_chart_control_limits",
-    "rich_club_coefficient",
-    "slo_burn_rate",
-    "hierarchical_share",
-    "ann_mrr",
-    "pit_feature_join",
-    "business_day_latency",
-    "latency_percentile_trend",
-    "dispersion_index",
-    "substitute_candidates",
-    "doc_quality_ensemble_gate",
-    "activity_islands",
-    "langid_prf1",
-    "revenue_waterfall",
-    "daily_active_span",
-    "naive_forecast_mae",
-    "multigrain_distinct",
-    "attribute_split_profile",
-    "error_cascade_rate",
-    "rank_stability",
-    "sorted_input_validate",
-    "lazy_output_manifest",
 ]
 
-_R9_ADDITIONS = [
-    "tb_vector_pipe",
-    "combine_compaction_bins",
-]
-
-# Re-verification slots (intentional repeats of driver-green rows).
-_R9_REVERIFY = [
-    "tpch_q1",
-    "dedup_components",
-    "teragen_sort",
-    "composite_join_inner",
-    "composite_join_outer",
-    "dedup_minhash",
+_R10_AUDIT = [
+    # value-changing fsum conversions + quantization-formula changes
+    "pca_power_iteration",
+    "label_centroids",
+    "silhouette_simplified",
+    "embedding_dim_stats",
+    "jl_norm_distortion",
+    "bigram_lm_score",
+    "source_tv_divergence",
+    "bm25_scores",
+    "price_index",
     "pagerank",
+    "zscore_by_group",
+    "chi2_independence",
+    "tb_vector_pipe",
+    # raw-quotient conversions (DECIMAL finalizations deleted)
+    "ewma_smooth",
+    "linreg_per_group",
+    "anomaly_mad",
+    "linreg_residuals",
+    "daily_metric_corr",
+    "hourly_burst_flags",
+    "autocorrelation",
+    "event_type_diversity",
+    "kaplan_meier",
+    "ridge_regression_2f",
+    "ks_distance",
+    "rank_auc",
+    "target_encoding",
+    "lorenz_curve",
+    "lead_lag_corr",
+    "spearman_rho",
+    "rank_stability",
+    "cluster_purity",
+    "centroid_distances",
+    "decision_stump",
+    "quality_classifier",
+    "chi2_terms",
+    "dataset_card",
+    "degree_assortativity",
+    "clustering_coefficient",
+    "graph_modularity",
+    "seasonal_baseline",
+    "year_over_year_growth",
+    "topn_with_other",
+    "countmin_error_eval",
+    "word_lift",
 ]
 
-_R9_WINDOW = _R9_SCHEDULED + _R9_ADDITIONS + _R9_REVERIFY
+# operators/pipe.py changed this round (typed-bytes read_exact + shlex);
+# tb_vector_pipe (also audit-changed) is listed above.
+_R10_PIPE = [
+    "pipe_typedbytes",
+    "pipe_shipped_script",
+    "pipe_wordcount",
+    "pipe_counter_rows",
+]
 
-# POST-LEDGER MAINTENANCE POLICY (r8 verdict task #3 — in force from r10,
-# once CORRECTNESS_r09.json lands the final 41 first-time rows): with
-# rotation debt at 0, each round's 50-slot window becomes re-verification
-# budget, allocated in priority order:
+# Changed this round but displaced from the 50-slot window — MANDATORY at
+# the top of the r11 window (each was 3-SF strict-verified by the builder
+# this round and is covered by the end-of-round full strict sweeps).
+_R10_CARRYOVER = [
+    "token_gini",
+    "token_position_profile",
+    "bucket_skew_advisor",
+    "shipment_sequence_audit",
+    "lsh_candidate_quality",
+    "duplication_profile",
+    "shingle_sensitivity",
+    "subspace_energy",
+    "label_balance_weights",
+    "supplier_fill_rate",
+    "encoding_advisor",
+    "session_funnel_pipeline",
+]
+
+_R10_WINDOW = _R10_OWED + _R10_AUDIT + _R10_PIPE
+
+# POST-LEDGER MAINTENANCE POLICY (in force since r10): with rotation debt
+# at 0, each round's 50-slot window is allocated in priority order:
 #   1. MANDATORY: every query whose builder, oracle, or any operator/
 #      function module it imports changed that round (a changed query
-#      re-earns its driver row the same round the change ships);
+#      re-earns its driver row the same round the change ships), plus
+#      any carryover owed from a previous over-subscribed window;
 #   2. any newly added catalog query (additions always debut in their
 #      add-round's window, strict+TZ-verified and x30-probed on add day);
 #   3. the remainder filled by rotating coverage of the untouched catalog
-#      in ledger order, oldest driver row first, so every query re-earns
-#      a driver row at least every ~8 rounds (392 queries / ~45 rotating
-#      slots per round).
+#      in ledger order, oldest driver row first.
 #
-# ROUND-10 PLAN (next session: replace _R9_WINDOW with _R10_WINDOW):
-# apply the policy above — (1) queries touched in r10 PLUS the one r9
-# post-window change (`seasonal_decompose` — its quantization fix
-# shipped after its r8 driver row; r9-verified at 3 SFs but owed a
-# fresh driver row), (2) r10 additions, (3) rotation restart in ledger
-# order from the top of COVERAGE.md (wordcount, grep,
-# kv_text_roundtrip, ... — the r1 rows, which by then hold the oldest
-# driver rows). Update tests/test_window_contract.py and the COVERAGE
-# ledger in the same commit, as every round has.
+# R11 PLAN: window = _R10_CARRYOVER (12 mandatory) + r11-changed queries
+# + r11 additions + rotation restart from the r1 ledger rows (wordcount,
+# grep, kv_text_roundtrip, ... — the oldest driver rows).
 #
-# R10 CANDIDATE TASK (from the r9 ×10-SF full-strict finding): ~25
-# remaining `.cast("decimal(18,N)").cast("double")` finalizations of
-# COMPUTED quotients (queries_stats 16, cluster 4, lm 3, graph 1,
-# text 1, + multiline-styled sites e.g. queries_sort's
-# violation_share) are the same latent cross-engine tie class fixed in
-# calibration_bins/seasonal_decompose this round: Spark rounds the
-# exact binary value HALF_UP, DuckDB rounds the 10^N-scaled double
-# half-even, so the SAME double can quantize differently — and
-# string-mediated quantization is no better (the engines' double→
-# string reprs differ: Java shortest-roundtrip vs DuckDB %.17g-style).
-# All 25 are empirically green at sf0.001/0.01/0.1 today; the durable
-# convention is the one those two fixes applied — make final outputs
-# RAW IEEE quotients of engine-identical exact operands and delete the
-# quantization. Convert one query at a time, each verified at 3 SFs;
-# a site whose raw form mismatches is masking an operand divergence
-# and needs restructuring (exact sums), not a rounding cast.
+# R10 QUANTIZATION AUDIT — COMPLETED (was the "~25 sites" candidate task
+# seeded in r9). Scope grew to 56 queries once multiline-styled sites and
+# generic-addend dsum casts were enumerated. The durable conventions now
+# in force across the catalog:
+#   - FINAL outputs are raw IEEE values of engine-identical exact
+#     operands — no DECIMAL(18,N) finalization of a computed quotient
+#     anywhere (the cross-engine HALF_UP-vs-half-even shortest-repr tie
+#     class that produced calibration_bins'/seasonal_decompose's r9
+#     flips, plus a REAL divergence found this round: 5 dyadic ...0625
+#     embedding values at sf0.1 quantize differently per engine at scale
+#     12 — fixed in pca_power_iteration via fsum).
+#   - Sums of GENERIC doubles (quotients, centered values, raw float32-
+#     origin embeddings) use functions/numeric.fsum — floor-quantized
+#     exact integer sums, bit-identical across engines by construction
+#     (multiply/add/floor are exactly-defined IEEE ops). dsum remains for
+#     ON-GRID addends (integer cents, products of 2-decimal sources),
+#     where the addend sits a half-step from any tie boundary and the
+#     decimal cast is deterministic-safe.
+#   - ROUND-to-integer (scale-0) quantizations are exempt: the .5
+#     boundary is exactly representable, the shortest repr cannot cross
+#     it, and both engines round integer ties away from zero.
+#   - Threshold compares (keep flags, outlier flags) run on the raw
+#     engine-identical doubles; quantizing both comparands was itself
+#     the only tie risk.
 
 
 def load_all() -> None:
@@ -196,10 +220,10 @@ def load_all() -> None:
     # Deterministic window rotation: pull this round's 50-query window to
     # the front of the registry (dict order IS driver order); everything
     # else keeps its registration order behind it.
-    missing = [n for n in _R9_WINDOW if n not in QUERIES]
+    missing = [n for n in _R10_WINDOW if n not in QUERIES]
     if missing:  # a renamed query must fail loudly, not silently shrink
-        raise RuntimeError(f"_R9_WINDOW names not registered: {missing}")
-    front = {n: QUERIES[n] for n in _R9_WINDOW}
+        raise RuntimeError(f"_R10_WINDOW names not registered: {missing}")
+    front = {n: QUERIES[n] for n in _R10_WINDOW}
     rest = {n: f for n, f in QUERIES.items() if n not in front}
     QUERIES.clear()
     QUERIES.update(front)

@@ -12,9 +12,11 @@ holds on a 1000-executor cluster with a trillion-edge graph (edges would
 be bucketed by src so the per-iteration join is co-located).
 
 Determinism at any parallelism: per-target contribution sums run through
-the decimal-quantization discipline (`functions/numeric.dsum`), so ranks
-are bit-identical regardless of partitioning — which is also what makes
-the unrolled-CTE DuckDB oracle able to match a distributed run exactly.
+floor-quantized exact integer sums (`functions/numeric.fsum` — r10
+audit: the generic r/deg quotient addends are engine-exact under floor,
+while a decimal cast carries the shortest-repr tie risk), so ranks are
+bit-identical regardless of partitioning — which is also what makes the
+unrolled-CTE DuckDB oracle able to match a distributed run exactly.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_spark.functions.numeric import dsum, dsum_sql
+from hadoop_spark.functions.numeric import dsum, dsum_sql, fsum, fsum_sql
 from hadoop_spark.operators.graph import cooccurrence_pairs, symmetrize
 from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
@@ -57,7 +59,7 @@ r0 AS (
 )"""
     iters = []
     for k in range(1, _ITERS + 1):
-        contrib = dsum_sql("r.r / CAST(dg.dg AS DOUBLE)", _SCALE)
+        contrib = fsum_sql("r.r / CAST(dg.dg AS DOUBLE)", _SCALE)
         iters.append(f"""
 r{k} AS (
   SELECT n.node,
@@ -73,8 +75,7 @@ r{k} AS (
   ) c ON c.node = n.node
 )""")
     tail = f"""
-SELECT node,
-       CAST(CAST(r AS DECIMAL(18,{_SCALE})) AS DOUBLE) AS pr
+SELECT node, r AS pr
 FROM r{_ITERS}"""
     return head + "," + ",".join(iters) + tail
 
@@ -116,7 +117,7 @@ def _pagerank_impl(spark: SparkSession, sf_dir: str, lineage: str) -> DataFrame:
         contribs = (
             edges_deg.join(ranks, edges_deg["s"] == ranks["node"])
             .groupBy(F.col("d").alias("node"))
-            .agg(dsum(F.col("r") / F.col("dg").cast("double"), _SCALE).alias("contrib"))
+            .agg(fsum(F.col("r") / F.col("dg").cast("double"), _SCALE).alias("contrib"))
         )
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
@@ -130,9 +131,10 @@ def _pagerank_impl(spark: SparkSession, sf_dir: str, lineage: str) -> DataFrame:
         # r8 variance A/B (scripts/pagerank_ab.py, README probe table).
         if lineage != "none":
             ranks = ranks.localCheckpoint(eager=(lineage == "eager"))
-    return ranks.select(
-        "node", F.col("r").cast(f"decimal(18,{_SCALE})").cast("double").alias("pr")
-    )
+    # r10 audit: ranks are raw IEEE values of fsum-exact contribution
+    # sums — bit-identical per iteration on both engines, so the final
+    # output needs no re-quantization.
+    return ranks.select("node", F.col("r").alias("pr"))
 
 
 # ----------------------------------------------------------------------

@@ -21,7 +21,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_spark.functions.hashing import portable_hash64, portable_hash64_sql
-from hadoop_spark.functions.numeric import PRECISION, davg, davg_sql, dsum, dsum_sql
+from hadoop_spark.functions.numeric import (
+    PRECISION,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    fsum,
+    fsum_sql,
+)
 from hadoop_spark.functions.text import ws_token_count, ws_token_count_sql
 from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
@@ -333,7 +341,7 @@ SELECT li.l_returnflag,
        MIN(st.n) AS n_rows,
        MIN((li.l_quantity - st.mean_x) / st.std_x) AS min_z,
        MAX((li.l_quantity - st.mean_x) / st.std_x) AS max_z,
-       {dsum_sql("(li.l_quantity - st.mean_x) / st.std_x", 6)} AS sum_z
+       {fsum_sql("(li.l_quantity - st.mean_x) / st.std_x", 6)} AS sum_z
 FROM lineitem li JOIN st ON li.l_returnflag = st.l_returnflag
 GROUP BY li.l_returnflag
 """
@@ -373,7 +381,8 @@ def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("n_rows"),
         F.min("z").alias("min_z"),
         F.max("z").alias("max_z"),
-        dsum(F.col("z"), 6).alias("sum_z"),
+        # fsum: z-scores are generic quotients (r10 audit).
+        fsum(F.col("z"), 6).alias("sum_z"),
     )
 
 

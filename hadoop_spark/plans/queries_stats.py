@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_spark.functions.hashing import portable_hash64_sql
-from hadoop_spark.functions.numeric import dsum, dsum_sql
+from hadoop_spark.functions.numeric import dsum, dsum_sql, fsum, fsum_sql
 from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table, shared
@@ -3774,7 +3774,7 @@ terms AS (
 SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
        CAST((SELECT COUNT(*) FROM rows_m) - 1 AS BIGINT)
          * CAST((SELECT COUNT(*) FROM cols_p) - 1 AS BIGINT) AS dof,
-       {dsum_sql("t", 8)} AS chi2
+       {fsum_sql("t", 8)} AS chi2
 FROM terms
 """
 
@@ -3807,7 +3807,7 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     nr = rows_m.agg(F.count(F.lit(1)).alias("nr"))
     nc = cols_p.agg(F.count(F.lit(1)).alias("nc"))
     return (
-        terms.agg(dsum(F.col("t"), 8).alias("chi2"))
+        terms.agg(fsum(F.col("t"), 8).alias("chi2"))  # generic-quotient addends
         .join(F.broadcast(n))
         .join(F.broadcast(nr))
         .join(F.broadcast(nc))

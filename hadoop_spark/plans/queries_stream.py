@@ -710,8 +710,8 @@ flagged AS (
 SELECT size_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(SUM(converted) AS BIGINT) AS n_converted,
-       CAST(CAST(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-            AS DECIMAL(18,12)) AS DOUBLE) AS conversion_rate
+       CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS conversion_rate
 FROM flagged GROUP BY size_bucket
 """
 
@@ -777,12 +777,10 @@ def session_funnel_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("size_bucket").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("converted").cast("long").alias("n_converted"),
+        # r10 audit: raw IEEE rate of exact int64 counts.
         (
             F.sum("converted").cast("double") / F.count(F.lit(1)).cast("double")
-        )
-        .cast("decimal(18,12)")
-        .cast("double")
-        .alias("conversion_rate"),
+        ).alias("conversion_rate"),
     )
 
 
