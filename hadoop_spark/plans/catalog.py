@@ -61,8 +61,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # mandatory set is 62 for 50 slots: the 50 below land this round (every
 # fsum-converted query included — their output VALUES changed), and the
 # 12-query remainder is _R10_CARRYOVER, owed as mandatory rows at the
-# TOP of the r11 window. Every one of the 62 was builder-verified
-# hash-equal at sf0.001/0.01/0.1 strict on the day it changed; the
+# TOP of the r11 window (plus `triangle_count`, whose DuckDB oracle was
+# reformulated to unblock the x10 strict sweep). Every changed query was
+# builder-verified
+# at sf0.001/0.01/0.1 strict on the day it changed; the
 # carryover queries additionally ride the end-of-round full strict
 # sweeps. No r10 catalog additions: priority 1 (changed queries) already
 # over-subscribes the window.
@@ -133,6 +135,7 @@ _R10_PIPE = [
 # the top of the r11 window (each was 3-SF strict-verified by the builder
 # this round and is covered by the end-of-round full strict sweeps).
 _R10_CARRYOVER = [
+    "triangle_count",  # oracle reformulated r10 (equi-join closing probe)
     "token_gini",
     "token_position_profile",
     "bucket_skew_advisor",

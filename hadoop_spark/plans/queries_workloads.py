@@ -597,14 +597,20 @@ oriented AS (
 wedges AS (
   SELECT e1.t AS b, e2.t AS c
   FROM oriented e1 JOIN oriented e2
-    ON e1.s = e2.s AND (e1.t < e2.t OR (e1.t = e2.t AND FALSE))
-  WHERE e1.t <> e2.t AND e1.t < e2.t
+    ON e1.s = e2.s AND e1.t < e2.t
+),
+-- closing edges canonicalized to (min, max) node order so the triangle
+-- probe is ONE hash equi-join — the previous OR-disjunction join
+-- ((s=b AND t=c) OR (s=c AND t=b)) forced DuckDB into a nested-loop
+-- scan of wedges x edges (>15 min at sf0.1; this form runs in seconds).
+-- Wedge (b, c) already has b < c by node id, so the match is exact.
+closing AS (
+  SELECT LEAST(s, t) AS x, GREATEST(s, t) AS y FROM oriented
 )
 SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
        CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST((SELECT COUNT(*) FROM wedges w
-             JOIN oriented e ON (e.s = w.b AND e.t = w.c)
-                             OR (e.s = w.c AND e.t = w.b)) AS BIGINT)
+             JOIN closing e ON e.x = w.b AND e.y = w.c) AS BIGINT)
          AS n_triangles
 """
 
