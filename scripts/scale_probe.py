@@ -4,7 +4,19 @@ data) into .tmp/scale_sfX, then time the headline operators and check the
 timing ratio against the data ratio. Linear-ish scaling here is the local
 evidence for the 100 TB claim; a super-linear cliff is a bug to fix now.
 
-Usage: python scripts/scale_probe.py [factor] [queries...]
+Usage: python scripts/scale_probe.py [factor] [--bounded-family[=CAP]] [queries...]
+
+--bounded-family (r9 verdict task #5): the plain key-shifted replica gives
+every document/embedding FACTOR-1 identical twins, so dedup/similarity
+probes measure O(k^2) family OUTPUT growth, not plan scaling
+(dedup_minhash x81 at x100 was the pair count, not a regression). In
+bounded mode only the first CAP replicas (default 4) stay near-duplicates
+of the original; every later replica gets its text token-prefixed with a
+replica marker (disjoint shingles -> no MinHash/SimHash collisions) and
+its embedding cyclically rotated (norm-preserving, cosine-destroying), so
+duplicate families stay size<=CAP at ANY factor and the probe ratio is a
+clean plan-scaling number. Real corpora have bounded families; this
+replica mode models them.
 """
 
 from __future__ import annotations
@@ -23,9 +35,17 @@ from hadoop_spark.session import get_session
 from hadoop_spark.sources.tables import TABLE_NAMES, load_table
 
 BASE = "/root/testdata/sf0.1"
-FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-OUT = f"/root/repo/.tmp/scale_x{FACTOR}"
-PROBE_QUERIES = sys.argv[2:] or [
+_args = sys.argv[1:]
+BOUNDED_CAP = 0  # 0 = plain replica mode
+for _a in list(_args):
+    if _a.startswith("--bounded-family"):
+        BOUNDED_CAP = int(_a.split("=", 1)[1]) if "=" in _a else 4
+        _args.remove(_a)
+FACTOR = int(_args[0]) if _args else 10
+OUT = f"/root/repo/.tmp/scale_x{FACTOR}" + (
+    f"_bf{BOUNDED_CAP}" if BOUNDED_CAP else ""
+)
+PROBE_QUERIES = _args[1:] or [
     "tpch_q1",
     "tpch_q5",
     "tpch_q18",
@@ -66,11 +86,50 @@ def build(spark) -> None:
             df = df.withColumn(col, F.col(col) + F.col("__rep") * stride)
         # perturb document text per replica so dedup work scales too
         if name == "documents":
+            near_dup = F.concat(
+                F.col("text"), F.lit(" r"), F.col("__rep").cast("string")
+            )
+            if BOUNDED_CAP:
+                # replicas >= CAP: prefix every token with a replica
+                # marker — shingle sets become disjoint across replicas,
+                # capping duplicate families at CAP members.
+                marker = F.concat(
+                    F.lit("m"), F.col("__rep").cast("string"), F.lit("_")
+                )
+                unique = F.concat(
+                    marker,
+                    F.regexp_replace(
+                        F.col("text"),
+                        F.lit(r"\s+"),
+                        F.concat(F.lit(" "), marker),
+                    ),
+                )
+                df = df.withColumn(
+                    "text",
+                    F.when(F.col("__rep") == 0, F.col("text"))
+                    .when(F.col("__rep") < BOUNDED_CAP, near_dup)
+                    .otherwise(unique),
+                )
+            else:
+                df = df.withColumn(
+                    "text",
+                    F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                        near_dup
+                    ),
+                )
+        if name == "embeddings" and BOUNDED_CAP:
+            # replicas >= CAP: cyclic rotation by (rep mod 63)+1 positions
+            # — norm-preserving (n2/buckets unchanged) but cosine-
+            # destroying, so embedding near-dup families stay <= CAP.
+            k = (F.col("__rep") % 63 + 1).cast("int")
+            rotated = F.concat(
+                F.slice(F.col("embedding"), k + 1, F.lit(64) - k),
+                F.slice(F.col("embedding"), 1, k),
+            )
             df = df.withColumn(
-                "text",
-                F.when(F.col("__rep") == 0, F.col("text")).otherwise(
-                    F.concat(F.col("text"), F.lit(" r"), F.col("__rep").cast("string"))
-                ),
+                "embedding",
+                F.when(F.col("__rep") < BOUNDED_CAP, F.col("embedding"))
+                .otherwise(rotated),
             )
         df.drop("__rep").write.mode("overwrite").parquet(dst)
         print(f"# built {name} x{FACTOR}", file=sys.stderr)
