@@ -218,19 +218,43 @@ def block_near_dup_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_q": []}).astype("int64")
         a = np.stack([np.asarray(v, dtype="float64") for v in lt["q"]])
         b = np.stack([np.asarray(v, dtype="float64") for v in rt["q"]])
-        dots = a @ b.T  # exact: every intermediate is an integer < 2^53
-        denom = np.sqrt(lt["n2"].to_numpy(dtype="float64"))[:, None] * np.sqrt(
-            rt["n2"].to_numpy(dtype="float64")
-        )[None, :]
-        cos = dots / denom * COS_SCALE
-        cos_q_m = (np.sign(cos) * np.floor(np.abs(cos) + 0.5)).astype("int64")
-        ida = lt["vec_id"].to_numpy()[:, None]
+        rn = np.sqrt(rt["n2"].to_numpy(dtype="float64"))[None, :]
+        ln = np.sqrt(lt["n2"].to_numpy(dtype="float64"))
+        ida_all = lt["vec_id"].to_numpy()
         idb = rt["vec_id"].to_numpy()[None, :]
-        mask = (cos_q_m >= threshold_micro) & (ida != idb)
-        ii, jj = np.nonzero(mask)
-        lo = np.minimum(ida[ii, 0], idb[0, jj])
-        hi = np.maximum(ida[ii, 0], idb[0, jj])
-        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cos_q": cos_q_m[ii, jj]})
+        # Strip-chunk the GEMM: a whole block-pair similarity matrix is
+        # (|block|)^2 doubles — at a fixed num_blocks that grows
+        # quadratically with the corpus and OOMed the x100 probe (25k x
+        # 25k x 8 B = 5 GB per task, 32 concurrent). Row strips bound
+        # peak task memory at STRIP x |block| (~200 MB here) regardless
+        # of corpus size, with bit-identical results (the integer GEMM
+        # is exact in any chunking; each row's arithmetic is unchanged).
+        STRIP = 1024
+        outs = []
+        for s0 in range(0, a.shape[0], STRIP):
+            sl = slice(s0, s0 + STRIP)
+            dots = a[sl] @ b.T  # exact: every intermediate an int < 2^53
+            denom = ln[sl][:, None] * rn
+            cos = dots / denom * COS_SCALE
+            cos_q_m = (np.sign(cos) * np.floor(np.abs(cos) + 0.5)).astype(
+                "int64"
+            )
+            ida = ida_all[sl][:, None]
+            mask = (cos_q_m >= threshold_micro) & (ida != idb)
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(ida[ii, 0], idb[0, jj]),
+                            "id_b": np.maximum(ida[ii, 0], idb[0, jj]),
+                            "cos_q": cos_q_m[ii, jj],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_q": []}).astype("int64")
+        out = pd.concat(outs, ignore_index=True)
         # same-block pairs appear twice in the matrix (x,y) and (y,x):
         # keep one; cross-block pairs appear once.
         return out.drop_duplicates(["id_a", "id_b"])

@@ -136,6 +136,12 @@ _R10_PIPE = [
 # this round and is covered by the end-of-round full strict sweeps).
 _R10_CARRYOVER = [
     "triangle_count",  # oracle reformulated r10 (equi-join closing probe)
+    # operators/similarity.py block_near_dup_pairs strip-chunked r10 (the
+    # x100 OOM fix — bit-identical kernel chunking, 3-SF re-verified):
+    "dedup_embedding",
+    "semantic_keep_best",
+    "dbscan_core_flags",
+    "knn_graph",
     "token_gini",
     "token_position_profile",
     "bucket_skew_advisor",
