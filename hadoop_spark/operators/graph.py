@@ -25,6 +25,11 @@ def cooccurrence_pairs(
     """Distinct undirected co-occurrence pairs (u < v) of `item_col`
     values sharing a `group_col` value. One shuffle (the groupBy) +
     map-side pair expansion + the distinct."""
+    # r10 opt note: a fanout_small(fact) spread of the map side was A/B'd
+    # (alternating, one session) and REJECTED — the scan's partial
+    # collect_set rides the fact file's orderkey clustering, so the extra
+    # round-robin exchange costs more than the parallelism it buys
+    # (1.3-1.6 s vs 1.7-1.9 s per build at sf0.1).
     grouped = fact.groupBy(group_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("a")
     )

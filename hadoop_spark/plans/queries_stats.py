@@ -20,7 +20,7 @@ from hadoop_spark.functions.hashing import portable_hash64_sql
 from hadoop_spark.functions.numeric import dsum, dsum_sql, fsum, fsum_sql
 from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
-from hadoop_spark.sources.tables import load_table, shared
+from hadoop_spark.sources.tables import fanout_small, load_table, shared
 
 # ----------------------------------------------------------------------
 # ewma_smooth — 8-tap exponential moving average per user. The infinite-
@@ -3270,11 +3270,19 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_spark.functions.hashing import portable_hash64
 
     orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
-        F.col("o_orderpriority").alias("pri"),
-        "o_orderkey",
-        (F.col("o_totalprice") * 100).cast("decimal(38,0)").cast("bigint")
-        .alias("cents"),
+    # r10 opt (guide §2.5 input-splits / §1.2 step 1): the whole 6-md5-per-
+    # row replicate-weight map phase sits BEFORE the first exchange, so on
+    # an under-split scan (one parquet row group at bench scale) it ran on
+    # one core. fanout_small spreads the 3 narrow columns across the
+    # cluster first (no-op at real scale, where the fact table already
+    # carries enough splits). Measured sf0.1: 7.97 s -> 2.0 s median.
+    base = fanout_small(
+        orders.select(
+            F.col("o_orderpriority").alias("pri"),
+            "o_orderkey",
+            (F.col("o_totalprice") * 100).cast("decimal(38,0)").cast("bigint")
+            .alias("cents"),
+        )
     )
     hashed = base.select(
         "pri",
