@@ -630,7 +630,10 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b_lower, F.col("e2.t")).otherwise(F.col("e1.t")).alias("ct"),
     )
     closing = oriented.select(F.col("s").alias("cs"), F.col("t").alias("ct"))
-    tri = wedges.join(closing, ["cs", "ct"])
+    # r10 opt (guide §3.1): guarded broadcast of the edge-sized closing
+    # set keeps the 41 M-row wedge stream (sf0.1) out of any exchange —
+    # the closing probe is a map-side hash join. Degrades above the cap.
+    tri = wedges.join(bcast_if_small(closing), ["cs", "ct"])
     corners = tri.select(
         F.explode(F.array("a", "cs", "ct")).alias("node")
     )
@@ -742,7 +745,11 @@ def link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("common_neighbors")
     )
     closing = oriented.select(F.col("s").alias("cs"), F.col("t").alias("ct"))
-    open_pairs = wc.join(closing, ["cs", "ct"], "left_anti")
+    # r10 opt (guide §3.1): guarded broadcast of the edge-sized closing
+    # set turns the existence anti-join into a broadcast anti join — the
+    # 2-hop pair table (32.7 M rows at sf0.1, the big side by 27x) is
+    # neither re-shuffled nor sorted. Degrades to SMJ above the guard cap.
+    open_pairs = wc.join(bcast_if_small(closing), ["cs", "ct"], "left_anti")
     return (
         open_pairs.orderBy(
             F.col("common_neighbors").desc(), F.col("cs"), F.col("ct")
