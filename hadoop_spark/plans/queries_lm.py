@@ -1278,8 +1278,17 @@ def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("x", F.expr(f"greatest(1L, {_NB_SCALE} div (tot + v))"))
         .select("lang", _log16("x").alias("dw"))
     )
+    # r10 opt (guide §2.3 aggregate-before-fanout): collapse the test
+    # token stream to per-(doc, term) counts BEFORE the |langs|-way
+    # candidate fan-out and model join — the NB score is linear in term
+    # multiplicity (sum over occurrences == sum of cnt·w over distinct
+    # terms, exact integers), so only distinct (doc, term) rows pay the
+    # x5 fan-out and the weight lookup.
+    tf = test.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     scored = (
-        test.crossJoin(F.broadcast(defaults.select(F.col("lang").alias("cand_lang"), "dw")))
+        tf.crossJoin(F.broadcast(defaults.select(F.col("lang").alias("cand_lang"), "dw")))
         .join(
             # the model is per-(lang, TERM) — term vocabulary grows with
             # corpus (Heaps' law), so the hint degrades above the cap
@@ -1294,7 +1303,11 @@ def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "doc_id", F.col("lang").alias("true_lang"), "cand_lang"
         )
-        .agg(F.sum(F.coalesce(F.col("w"), F.col("dw"))).cast("bigint").alias("score"))
+        .agg(
+            F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.col("dw")))
+            .cast("bigint")
+            .alias("score")
+        )
     )
     w_rank = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
     pred = (
