@@ -745,11 +745,12 @@ def link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("common_neighbors")
     )
     closing = oriented.select(F.col("s").alias("cs"), F.col("t").alias("ct"))
-    # r10 opt (guide §3.1): guarded broadcast of the edge-sized closing
-    # set turns the existence anti-join into a broadcast anti join — the
-    # 2-hop pair table (32.7 M rows at sf0.1, the big side by 27x) is
-    # neither re-shuffled nor sorted. Degrades to SMJ above the guard cap.
-    open_pairs = wc.join(bcast_if_small(closing), ["cs", "ct"], "left_anti")
+    # r10 opt note: a guarded broadcast on this anti-join was tried and
+    # REVERTED — focused runs showed no win (the query is bound by the
+    # 41 M-wedge -> 32.7 M-key aggregation above), and the deep-warm
+    # 306-query sweep measured the broadcast variant ~2x slower under
+    # session memory pressure (min 20.3 s vs the ~11 s SMJ baseline).
+    open_pairs = wc.join(closing, ["cs", "ct"], "left_anti")
     return (
         open_pairs.orderBy(
             F.col("common_neighbors").desc(), F.col("cs"), F.col("ct")
