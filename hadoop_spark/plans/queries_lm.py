@@ -976,8 +976,16 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    vocab = words.groupBy("w").agg(F.sum("wc").cast("long").alias("wc")).select(
-        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "wc"
+    # Persist the global vocab like the sibling bpe_learn_merges does: each
+    # of the K argmax steps otherwise re-runs the vocab aggregation (and k
+    # accumulated merge-replaces) from `words` — AQE's stage cache dedupes
+    # the exchange, not the reduce-side aggregation above it. Balanced-ABBA
+    # A/B (r10): warm median 3.8→3.1 s, cold plan build also wins; merges
+    # byte-identical.
+    vocab = shared(
+        words.groupBy("w")
+        .agg(F.sum("wc").cast("long").alias("wc"))
+        .select(F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "wc")
     )
     merges: list[str] = []
     cur = vocab
@@ -998,6 +1006,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for _ in range(3):
                 sym = F.replace(sym, F.lit(f" {best.pair} "), F.lit(f" {merged} "))
             cur = cur.select(F.trim(sym).alias("sym"), "wc")
+    vocab.unpersist()  # the encode path below reads `words`, not vocab
     sym = F.concat(
         F.lit(" "), F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" ")
     )
