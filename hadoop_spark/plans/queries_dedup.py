@@ -1004,9 +1004,17 @@ def dbscan_core_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = shared(
         with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
     )
-    half = block_near_dup_pairs(
-        emb, threshold_micro=_DBSCAN_T, num_blocks=8
-    ).select("id_a", "id_b")
+    # `half` is ALSO persisted (r10): the symmetrizing union below consumes
+    # it twice, so materializing `pairs` otherwise runs the GEMM cogroup
+    # twice inside that one job (same knn_graph finding — the stage cache
+    # dedupes exchanges, not the Python cogroup). GEMM executions 2 → 1;
+    # balanced A/B (cur/half/both × ABBA): warm mins 5.94/5.26/4.70 s,
+    # results identical.
+    half = shared(
+        block_near_dup_pairs(
+            emb, threshold_micro=_DBSCAN_T, num_blocks=8
+        ).select("id_a", "id_b")
+    )
     pairs = shared(
         half.unionByName(
             half.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

@@ -789,8 +789,16 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = shared(
         with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings")))
     )
-    # threshold below cosine's range → every pair once (id_a < id_b)
-    pairs = block_near_dup_pairs(emb, threshold_micro=-1_000_001, num_blocks=8)
+    # threshold below cosine's range → every pair once (id_a < id_b).
+    # Persisted: the symmetrizing union below consumes the pair stream
+    # TWICE, and a Python cogroup is exactly the subtree the stage cache
+    # cannot dedupe (shared() caveat; plan check r10: the unpersisted plan
+    # instantiates FlatMapCoGroupsInPandas 4x with 0 ReusedExchange — both
+    # branches re-run the GEMM; persisted, both read the cache). At 100 TB
+    # the blocked GEMM is the dominant stage — running it once is the point.
+    pairs = shared(
+        block_near_dup_pairs(emb, threshold_micro=-1_000_001, num_blocks=8)
+    )
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos_q"
     ).unionByName(
