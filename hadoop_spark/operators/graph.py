@@ -15,8 +15,41 @@ general pattern for unbounded groups).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# One shuffle partition per this many edge rows inside bounded-round
+# driver loops — the same scale-adaptive formula the connected-components
+# loop uses (operators/dedup.py). A 450 k-edge graph runs 2-wide rounds
+# (per-round cost is scheduler/task dispatch, not data); a billion-edge
+# graph gets the full session width.
+_LOOP_ROWS_PER_PARTITION = 1_000_000
+
+
+@contextmanager
+def loop_width(spark, n_rows: int):
+    """Pin shuffle width for a bounded-round driver loop, derived from the
+    MATERIALIZED row count of the loop's edge table — never a constant, so
+    the driver's lower-core bench runs and a real cluster both get a width
+    proportional to their data (guide §2: scale-adaptive partitioning).
+    Only stages that EXECUTE inside the context inherit the width: the
+    loop must materialize per round (eager localCheckpoint / count), which
+    is exactly the regime the iterative queries here run. Restores the
+    session width on exit.
+
+    r10 A/B on pagerank (454 k-edge supplier graph, balanced ABBA ×3):
+    session-width 32 rounds med 8.08 s / min 7.41 vs pinned med 4.98 /
+    min 4.23 — identical ranks (fsum-exact, partitioning-independent)."""
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    width = max(2, min(session_width, n_rows // _LOOP_ROWS_PER_PARTITION + 2))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def cooccurrence_pairs(

@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import dsum, dsum_sql, fsum, fsum_sql
-from hadoop_spark.operators.graph import cooccurrence_pairs, symmetrize
+from hadoop_spark.operators.graph import (
+    cooccurrence_pairs,
+    loop_width,
+    symmetrize,
+)
 from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import load_table, shared
@@ -99,42 +103,55 @@ def _pagerank_impl(spark: SparkSession, sf_dir: str, lineage: str) -> DataFrame:
     iteration synchronously), "none" (raw 5-iteration lineage)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = shared(symmetrize(cooccurrence_pairs(li, "l_orderkey", "l_suppkey")))
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
-    # Degrees fold into the persisted edge table ONCE — each iteration
-    # then costs a single join + aggregation instead of two joins.
-    edges_deg = shared(edges.join(deg, "s"))
-    # r10 opt (guide §2.4 remove shuffles outright): the node set IS the
-    # distinct source set of the symmetric edge table — exactly deg's key
-    # column, already aggregated. Deriving nodes from deg drops the
-    # second full distinct shuffle over the edge table.
-    nodes = shared(deg.select(F.col("s").alias("node")))
-    # O(1) scalar (node count) — same class of driver-side scalar as the
-    # connected-components convergence flag; at 100 TB this is one count.
-    n = nodes.count()
-    if n == 0:
-        # empty graph (zero-split inputs): no nodes -> no ranks; the 1/n
-        # seed would otherwise constant-fold into an ANSI divide-by-zero
-        return spark.createDataFrame([], "node bigint, pr double")
-    damp, jump = float(_DAMP), float(_JUMP)
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
-    for _ in range(_ITERS):
-        contribs = (
-            edges_deg.join(ranks, edges_deg["s"] == ranks["node"])
-            .groupBy(F.col("d").alias("node"))
-            .agg(fsum(F.col("r") / F.col("dg").cast("double"), _SCALE).alias("contrib"))
-        )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(jump) / F.lit(float(n))
-                + F.lit(damp) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("r"),
-        )
-        # Cut lineage growth per iteration (same discipline as
-        # dedup_components): ranks stays node-sized. Regime chosen by the
-        # r8 variance A/B (scripts/pagerank_ab.py, README probe table).
-        if lineage != "none":
-            ranks = ranks.localCheckpoint(eager=(lineage == "eager"))
+    # Materialize the edge cache at full session width (the BUILD wants the
+    # parallelism), and use the counted size to pin a scale-adaptive width
+    # for everything loop-shaped below (operators/graph.loop_width — the
+    # connected-components formula; r10 A/B med 8.08 -> 4.98 s, ranks
+    # identical). The count is one cheap job over the just-persisted cache.
+    n_edge_rows = edges.count()
+    with loop_width(spark, n_edge_rows):
+        deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+        # Degrees fold into the persisted edge table ONCE — each iteration
+        # then costs a single join + aggregation instead of two joins.
+        edges_deg = shared(edges.join(deg, "s"))
+        # r10 opt (guide §2.4 remove shuffles outright): the node set IS the
+        # distinct source set of the symmetric edge table — exactly deg's key
+        # column, already aggregated. Deriving nodes from deg drops the
+        # second full distinct shuffle over the edge table.
+        nodes = shared(deg.select(F.col("s").alias("node")))
+        # O(1) scalar (node count) — same class of driver-side scalar as the
+        # connected-components convergence flag; at 100 TB this is one count.
+        n = nodes.count()
+        if n == 0:
+            # empty graph (zero-split inputs): no nodes -> no ranks; the 1/n
+            # seed would otherwise constant-fold into an ANSI divide-by-zero
+            return spark.createDataFrame([], "node bigint, pr double")
+        damp, jump = float(_DAMP), float(_JUMP)
+        ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+        for _ in range(_ITERS):
+            contribs = (
+                edges_deg.join(ranks, edges_deg["s"] == ranks["node"])
+                .groupBy(F.col("d").alias("node"))
+                .agg(
+                    fsum(
+                        F.col("r") / F.col("dg").cast("double"), _SCALE
+                    ).alias("contrib")
+                )
+            )
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(jump) / F.lit(float(n))
+                    + F.lit(damp) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("r"),
+            )
+            # Cut lineage growth per iteration (same discipline as
+            # dedup_components): ranks stays node-sized. Regime chosen by the
+            # r8 variance A/B (scripts/pagerank_ab.py, README probe table).
+            # The eager production regime is also what makes loop_width
+            # effective: every round executes INSIDE the pinned region.
+            if lineage != "none":
+                ranks = ranks.localCheckpoint(eager=(lineage == "eager"))
     # r10 audit: ranks are raw IEEE values of fsum-exact contribution
     # sums — bit-identical per iteration on both engines, so the final
     # output needs no re-quantization.
@@ -199,31 +216,40 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distances, 3 frontier-expansion rounds."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = shared(symmetrize(cooccurrence_pairs(li, "l_orderkey", "l_suppkey")))
-    nodes = edges.select(F.col("s").alias("node")).distinct()
-    seeds = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_nationkey") == 0)
-        .select(F.col("s_suppkey").alias("node"), F.lit(0).alias("seed_d"))
-    )
-    # seeds is one nation's suppliers — graph-small but SF-scaling, so
-    # the broadcast is size-guarded
-    dists = nodes.join(bcast_if_small(seeds), "node", "left").select(
-        "node", F.coalesce(F.col("seed_d"), F.lit(_INF)).alias("dist")
-    )
-    for _ in range(_HOPS):
-        contribs = (
-            edges.join(dists, edges["s"] == dists["node"])
-            .filter(F.col("dist") < _INF)
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.min(F.col("dist") + 1).alias("mind"))
+    # r10: materialize the edge cache at session width, then run the rounds
+    # under a scale-adaptive pinned width (loop_width) with EAGER per-round
+    # checkpoints so every round executes inside the pinned region — the
+    # lazy regime deferred the whole chain to the caller's action, where
+    # the session width applies. A/B (balanced, narrow-executed): warm
+    # 6.67-7.36 s -> 5.45-5.67 s, distances identical (integer min-combine
+    # is partitioning-independent).
+    n_edge_rows = edges.count()
+    with loop_width(spark, n_edge_rows):
+        nodes = edges.select(F.col("s").alias("node")).distinct()
+        seeds = (
+            load_table(spark, sf_dir, "supplier")
+            .filter(F.col("s_nationkey") == 0)
+            .select(F.col("s_suppkey").alias("node"), F.lit(0).alias("seed_d"))
         )
-        dists = dists.join(contribs, "node", "left").select(
-            "node",
-            F.least(
-                F.col("dist"), F.coalesce(F.col("mind"), F.lit(_INF))
-            ).alias("dist"),
+        # seeds is one nation's suppliers — graph-small but SF-scaling, so
+        # the broadcast is size-guarded
+        dists = nodes.join(bcast_if_small(seeds), "node", "left").select(
+            "node", F.coalesce(F.col("seed_d"), F.lit(_INF)).alias("dist")
         )
-        dists = dists.localCheckpoint(eager=False)
+        for _ in range(_HOPS):
+            contribs = (
+                edges.join(dists, edges["s"] == dists["node"])
+                .filter(F.col("dist") < _INF)
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.min(F.col("dist") + 1).alias("mind"))
+            )
+            dists = dists.join(contribs, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("mind"), F.lit(_INF))
+                ).alias("dist"),
+            )
+            dists = dists.localCheckpoint(eager=True)
     return dists.select(
         "node",
         F.when(F.col("dist") == _INF, F.lit(None).cast("int"))
@@ -328,29 +354,34 @@ def weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("v").alias("s"), F.col("u").alias("d"), w.alias("w"))
         )
     )
-    nodes = wedges.select(F.col("s").alias("node")).distinct()
-    seeds = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_nationkey") == 0)
-        .select(F.col("s_suppkey").alias("node"), F.lit(0).alias("seed_d"))
-    )
-    dists = nodes.join(bcast_if_small(seeds), "node", "left").select(
-        "node", F.coalesce(F.col("seed_d"), F.lit(_WSSSP_INF)).alias("dist")
-    )
-    for _ in range(_WSSSP_ROUNDS):
-        contribs = (
-            wedges.join(dists, wedges["s"] == dists["node"])
-            .filter(F.col("dist") < _WSSSP_INF)
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.min(F.col("dist") + F.col("w")).alias("mind"))
+    # r10: same regime as bfs_hops — edge cache materialized wide, rounds
+    # executed eagerly under the scale-adaptive loop width. A/B (balanced):
+    # med 7.04 -> 4.2 s, min 5.29 -> 3.89, distances identical.
+    n_edge_rows = wedges.count()
+    with loop_width(spark, n_edge_rows):
+        nodes = wedges.select(F.col("s").alias("node")).distinct()
+        seeds = (
+            load_table(spark, sf_dir, "supplier")
+            .filter(F.col("s_nationkey") == 0)
+            .select(F.col("s_suppkey").alias("node"), F.lit(0).alias("seed_d"))
         )
-        dists = dists.join(contribs, "node", "left").select(
-            "node",
-            F.least(
-                F.col("dist"), F.coalesce(F.col("mind"), F.lit(_WSSSP_INF))
-            ).alias("dist"),
+        dists = nodes.join(bcast_if_small(seeds), "node", "left").select(
+            "node", F.coalesce(F.col("seed_d"), F.lit(_WSSSP_INF)).alias("dist")
         )
-        dists = dists.localCheckpoint(eager=False)
+        for _ in range(_WSSSP_ROUNDS):
+            contribs = (
+                wedges.join(dists, wedges["s"] == dists["node"])
+                .filter(F.col("dist") < _WSSSP_INF)
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("mind"))
+            )
+            dists = dists.join(contribs, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("mind"), F.lit(_WSSSP_INF))
+                ).alias("dist"),
+            )
+            dists = dists.localCheckpoint(eager=True)
     return dists.select(
         "node",
         F.when(F.col("dist") == _WSSSP_INF, F.lit(None).cast("bigint"))
