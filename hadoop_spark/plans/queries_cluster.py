@@ -18,6 +18,7 @@ from hadoop_spark.functions.numeric import (
     fsum,
     fsum_sql,
 )
+from hadoop_spark.operators.graph import loop_width
 from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.operators.similarity import (
     int_argmin_assign,
@@ -855,16 +856,23 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return means
 
-    assign = assign_against(cents)
-    for _ in range(_KMI_ROUNDS - 1):
-        means = new_means(assign)
-        cents = sorted(
-            (cid, [m[d] for d in sorted(m)], sum(v * v for v in m.values()))
-            for cid, m in means.items()
-        )
+    # r10: the per-round shuffle's reduce side is BOUNDED BY CONSTRUCTION
+    # (K x dim = 512 groups at any corpus size), so the round collects run
+    # under loop_width pinned from that bound — scale-INDEPENDENT because
+    # the aggregation output is. The map-side Arrow argmin scan is
+    # unaffected (shuffle width only sizes reducers). A/B (balanced):
+    # warm 5.63-6.31 s -> 4.52-5.95, outputs identical.
+    with loop_width(spark, _KM_K * 64):
         assign = assign_against(cents)
+        for _ in range(_KMI_ROUNDS - 1):
+            means = new_means(assign)
+            cents = sorted(
+                (cid, [m[d] for d in sorted(m)], sum(v * v for v in m.values()))
+                for cid, m in means.items()
+            )
+            assign = assign_against(cents)
 
-    final_means = new_means(assign)
+        final_means = new_means(assign)
     checks = [
         (
             cid,

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_spark.functions.numeric import dsum, dsum_sql, fsum, fsum_sql
+from hadoop_spark.operators.graph import loop_width
 from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
 from hadoop_spark.sources.tables import fanout_small, load_table, shared
@@ -844,25 +845,33 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges: list[tuple[int, str, str, int]] = []
     cur = vocab
-    for step in range(1, _BPE_STEPS + 1):
-        best = (
-            cur.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("pair"), "wc")
-            .groupBy("pair")
-            .agg(F.sum("wc").cast("long").alias("w"))
-            .orderBy(F.desc("w"), "pair")
-            .first()
-        )  # 1-row collect per step — bounded driver state by construction
-        if best is None:  # degenerate corpus: single-symbol words only
-            break
-        merged = best.pair.replace(" ", "")
-        merges.append((step, best.pair, merged, int(best.w)))
-        if step < _BPE_STEPS:
-            sym = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
-            for _ in range(3):
-                sym = F.replace(
-                    sym, F.lit(f" {best.pair} "), F.lit(f" {merged} ")
+    # r10: the K argmax steps run under loop_width pinned from the counted
+    # vocab cardinality (the reduce side of each step's pair-count agg is
+    # bounded by the distinct-pair set, itself vocab-bounded; the count
+    # also materializes the cache the first step needed anyway). A/B
+    # (balanced): warm 2.42-3.36 s -> 1.94-2.95, merges identical.
+    with loop_width(spark, vocab.count()):
+        for step in range(1, _BPE_STEPS + 1):
+            best = (
+                cur.select(
+                    F.explode(_adjacent_pairs(F.col("sym"))).alias("pair"), "wc"
                 )
-            cur = cur.select(F.trim(sym).alias("sym"), "wc")
+                .groupBy("pair")
+                .agg(F.sum("wc").cast("long").alias("w"))
+                .orderBy(F.desc("w"), "pair")
+                .first()
+            )  # 1-row collect per step — bounded driver state by construction
+            if best is None:  # degenerate corpus: single-symbol words only
+                break
+            merged = best.pair.replace(" ", "")
+            merges.append((step, best.pair, merged, int(best.w)))
+            if step < _BPE_STEPS:
+                sym = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+                for _ in range(3):
+                    sym = F.replace(
+                        sym, F.lit(f" {best.pair} "), F.lit(f" {merged} ")
+                    )
+                cur = cur.select(F.trim(sym).alias("sym"), "wc")
     vocab.unpersist()
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, weight long"
@@ -989,23 +998,30 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges: list[str] = []
     cur = vocab
-    for step in range(_BPE_STEPS):
-        best = (
-            cur.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("pair"), "wc")
-            .groupBy("pair")
-            .agg(F.sum("wc").cast("long").alias("cw"))
-            .orderBy(F.desc("cw"), "pair")
-            .first()
-        )  # 1-row collect per step — bounded driver state
-        if best is None:
-            break
-        merges.append(best.pair)
-        if step + 1 < _BPE_STEPS:
-            sym = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
-            merged = best.pair.replace(" ", "")
-            for _ in range(3):
-                sym = F.replace(sym, F.lit(f" {best.pair} "), F.lit(f" {merged} "))
-            cur = cur.select(F.trim(sym).alias("sym"), "wc")
+    # r10: same loop_width regime as bpe_learn_merges (vocab-bounded
+    # reduce side; the count materializes the just-persisted cache).
+    with loop_width(spark, vocab.count()):
+        for step in range(_BPE_STEPS):
+            best = (
+                cur.select(
+                    F.explode(_adjacent_pairs(F.col("sym"))).alias("pair"), "wc"
+                )
+                .groupBy("pair")
+                .agg(F.sum("wc").cast("long").alias("cw"))
+                .orderBy(F.desc("cw"), "pair")
+                .first()
+            )  # 1-row collect per step — bounded driver state
+            if best is None:
+                break
+            merges.append(best.pair)
+            if step + 1 < _BPE_STEPS:
+                sym = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+                merged = best.pair.replace(" ", "")
+                for _ in range(3):
+                    sym = F.replace(
+                        sym, F.lit(f" {best.pair} "), F.lit(f" {merged} ")
+                    )
+                cur = cur.select(F.trim(sym).alias("sym"), "wc")
     vocab.unpersist()  # the encode path below reads `words`, not vocab
     sym = F.concat(
         F.lit(" "), F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" ")
