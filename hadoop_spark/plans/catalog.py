@@ -142,6 +142,19 @@ _R10_CARRYOVER = [
     "semantic_keep_best",
     "dbscan_core_flags",
     "knn_graph",
+    # optimization-phase changes (batches 4-5: GEMM pair-stream persists,
+    # operators/graph.loop_width adoption, bpe vocab persist) — each was
+    # strict-verified at sf0.01 + TZ sf0.001 by the builder on change day
+    # and is covered by the end-of-round full strict sweeps:
+    "bpe_encode",
+    "bpe_learn_merges",
+    "kmeans_iterate",
+    # (pagerank also changed in the optimization phase, but it already
+    # sits in this round's window via _R10_AUDIT — the driver verifies it
+    # on the final tree, so no carryover row is owed.)
+    "bfs_hops",
+    "weighted_sssp",
+    "label_propagation",
     "token_gini",
     "token_position_profile",
     "bucket_skew_advisor",
@@ -169,7 +182,7 @@ _R10_WINDOW = _R10_OWED + _R10_AUDIT + _R10_PIPE
 #   3. the remainder filled by rotating coverage of the untouched catalog
 #      in ledger order, oldest driver row first.
 #
-# R11 PLAN: window = _R10_CARRYOVER (12 mandatory) + r11-changed queries
+# R11 PLAN: window = _R10_CARRYOVER (23 mandatory) + r11-changed queries
 # + r11 additions + rotation restart from the r1 ledger rows (wordcount,
 # grep, kv_text_roundtrip, ... — the oldest driver rows).
 #
