@@ -155,6 +155,12 @@ _R10_CARRYOVER = [
     "bfs_hops",
     "weighted_sssp",
     "label_propagation",
+    # sign_projection_buckets kernel (operators/similarity.py) replaced
+    # the interpreted-HOF bucket fold; both consumers strict-verified at
+    # sf0.01 + TZ sf0.001 on change day, kernel pinned to the fold by
+    # tests/test_sign_projection.py:
+    "ann_lsh_topk",
+    "ann_lsh_recall",
     "token_gini",
     "token_position_profile",
     "bucket_skew_advisor",

@@ -597,24 +597,30 @@ WHERE rnk <= {_LSH_TOP_K}
 
 @query("ann_lsh_topk", _LSH_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_spark.operators.similarity import sign_projection_buckets
+
     emb = shared(with_quantized(fanout_small(load_table(spark, sf_dir, "embeddings"))))
 
-    bucket = F.lit(0)
-    for j in range(_LSH_PLANES):
-        w = F.array(*[F.lit(x).cast("bigint") for x in _LSH_W[j]])
-        dot = F.aggregate(
-            F.zip_with(F.col("q"), w, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+    # r10: the 8-plane sign-projection hash runs as ONE integer-matmul
+    # Arrow kernel over the cached corpus instead of 8 chained interpreted
+    # F.aggregate/zip_with HOFs (512-literal plan tree, no codegen —
+    # measured ~4.8 s warm for the bucket pass alone at sf0.1; kernel is
+    # milliseconds; bit-identical incl. the malformed-row -> bucket-0
+    # degrade, pinned by tests/test_sign_projection.py). The (vec_id,
+    # bucket) frame is persisted: probes and the candidate join both
+    # consume it, and a Python map is the subtree the stage cache cannot
+    # dedupe (the knn_graph lesson); it is 2 bigints/row — cache cost nil.
+    buckets = shared(
+        sign_projection_buckets(
+            emb, _LSH_W, keep=["vec_id"], schema="vec_id bigint, bucket bigint"
         )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    bk = emb.withColumn("bucket", bucket.cast("bigint"))
+    )
 
     flips = F.array(
         F.lit(0), *[F.lit(1 << j) for j in range(_LSH_PLANES)]
     )
     probes = (
-        bk.filter(F.col("vec_id") < N_QUERIES)
+        buckets.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.explode(flips).alias("flip"),
@@ -627,17 +633,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         probes.join(
-            bk.select(F.col("vec_id").alias("neighbor_id"), F.col("bucket").alias("pbucket")),
+            buckets.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("bucket").alias("pbucket"),
+            ),
             "pbucket",
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qsides = bk.filter(F.col("vec_id") < N_QUERIES).select(
+    qsides = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )
-    vsides = bk.select(
+    vsides = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("q").alias("vq"), F.col("n2").alias("vn2")
     )
     scored = (
