@@ -327,9 +327,18 @@ def connected_components(
     # Materialize the pair plan ONCE (it can be an expensive LSH pipeline)
     # and truncate its lineage, so the union/distinct below doesn't re-run
     # it twice and loop stages never re-enter it.
-    pairs_m = pairs.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    sel = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _int_types = (ByteType, ShortType, IntegerType, LongType)
+    integral_ids = all(isinstance(f.dataType, _int_types) for f in sel.schema.fields)
+    if integral_ids:
+        # Widen integral ids to bigint ONCE, before either path: the driver
+        # fast path emits bigint labels by construction, so the distributed
+        # loop must too — otherwise an int32 input would get a
+        # size-dependent output schema (ADVICE r10).
+        sel = sel.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
+    pairs_m = sel.localCheckpoint(eager=True)
     n_edges = 2 * pairs_m.count()
     # r10 opt (guide §1.2 step 1 — the distributed algorithm): below a
     # bounded edge count, run min-label propagation ON THE DRIVER over the
@@ -343,37 +352,36 @@ def connected_components(
     # whose near-dup graph exceeds the cap takes the distributed loop
     # below, unchanged. Guarded to integral id types; anything else falls
     # through. (tests/test_dedup_components_paths.py pins both paths to
-    # identical output.)
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    _int_types = (ByteType, ShortType, IntegerType, LongType)
-    if n_edges // 2 <= _CC_DRIVER_MAX_EDGES and all(
-        isinstance(f.dataType, _int_types) for f in pairs_m.schema.fields
-    ):
+    # identical output.) NULL ids (NaN after toPandas) would silently cast
+    # to garbage int64 labels, so a frame that turns out to contain them
+    # falls through to the distributed loop (ADVICE r10) — the collect is
+    # already bounded by the cap, so the extra pass costs nothing.
+    if n_edges // 2 < _CC_DRIVER_MAX_EDGES and integral_ids:
         import numpy as np
 
         pdf = pairs_m.toPandas()
-        a = pdf["a"].to_numpy(dtype="int64")
-        b = pdf["b"].to_numpy(dtype="int64")
-        ids = np.unique(np.concatenate([a, b]))
-        if len(ids) == 0:
-            return spark.createDataFrame([], "node bigint, comp bigint")
-        ai = np.searchsorted(ids, a)
-        bi = np.searchsorted(ids, b)
-        comp_v = np.arange(len(ids), dtype="int64")  # index == rank of id
-        while True:
-            prev = comp_v.copy()
-            # propagate the min label across each edge, both directions,
-            # then pointer-jump (comp[comp]) to collapse chains fast
-            np.minimum.at(comp_v, bi, prev[ai])
-            np.minimum.at(comp_v, ai, comp_v[bi])
-            comp_v = comp_v[comp_v]
-            if np.array_equal(comp_v, prev):
-                break
-        import pandas as pd
+        if not (pdf["a"].isna().any() or pdf["b"].isna().any()):
+            a = pdf["a"].to_numpy(dtype="int64")
+            b = pdf["b"].to_numpy(dtype="int64")
+            ids = np.unique(np.concatenate([a, b]))
+            if len(ids) == 0:
+                return spark.createDataFrame([], "node bigint, comp bigint")
+            ai = np.searchsorted(ids, a)
+            bi = np.searchsorted(ids, b)
+            comp_v = np.arange(len(ids), dtype="int64")  # index == rank of id
+            while True:
+                prev = comp_v.copy()
+                # propagate the min label across each edge, both directions,
+                # then pointer-jump (comp[comp]) to collapse chains fast
+                np.minimum.at(comp_v, bi, prev[ai])
+                np.minimum.at(comp_v, ai, comp_v[bi])
+                comp_v = comp_v[comp_v]
+                if np.array_equal(comp_v, prev):
+                    break
+            import pandas as pd
 
-        out = pd.DataFrame({"node": ids, "comp": ids[comp_v]})
-        return spark.createDataFrame(out, "node bigint, comp bigint")
+            out = pd.DataFrame({"node": ids, "comp": ids[comp_v]})
+            return spark.createDataFrame(out, "node bigint, comp bigint")
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_parts = max(2, min(session_width, n_edges // 1_000_000 + 2))
     old_width = spark.conf.get("spark.sql.shuffle.partitions")

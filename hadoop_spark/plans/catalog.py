@@ -188,9 +188,64 @@ _R10_WINDOW = _R10_OWED + _R10_AUDIT + _R10_PIPE
 #   3. the remainder filled by rotating coverage of the untouched catalog
 #      in ledger order, oldest driver row first.
 #
-# R11 PLAN: window = _R10_CARRYOVER (23 mandatory) + r11-changed queries
-# + r11 additions + rotation restart from the r1 ledger rows (wordcount,
-# grep, kv_text_roundtrip, ... — the oldest driver rows).
+# R11 WINDOW (in force — optimization round 2/2): the mandatory rows are
+# _R10_CARRYOVER (25 rows — the r10 comment undercounted it as 23) PLUS
+# the seven r10-changed queries the r10 ADVICE found in neither the r10
+# window nor the carryover (countmin_sketch, nb_langid, char_ngram_profile,
+# trigram_search, poisson_bootstrap_ci, bloom_filter_join, dedup_components
+# — dedup_components' operator connected_components gained a whole new
+# execution path in r10) PLUS every query changed in r11. No r11 catalog
+# additions (optimization round). The remaining slots are rotation restart
+# from the r1 ledger rows in ledger-table order (COVERAGE.md "Rotation
+# ledger" — the r1 rows appear there starting at composite_join_inner).
+_R11_ADVICE_OWED = [
+    "countmin_sketch",
+    "nb_langid",
+    "char_ngram_profile",
+    "trigram_search",
+    "poisson_bootstrap_ci",
+    "bloom_filter_join",
+    "dedup_components",
+]
+
+# Queries whose builder/oracle or imported operator changed in r11 and
+# that are not already mandatory via the carryover lists above. Kept
+# current as each r11 optimization commit lands.
+_R11_CHANGED: list[str] = [
+    # operators/dedup.connected_components changed (bigint widening +
+    # null fall-through, r10 ADVICE): dedup_components is in
+    # _R11_ADVICE_OWED and semantic_keep_best in _R10_CARRYOVER already;
+    # dedup_keep_best is the remaining caller.
+    "dedup_keep_best",
+]
+
+# Rotation fill: r1 ledger rows, ledger-table order, truncated so the
+# window is exactly 50.
+_R11_ROTATION = [
+    "composite_join_inner",
+    "composite_join_outer",
+    "override_join",
+    "broadcast_dim_join",
+    "semi_join",
+    "anti_join",
+    "join_multiplicity",
+    "salted_skew_join",
+    "value_histogram",
+    "cube_agg",
+    "rollup_agg",
+    "grouping_sets",
+    "word_stats",
+    "kmv_distinct_sketch",
+    "ntile_quartiles",
+    "mode_per_group",
+    "ordered_concat_per_group",
+    "wordcount",
+]
+
+_R11_WINDOW = (
+    _R10_CARRYOVER + _R11_ADVICE_OWED + _R11_CHANGED + _R11_ROTATION
+)[:50]
+
 #
 # R10 QUANTIZATION AUDIT — COMPLETED (was the "~25 sites" candidate task
 # seeded in r9). Scope grew to 56 queries once multiline-styled sites and
@@ -248,10 +303,10 @@ def load_all() -> None:
     # Deterministic window rotation: pull this round's 50-query window to
     # the front of the registry (dict order IS driver order); everything
     # else keeps its registration order behind it.
-    missing = [n for n in _R10_WINDOW if n not in QUERIES]
+    missing = [n for n in _R11_WINDOW if n not in QUERIES]
     if missing:  # a renamed query must fail loudly, not silently shrink
-        raise RuntimeError(f"_R10_WINDOW names not registered: {missing}")
-    front = {n: QUERIES[n] for n in _R10_WINDOW}
+        raise RuntimeError(f"_R11_WINDOW names not registered: {missing}")
+    front = {n: QUERIES[n] for n in _R11_WINDOW}
     rest = {n: f for n, f in QUERIES.items() if n not in front}
     QUERIES.clear()
     QUERIES.update(front)

@@ -57,11 +57,18 @@ def main() -> None:
     medians: dict[str, float] = {}
     for name in names:
         if plan_tag:
+            import contextlib
+            import io
+
             df = QUERIES[name](spark, SF_DIR)
             os.makedirs(PLAN_DIR, exist_ok=True)
+            # public route (ADVICE r10): capture explain() stdout instead
+            # of reaching into py4j queryExecution internals
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
             with open(os.path.join(PLAN_DIR, f"{name}_{plan_tag}.txt"), "w") as fh:
-                fh.write(df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
-                    df._jdf.queryExecution(), "formatted"))
+                fh.write(buf.getvalue())
             spark.catalog.clearCache()
         runs = []
         for it in range(passes):

@@ -46,6 +46,9 @@ def test_distributed_path_matches_expected(spark):
 
 
 def test_empty_pairs_both_paths(spark):
+    # cap=0 exercises the DISTRIBUTED path on empty input (the driver-path
+    # gate is strictly-less-than the cap since r11, per the r10 ADVICE);
+    # cap=1M exercises the driver path.
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     for cap in (0, 1_000_000):
         old = dedup_mod._CC_DRIVER_MAX_EDGES
@@ -54,6 +57,54 @@ def test_empty_pairs_both_paths(spark):
             assert connected_components(empty, "id_a", "id_b").count() == 0
         finally:
             dedup_mod._CC_DRIVER_MAX_EDGES = old
+
+
+def test_int32_ids_bigint_output_both_paths(spark):
+    # Integral ids are widened to bigint ONCE before either path (r11,
+    # per the r10 ADVICE): the output schema must not depend on which
+    # path ran.
+    for cap in (0, 1_000_000):
+        old = dedup_mod._CC_DRIVER_MAX_EDGES
+        dedup_mod._CC_DRIVER_MAX_EDGES = cap
+        try:
+            pairs = spark.createDataFrame(_EDGES, "id_a int, id_b int")
+            comp = connected_components(pairs, "id_a", "id_b")
+            assert [f.dataType.simpleString() for f in comp.schema.fields] == [
+                "bigint",
+                "bigint",
+            ]
+            assert sorted((r["node"], r["comp"]) for r in comp.collect()) == _EXPECT
+        finally:
+            dedup_mod._CC_DRIVER_MAX_EDGES = old
+
+
+def test_null_ids_fall_through_to_distributed(spark):
+    # A null id would round-trip through toPandas() as NaN and cast to a
+    # garbage int64 label on the driver path — frames containing nulls
+    # must take the distributed loop regardless of size (r11, per the r10
+    # ADVICE). Both cap settings must therefore agree exactly.
+    edges = [(1, 2), (2, 3), (None, 9), (20, 21)]
+    results = []
+    for cap in (0, 1_000_000):
+        old = dedup_mod._CC_DRIVER_MAX_EDGES
+        dedup_mod._CC_DRIVER_MAX_EDGES = cap
+        try:
+            pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+            comp = connected_components(pairs, "id_a", "id_b")
+            results.append(sorted(
+                ((r["node"], r["comp"]) for r in comp.collect()),
+                key=lambda t: (t[0] is None, t[0]),
+            ))
+        finally:
+            dedup_mod._CC_DRIVER_MAX_EDGES = old
+    assert results[0] == results[1]
+    # the non-null components are still labelled correctly
+    non_null = [t for t in results[1] if t[0] is not None]
+    for node, comp_label in non_null:
+        if node in (1, 2, 3):
+            assert comp_label == 1
+        if node in (20, 21):
+            assert comp_label == 20
 
 
 def test_driver_path_deep_chain(spark):
