@@ -217,6 +217,20 @@ _R11_CHANGED: list[str] = [
     # _R11_ADVICE_OWED and semantic_keep_best in _R10_CARRYOVER already;
     # dedup_keep_best is the remaining caller.
     "dedup_keep_best",
+    # operators/graph.wedge_closure kernel (r11) replaced the wedge
+    # self-join in these two; triangle_count (same change) is already in
+    # _R10_CARRYOVER.
+    "clustering_coefficient",
+    "link_prediction_cn",
+    # lineitem pre-aggregated before the orders join (guide 2.3).
+    "interval_overlap_join",
+    # streaming/windows.py changed: the two stateful-KMV update loops
+    # were vectorized (np.union1d replaces the per-row python set fold).
+    # The REST of the streaming family imports the same module but calls
+    # none of the changed functions (run_to_memory/load_events_stream
+    # untouched) — exempt per the changed-query policy, documented here.
+    "stream_kmv_distinct",
+    "stream_windowed_kmv",
 ]
 
 # Rotation fill: r1 ledger rows, ledger-table order, truncated so the
@@ -237,9 +251,6 @@ _R11_ROTATION = [
     "word_stats",
     "kmv_distinct_sketch",
     "ntile_quartiles",
-    "mode_per_group",
-    "ordered_concat_per_group",
-    "wordcount",
 ]
 
 _R11_WINDOW = (

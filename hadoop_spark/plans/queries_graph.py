@@ -29,6 +29,7 @@ from hadoop_spark.operators.graph import (
     cooccurrence_pairs,
     loop_width,
     symmetrize,
+    wedge_closure,
 )
 from hadoop_spark.operators.join import bcast_if_small
 from hadoop_spark.plans.catalog import query
@@ -628,47 +629,59 @@ FROM deg LEFT JOIN tc ON deg.node = tc.node
 def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = shared(cooccurrence_pairs(li, "l_orderkey", "l_partkey"))
-    deg = shared(
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    lower_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = shared(
-        pairs.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    # r11 opt (guide §4 + §1.2): the 41 M-row wedge self-join + closing
+    # probe is replaced by the vectorized wedge_closure kernel, which
+    # computes the degree orientation in numpy from the collected pair
+    # list and emits pre-reduced per-corner triangle counts; the degree
+    # table falls out of that same pass (kern.deg), so the JVM deg
+    # aggregation below exists only on the degrade path. Above the edge
+    # cap the JVM join below remains the 100 TB shape.
+    kern = wedge_closure(spark, pairs, "per_node")
+    if kern is not None:
+        tc = kern.out.groupBy("node").agg(F.sum("t").alias("t"))
+        deg = kern.deg
+    else:
+        deg = shared(
+            pairs.select(F.col("u").alias("node"))
+            .unionAll(pairs.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
         )
-    )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    b_lower = (F.col("e1.dt") < F.col("e2.dt")) | (
-        (F.col("e1.dt") == F.col("e2.dt")) & (F.col("e1.t") < F.col("e2.t"))
-    )
-    wedges = e1.join(
-        e2,
-        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
-    ).select(
-        F.col("e1.s").alias("a"),
-        F.when(b_lower, F.col("e1.t")).otherwise(F.col("e2.t")).alias("cs"),
-        F.when(b_lower, F.col("e2.t")).otherwise(F.col("e1.t")).alias("ct"),
-    )
-    closing = oriented.select(F.col("s").alias("cs"), F.col("t").alias("ct"))
-    # r10 opt (guide §3.1): guarded broadcast of the edge-sized closing
-    # set keeps the 41 M-row wedge stream (sf0.1) out of any exchange —
-    # the closing probe is a map-side hash join. Degrades above the cap.
-    tri = wedges.join(bcast_if_small(closing), ["cs", "ct"])
-    corners = tri.select(
-        F.explode(F.array("a", "cs", "ct")).alias("node")
-    )
-    tc = corners.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+        du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+        lower_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oriented = shared(
+            pairs.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+                F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+            )
+        )
+        e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+        b_lower = (F.col("e1.dt") < F.col("e2.dt")) | (
+            (F.col("e1.dt") == F.col("e2.dt")) & (F.col("e1.t") < F.col("e2.t"))
+        )
+        wedges = e1.join(
+            e2,
+            (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+        ).select(
+            F.col("e1.s").alias("a"),
+            F.when(b_lower, F.col("e1.t")).otherwise(F.col("e2.t")).alias("cs"),
+            F.when(b_lower, F.col("e2.t")).otherwise(F.col("e1.t")).alias("ct"),
+        )
+        closing = oriented.select(F.col("s").alias("cs"), F.col("t").alias("ct"))
+        # r10 opt (guide §3.1): guarded broadcast of the edge-sized closing
+        # set keeps the 41 M-row wedge stream (sf0.1) out of any exchange —
+        # the closing probe is a map-side hash join. Degrades above the cap.
+        tri = wedges.join(bcast_if_small(closing), ["cs", "ct"])
+        corners = tri.select(
+            F.explode(F.array("a", "cs", "ct")).alias("node")
+        )
+        tc = corners.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
     out = deg.join(tc, "node", "left")
     t = F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
     # r10 audit: raw IEEE quotient of exact int64 triangle/degree counts.
@@ -741,6 +754,34 @@ LIMIT {_LINKPRED_K}
 def link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = shared(cooccurrence_pairs(li, "l_orderkey", "l_partkey"))
+    # r11 opt (guide §4 + §2.3): the 41 M-row wedge self-join, the
+    # 32.7 M-key aggregation's raw input, AND the closing anti-join are
+    # replaced by the wedge_closure kernel: it emits pre-reduced packed
+    # (cs·2³² + ct, count) partials with closed pairs already filtered
+    # out (the membership probe that was the anti-join is one searchsorted
+    # inside the kernel). Packed-key order == (cs, ct) lex order, so the
+    # top-k tie-break is unchanged, and because the in-adjacency
+    # enumeration completes every pair's count within one chunk,
+    # topk=_LINKPRED_K makes each chunk emit only its local top-20 —
+    # K rows per chunk instead of one row per distinct open pair. Above
+    # the edge cap the JVM pipeline below remains the 100 TB shape.
+    kern = wedge_closure(spark, pairs, "open_pairs", topk=_LINKPRED_K)
+    if kern is not None:
+        wc_open = kern.out.groupBy("k").agg(
+            F.sum("w").cast("bigint").alias("common_neighbors")
+        )
+        return (
+            wc_open.orderBy(F.col("common_neighbors").desc(), F.col("k"))
+            .limit(_LINKPRED_K)
+            .select(
+                F.shiftright(F.col("k"), 32).cast("bigint").alias("part_a"),
+                F.col("k")
+                .bitwiseAND(F.lit(0xFFFFFFFF))
+                .cast("bigint")
+                .alias("part_b"),
+                "common_neighbors",
+            )
+        )
     deg = shared(
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))

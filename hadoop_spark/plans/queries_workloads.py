@@ -627,11 +627,30 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed, never searched — a disjunctive join condition here would
     degrade to a nested-loop join). Three shuffles over edge-sized data,
     nothing driver-side."""
-    from hadoop_spark.operators.graph import cooccurrence_pairs
+    from hadoop_spark.operators.graph import cooccurrence_pairs, wedge_closure
     from hadoop_spark.sources.tables import shared
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = shared(cooccurrence_pairs(li, "l_orderkey", "l_suppkey"))
+    # r11 opt (guide §4 + §1.2): the ~350 M-row wedge self-join enumerated
+    # in the JVM is replaced by the vectorized wedge_closure kernel — the
+    # pair list is EDGE-sized and cap-guarded (the kernel also computes
+    # the degree orientation in numpy, so the deg aggregation + joins
+    # below exist only on the degrade path, and n_edges/n_nodes fall out
+    # of the kernel's driver pass); above the cap the JVM join below
+    # remains the 100 TB shape.
+    kern = wedge_closure(spark, pairs, "count")
+    if kern is not None:
+        n_tri = kern.out.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_triangles")
+        )
+        return (
+            spark.createDataFrame(
+                [(kern.n_edges, kern.n_nodes)], "n_edges bigint, n_nodes bigint"
+            )
+            .crossJoin(n_tri)
+            .select("n_edges", "n_nodes", "n_triangles")
+        )
     deg = shared(
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -655,8 +674,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    # wedge at s; closing edge must run lower-(deg,id) -> higher-(deg,id),
-    # computed from the carried degrees -> plain equi-join keys (cs, ct)
+    # wedge at s; closing edge must run lower-(deg,id) ->
+    # higher-(deg,id), computed from the carried degrees -> plain
+    # equi-join keys (cs, ct)
     b_lower = (F.col("e1.dt") < F.col("e2.dt")) | (
         (F.col("e1.dt") == F.col("e2.dt")) & (F.col("e1.t") < F.col("e2.t"))
     )
@@ -668,20 +688,21 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b_lower, F.col("e2.t")).otherwise(F.col("e1.t")).alias("ct"),
     )
     closing = oriented.select(F.col("s").alias("cs"), F.col("t").alias("ct"))
-    # Partial-aggregate wedges BEFORE the closing-edge join: the wedge set
-    # is O(sum deg(s)^2) rows, but distinct (cs, ct) pairs are bounded by
-    # |node pairs| — on dense graphs the map-side combine compresses the
-    # shuffle by orders of magnitude (350M wedges -> ~|edges| rows at
-    # sf0.1), and the closing join then runs over edge-sized data.
+    # Partial-aggregate wedges BEFORE the closing-edge join: the wedge
+    # set is O(sum deg(s)^2) rows, but distinct (cs, ct) pairs are
+    # bounded by |node pairs| — on dense graphs the map-side combine
+    # compresses the shuffle by orders of magnitude (350M wedges ->
+    # ~|edges| rows at sf0.1), and the closing join then runs over
+    # edge-sized data.
     wedge_counts = wedges.groupBy("cs", "ct").agg(
         F.count(F.lit(1)).alias("w")
     )
     tri = wedge_counts.join(closing, ["cs", "ct"])
-    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_tri = tri.agg(
         F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_triangles")
     )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return (
         n_edges.crossJoin(n_nodes)
         .crossJoin(n_tri)

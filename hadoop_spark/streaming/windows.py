@@ -379,11 +379,18 @@ def stateful_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
     hspace = 1152921504606846975.0  # 16^15 - 1: the 60-bit hash range
 
     def update(key, pdfs, state: GroupState):
-        cur = list(state.get[0]) if state.exists else []
-        seen = set(cur)
+        import numpy as np
+
+        # r11 (guide 4.2): the per-row python set loop is replaced by a
+        # vectorized sorted-distinct union — np.union1d returns exactly
+        # sorted(set(...)), so truncating to k keeps the identical KMV
+        # state and estimate.
+        cur = np.asarray(
+            list(state.get[0]) if state.exists else [], dtype=np.int64
+        )
         for pdf in pdfs:
-            seen.update(int(x) for x in pdf["h"].tolist())
-        best = sorted(seen)[:k]
+            cur = np.union1d(cur, pdf["h"].to_numpy(dtype=np.int64))
+        best = [int(x) for x in cur[:k]]
         state.update((best,))
         n_seen = len(best)
         est = (
@@ -435,11 +442,17 @@ def stateful_windowed_kmv(events: DataFrame, k: int = 64) -> DataFrame:
     hspace = 1152921504606846975.0
 
     def update(key, pdfs, state: GroupState):
-        cur = list(state.get[0]) if state.exists else []
-        seen = set(cur)
+        import numpy as np
+
+        # r11 (guide 4.2): vectorized sorted-distinct union, identical to
+        # the python set + sorted()[:k] it replaces (see
+        # stateful_kmv_distinct).
+        cur = np.asarray(
+            list(state.get[0]) if state.exists else [], dtype=np.int64
+        )
         for pdf in pdfs:
-            seen.update(int(x) for x in pdf["h"].tolist())
-        best = sorted(seen)[:k]
+            cur = np.union1d(cur, pdf["h"].to_numpy(dtype=np.int64))
+        best = [int(x) for x in cur[:k]]
         state.update((best,))
         n_seen = len(best)
         est = (

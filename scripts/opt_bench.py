@@ -24,7 +24,7 @@ from hadoop_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLAN_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
 )
 
 
