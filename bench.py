@@ -516,7 +516,7 @@ def main() -> None:
     # sidecar. Round number comes from the env when the driver sets it;
     # the default name still lands next to the round files.
     full_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_FULL", os.path.join(os.path.dirname(__file__), "BENCH_full_r10.json")
+        "SPARK_GRAFT_BENCH_FULL", os.path.join(os.path.dirname(__file__), "BENCH_full_r11.json")
     )
     try:
         with open(full_path, "w") as fh:

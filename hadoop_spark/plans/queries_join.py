@@ -919,22 +919,26 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.month(F.col(c).cast("timestamp"))
         - 1
     ).cast("bigint")
-    # r11 opt (guide §2.3 aggregate-before-join): the per-order max ship
-    # day/month is computable from lineitem alone, so aggregate lineitem
-    # down to one row per order (map-side partial + one ~order-sized
-    # exchange) BEFORE the orders join instead of shuffling every line
-    # row through the join and aggregating after — same inner-join
-    # semantics (orders without lines drop either way), 4x fewer rows
-    # into the join at any scale.
-    lagg = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        F.max(day("l_shipdate")).alias("d1"), F.max(mon("l_shipdate")).alias("m1")
-    )
-    ow = orders.join(lagg, "o_orderkey").select(
-        "o_orderkey",
-        day("o_orderdate").alias("d0"),
-        mon("o_orderdate").alias("m0"),
-        "d1",
-        "m1",
+    # r11 opt note: pre-aggregating lineitem to one row per order BEFORE
+    # the orders join (guide §2.3) was tried and REVERTED after a
+    # balanced ABBA A/B lost 4/4 pairs (pre-agg med 3.26 / min 3.03 s vs
+    # this shape's 2.72 / 2.55 at sf0.1): at ~4 lines per order the
+    # map-side partial aggregation's hash table over ~|orders| groups
+    # costs more than the 4x row reduction saves, while the join-then-agg
+    # form reuses the join's orderkey partitioning for the groupBy (no
+    # extra exchange). The banded quarter probe below is already the
+    # equi-join shape the r10 verdict asked to confirm.
+    ow = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max(day("l_shipdate")).alias("d1"), F.max(mon("l_shipdate")).alias("m1"))
+        .select(
+            "o_orderkey",
+            day("o_orderdate").alias("d0"),
+            mon("o_orderdate").alias("m0"),
+            "d1",
+            "m1",
+        )
     )
     # band: one row per month the order window touches (bounded fan-out:
     # fulfilment windows span a few months by construction)
