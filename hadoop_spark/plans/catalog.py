@@ -233,24 +233,30 @@ _R11_CHANGED: list[str] = [
     "stream_windowed_kmv",
 ]
 
-# Rotation fill: r1 ledger rows, ledger-table order, truncated so the
-# window is exactly 50.
+# Remaining slots: sources/tables.fanout_small gained a parquet
+# row-group-count check in r11. The new branch is UNREACHABLE at the
+# driver's sf0.01 verification scale (every sf0.01 table is one small
+# file, so the pre-existing `parts < target` branch fires bit-identically
+# to r10) and it only changes PARTITIONING (round-robin spread) on
+# multi-split inputs — every caller is an oracle-checked aggregation,
+# partitioning-independent by construction, and the full 392-query strict
+# sweeps cover all 40 callers. The 11 slots left after the mandatory rows
+# are nevertheless spent on the fanout callers with the heaviest
+# downstream pipelines that are NOT already in the window (instead of the
+# planned r1-ledger rotation restart, which moves to r12):
 _R11_ROTATION = [
-    "composite_join_inner",
-    "composite_join_outer",
-    "override_join",
-    "broadcast_dim_join",
-    "semi_join",
-    "anti_join",
-    "join_multiplicity",
-    "salted_skew_join",
-    "value_histogram",
-    "cube_agg",
-    "rollup_agg",
-    "grouping_sets",
-    "word_stats",
-    "kmv_distinct_sketch",
-    "ntile_quartiles",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_paragraph",
+    "ann_cosine_topk",
+    "ann_pq_adc",
+    "kmeans_assign",
+    "chi2_terms",
+    "source_tv_divergence",
+    "bigram_lm_score",
+    "countmin_error_eval",
 ]
 
 _R11_WINDOW = (

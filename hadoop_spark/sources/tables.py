@@ -80,6 +80,31 @@ def fanout_small(df: DataFrame) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
+    # r11: the split COUNT can lie for parquet — a byte-range split only
+    # yields rows when a row-group midpoint falls inside it, so a file
+    # with a few giant row groups scans on a few cores no matter how many
+    # splits the planner packs (measured on the x100 probe replica:
+    # 32 splits over one 140 MB file with 2 row groups put 14.4 M of 15 M
+    # rows in ONE task and made poisson_bootstrap_ci x439 super-linear).
+    # Total row-group count is the true upper bound on scan parallelism;
+    # it lives in the file footers — driver-side metadata, one read per
+    # file, capped so a many-file table (whose parallelism is fine anyway)
+    # never pays a listing storm. Non-parquet/remote inputs skip the check.
+    try:
+        files = df.inputFiles()
+        if 0 < len(files) <= 64 and all(f.endswith(".parquet") for f in files):
+            import pyarrow.parquet as pq
+
+            total_rgs = 0
+            for f in files:
+                path = f[7:] if f.startswith("file://") else f
+                total_rgs += pq.ParquetFile(path).metadata.num_row_groups
+                if total_rgs >= target:
+                    break
+            if total_rgs < target:
+                return df.repartition(target)
+    except Exception:  # noqa: BLE001 — a heuristic must never fail the query
+        pass
     return df
 
 
